@@ -1,0 +1,116 @@
+package graft.queries
+
+import java.time.LocalDate
+import graft.Q
+import graft.core.{CleanOps, Tables}
+import graft.oracle.Sql
+import graft.window.Periods
+import org.apache.spark.sql.functions._
+
+/** Aggregation + calendar operators (SURVEY.md §2.6/§2.7): the 16-day
+  * composite calendar with year reset (W1), complete-window filter (F6),
+  * temporal mean/sum composites (A1/A3), watermark max (A11), distinct-date
+  * discovery (A10), nonzero-share (A9), and the point→grid burn (W8/P11).
+  */
+object AggQueries {
+
+  private val dec = "DECIMAL(18,2)"
+  private val anchor = LocalDate.parse("1995-01-01")
+  private val current = LocalDate.parse("2001-12-31")
+
+  def all: Seq[Q] = Seq(
+
+    // W1 in isolation: the period calendar itself (year-boundary truncation
+    // to Jan 1, next window starts Jan 2, only complete windows).
+    Q("w1_period_calendar", Seq("W1", "F6"),
+      (s, _) => {
+        import s.implicits._
+        Periods.compositePeriods(anchor, current)
+          .map(p => (java.sql.Date.valueOf(p.start), java.sql.Date.valueOf(p.end)))
+          .toDF("p_start", "p_end")
+          .orderBy("p_start")
+      },
+      Some(s"""${Sql.periodCtes(anchor, current)}
+              |SELECT p_start, p_end FROM periods WHERE p_end <= DATE '$current'
+              |ORDER BY p_start""".stripMargin)),
+
+    // The flagship stage-1 composite: assign facts to 16-day periods via a
+    // broadcast day-calendar equi-join (no shuffle on the fact side), then
+    // per-period mean (A1, null-skipping) and sum (A3).
+    Q("w1_period_composite", Seq("W1", "F6", "A1", "A3", "A12"),
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(to_date(col("l_shipdate")).as("sd"), col("l_quantity"),
+                  col("l_extendedprice"), col("l_discount"))
+        Periods.assign(li, "sd", anchor, current)
+          .groupBy("p_start", "p_end")
+          .agg(count(lit(1)).as("n_obs"),
+               sum(col("l_quantity")).as("sum_qty"),
+               avg(col("l_quantity")).as("avg_qty"),
+               expr(s"CAST(sum(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec))) AS DECIMAL(28,4))").as("revenue"))
+          .orderBy("p_end")
+      },
+      Some(s"""${Sql.periodCtes(anchor, current)}
+              |SELECT p_start, p_end, count(*) AS n_obs, sum(l_quantity) AS sum_qty,
+              |  avg(l_quantity) AS avg_qty,
+              |  CAST(sum(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec))) AS DECIMAL(28,4)) AS revenue
+              |FROM lineitem JOIN period_days ON CAST(l_shipdate AS DATE) = d
+              |GROUP BY p_start, p_end ORDER BY p_end""".stripMargin)),
+
+    // A11 + §2.9: high-watermark resolution — resume point = max(date) + 1.
+    Q("a11_watermark_max", Seq("A11", "P18"),
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .agg(max(to_date(col("l_shipdate"))).as("max_d"))
+          .select(col("max_d"), date_add(col("max_d"), 1).as("resume_start")),
+      Some("""SELECT max(CAST(l_shipdate AS DATE)) AS max_d,
+             |  max(CAST(l_shipdate AS DATE)) + 1 AS resume_start
+             |FROM lineitem""".stripMargin)),
+
+    // A10: distinct-date discovery (rasterize.py:80-82 unique-loop).
+    Q("a10_distinct_dates", Seq("A10", "F5"),
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(to_date(col("o_orderdate")).as("d")).distinct().orderBy("d"),
+      Some("SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders ORDER BY d")),
+
+    // A9: nonzero-share scalar aggregate (gwr_model.py:43-48) — integer
+    // counts divided once, so the double result is bit-deterministic.
+    Q("a9_nonzero_share", Seq("A9"),
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg((sum(when(col("l_discount") =!= 0, 1).otherwise(0)).cast("double") * 100 /
+                count(lit(1))).as("pct_discounted"),
+               count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CASE WHEN l_discount <> 0 THEN 1 ELSE 0 END) AS DOUBLE) * 100 / count(*) AS pct_discounted,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // W8 + P11: point→grid burn. Points are affine-projected to integer
+    // cells; collisions resolve deterministically (min event_id wins — the
+    // declared version of rasterio's burn-order semantics); non-positive
+    // burned values become the nodata sentinel.
+    Q("w8_grid_burn", Seq("W8", "P11", "J3"),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(to_date(col("ts")).as("d"),
+                  CleanOps.gridSnap(col("value"), 0d, 50d).as("grid_row"),
+                  (col("user_id") % 20).as("grid_col"),
+                  col("value"), col("event_id"))
+          .groupBy("d", "grid_row", "grid_col")
+          .agg(expr("min_by(value, event_id)").as("first_v"), count(lit(1)).as("n_burned"))
+          .select(col("d"), col("grid_row"), col("grid_col"),
+                  CleanOps.negativeToSentinel(col("first_v") - 250d).as("burned"),
+                  col("n_burned"))
+          .orderBy("d", "grid_row", "grid_col"),
+      Some("""SELECT CAST(ts AS DATE) AS d, CAST(floor(value / 50) AS BIGINT) AS grid_row,
+             |  user_id % 20 AS grid_col,
+             |  CASE WHEN min_by(value, event_id) - 250 <= 0 THEN -99999
+             |       ELSE min_by(value, event_id) - 250 END AS burned,
+             |  count(*) AS n_burned
+             |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+  )
+}

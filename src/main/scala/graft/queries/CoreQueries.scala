@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.Q
+import graft.core.{CleanOps, DateOps, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scalar projections, filters and cleaning operators (SURVEY.md §2.3/§2.4):
+  * half-open time-range filter (F1), projection/rename (P12), casts (P15),
+  * bitmask predicate (P2), date decompose (P5), yyyyMMdd codec (P3),
+  * sentinel→NULL + impute (P8/P10), JSON attribute extraction, grid-snap
+  * quantization (P4).
+  *
+  * Money columns are cast to DECIMAL(18,2) before summing: decimal arithmetic
+  * is associativity-independent, so Spark's partition-parallel aggregation
+  * and DuckDB's sequential one produce bit-identical results (doubles would
+  * drift in the last ulp and break the driver's hash compare).
+  */
+object CoreQueries {
+
+  private val dec = "DECIMAL(18,2)"
+
+  def all: Seq[Q] = Seq(
+
+    Q("p12_project_filter", Seq("F1", "P12", "P15", "S2"),
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          // F1: half-open [start, end) range, like ee.Filter.date
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                 col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            to_date(col("l_shipdate")).as("ship_d"),
+            col("l_quantity").as("qty"),
+            // keep the exact scale-4 product: decimal downcasts round
+            // HALF_UP in Spark but truncate in DuckDB, so never downcast
+            expr(s"CAST(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec)) AS DECIMAL(18,4))").as("net_price"),
+            col("l_returnflag").as("rf"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_d,
+              |  l_quantity AS qty,
+              |  CAST(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec)) AS DECIMAL(18,4)) AS net_price,
+              |  l_returnflag AS rf
+              |FROM lineitem
+              |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("p2_bitmask_filter", Seq("P2"),
+      (s, dir) =>
+        // The VIIRS cloud-mask predicate shape (`data_extraction_v2.py:143-158`):
+        // keep rows where (qf & 3) >= 2 and ((qf >> 2) & 3) <= 1.
+        Tables.events(s, dir)
+          .where((col("event_id").bitwiseAND(3) >= 2) &&
+                 (shiftright(col("event_id"), 2).bitwiseAND(3) <= 1))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_uid
+             |FROM events
+             |WHERE (event_id & 3) >= 2 AND ((event_id >> 2) & 3) <= 1
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("p5_date_decompose", Seq("P5", "P15"),
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val (y, m, _) = DateOps.decompose(col("o_orderdate"))
+        o.groupBy(y.as("y"), m.as("m"))
+          .agg(count(lit(1)).as("n"),
+               expr(s"CAST(sum(CAST(o_totalprice AS $dec)) AS $dec)").as("sum_price"))
+          .orderBy("y", "m")
+      },
+      Some(s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS y, CAST(month(o_orderdate) AS INTEGER) AS m,
+              |  count(*) AS n, CAST(sum(CAST(o_totalprice AS $dec)) AS $dec) AS sum_price
+              |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("p3_yyyymmdd_roundtrip", Seq("P3", "P15", "P18"),
+      (s, dir) =>
+        // The reference's int-encoded yyyyMMdd date codec, round-tripped.
+        Tables.events(s, dir)
+          .select(DateOps.toYyyymmdd(col("ts")).as("ymd"), col("value"))
+          .withColumn("d", DateOps.fromYyyymmdd(col("ymd")))
+          .groupBy("ymd", "d")
+          .agg(count(lit(1)).as("n"),
+               expr(s"CAST(sum(CAST(value AS $dec)) AS $dec)").as("sum_value"))
+          .orderBy("ymd"),
+      Some(s"""SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS ymd, CAST(ts AS DATE) AS d,
+              |  count(*) AS n, CAST(sum(CAST(value AS $dec)) AS $dec) AS sum_value
+              |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    Q("p10_sentinel_impute", Seq("P8", "P10", "A3"),
+      (s, dir) => {
+        // Sentinel→NULL (value < 1.0 plays the nodata role), then the
+        // xarray-skipna contract: an all-null group sums to 0, not NULL.
+        val v = CleanOps.sentinelToNull(col("value"), Seq(-99999d), floor = 1.0)
+        Tables.events(s, dir)
+          .select(col("event_type"), v.as("v"))
+          .groupBy("event_type")
+          .agg(sum(when(col("v").isNull, 1).otherwise(0)).as("n_masked"),
+               expr(s"CAST(coalesce(sum(CAST(v AS $dec)), 0) AS $dec)").as("sum_valid"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type,
+              |  CAST(sum(CASE WHEN value < 1.0 OR value = -99999 THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+              |  CAST(coalesce(sum(CASE WHEN value < 1.0 OR value = -99999 THEN NULL
+              |                         ELSE CAST(value AS $dec) END), 0) AS $dec) AS sum_valid
+              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("p13_json_extract", Seq("S3", "P13", "P15"),
+      (s, dir) =>
+        // Semi-structured attribute extraction (the reference's JSON config /
+        // GeoJSON reads, `data_extraction_v2.py:27-75`) as a column op.
+        Tables.events(s, dir)
+          .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy((col("k") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
+          .orderBy("bucket"),
+      Some("""SELECT CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) % 10 AS bucket,
+             |  count(*) AS n,
+             |  min(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS min_k,
+             |  max(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS max_k
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("p4_gridsnap_join", Seq("P4", "J2"),
+      (s, dir) => {
+        // Join-key quantization: snapping both sides to a regular grid turns
+        // a nearest-neighbor lookup into a plain shuffled equi-join — the
+        // reference's own trick (`round(·,3)`, data_extraction_v2.py:354).
+        val c = Tables.customer(s, dir)
+          .select(CleanOps.gridSnap(col("c_acctbal"), 0d, 100d).as("cell"), col("c_custkey"))
+        val sup = Tables.supplier(s, dir)
+          .select(CleanOps.gridSnap(col("s_acctbal"), 0d, 100d).as("cell"), col("s_suppkey"))
+        c.join(sup, "cell")
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_pairs"),
+               countDistinct("c_custkey").as("n_cust"),
+               countDistinct("s_suppkey").as("n_supp"))
+          .orderBy("cell")
+      },
+      Some("""SELECT CAST(floor(c_acctbal / 100) AS BIGINT) AS cell, count(*) AS n_pairs,
+             |  count(DISTINCT c_custkey) AS n_cust, count(DISTINCT s_suppkey) AS n_supp
+             |FROM customer JOIN supplier
+             |  ON CAST(floor(c_acctbal / 100) AS BIGINT) = CAST(floor(s_acctbal / 100) AS BIGINT)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Q
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2.5): multi-key inner join (J1), manifest
+  * semi-join (J6), anti-join guard, and the zonal membership-join +
+  * fallback-cascade aggregation (J4 + A4–A6 + diagnostics A8).
+  */
+object JoinQueries {
+
+  private val dec = "DECIMAL(18,2)"
+
+  def all: Seq[Q] = Seq(
+
+    // J1: the stage-1 shape — three per-source aggregates inner-joined on the
+    // same composite key (X, Y, date) ≙ (user_id, d) here, like
+    // ndvi ⋈ sm ⋈ preci at data_extraction_v2.py:524-528.
+    Q("j1_multikey_3way", Seq("J1", "A1", "A3", "P12"),
+      (s, dir) => {
+        val e = Tables.events(s, dir).withColumn("d", to_date(col("ts")))
+        def branch(et: String, aggName: String) =
+          e.where(col("event_type") === et)
+            .groupBy("user_id", "d")
+            .agg(expr(s"CAST(sum(CAST(value AS $dec)) AS $dec)").as(aggName))
+        val views = branch("view", "view_sum")
+        val clicks = branch("click", "click_sum")
+        val buys = branch("purchase", "purchase_sum")
+        views.join(clicks, Seq("user_id", "d"), "inner")
+          .join(buys, Seq("user_id", "d"), "inner")
+          .orderBy("user_id", "d")
+      },
+      Some(s"""WITH v AS (SELECT user_id, CAST(ts AS DATE) AS d, CAST(sum(CAST(value AS $dec)) AS $dec) AS view_sum
+              |          FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+              |     c AS (SELECT user_id, CAST(ts AS DATE) AS d, CAST(sum(CAST(value AS $dec)) AS $dec) AS click_sum
+              |          FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+              |     p AS (SELECT user_id, CAST(ts AS DATE) AS d, CAST(sum(CAST(value AS $dec)) AS $dec) AS purchase_sum
+              |          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+              |SELECT v.user_id, v.d, view_sum, click_sum, purchase_sum
+              |FROM v JOIN c USING (user_id, d) JOIN p USING (user_id, d)
+              |ORDER BY v.user_id, v.d""".stripMargin)),
+
+    // J6: manifest semi-join — "only process items named in the manifest"
+    // (import_biomass.py:38-42). left_semi keeps the probe side unduplicated.
+    Q("j6_manifest_semi", Seq("J6"),
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val manifest = Tables.lineitem(s, dir).where(col("l_quantity") >= 48)
+          .select(col("l_orderkey").as("o_orderkey"))
+        o.join(manifest, Seq("o_orderkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+                  expr(s"CAST(o_totalprice AS $dec)").as("price"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS $dec) AS price
+              |FROM orders
+              |WHERE EXISTS (SELECT 1 FROM lineitem
+              |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+              |ORDER BY o_orderkey""".stripMargin)),
+
+    // The empty-input guard's complement (F7): rows with no counterpart.
+    Q("j_anti_guard", Seq("F7", "J6"),
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val heavy = Tables.lineitem(s, dir).where(col("l_quantity") >= 48)
+          .select(col("l_orderkey").as("o_orderkey"))
+        o.join(heavy, Seq("o_orderkey"), "left_anti")
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n FROM orders
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+             |                  WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // J4 + A4/A5/A6 + A8: zonal aggregation as a broadcast membership join
+    // with the reference's fallback cascade (BiomassAggregate.py:221-271):
+    // strict mean (pixel-center-in-polygon ≙ value >= 50) when it has
+    // support, else the all-touched mean; plus the diagnostics provenance
+    // flag (woredas_diagnostics.csv shape).
+    Q("j4_zonal_cascade", Seq("J4", "A4", "A5", "A6", "A8"),
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select((col("user_id") % 25).as("zone_key"), to_date(col("ts")).as("d"), col("value"))
+        val z = Tables.nation(s, dir)
+          .select(col("n_nationkey").cast("long").as("zone_key"), col("n_name").as("zone"))
+        e.join(broadcast(z), Seq("zone_key"))
+          .groupBy("zone", "d")
+          .agg(count(lit(1)).as("n_all"),
+               sum(when(col("value") >= 50, 1).otherwise(0)).as("n_strict"),
+               expr(s"sum(CASE WHEN value >= 50 THEN CAST(value AS $dec) END)").as("strict_sum"),
+               expr(s"sum(CAST(value AS $dec))").as("all_sum"))
+          .select(col("zone"), col("d"), col("n_all"), col("n_strict"),
+                  expr("coalesce(CAST(strict_sum AS DOUBLE) / nullif(n_strict, 0)," +
+                       "         CAST(all_sum AS DOUBLE) / n_all)").as("mean_value"),
+                  (col("n_strict") === 0).as("used_fallback"))
+          .orderBy("zone", "d")
+      },
+      Some(s"""SELECT n_name AS zone, CAST(ts AS DATE) AS d, count(*) AS n_all,
+              |  CAST(sum(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_strict,
+              |  coalesce(
+              |    CAST(sum(CASE WHEN value >= 50 THEN CAST(value AS $dec) END) AS DOUBLE)
+              |      / nullif(sum(CASE WHEN value >= 50 THEN 1 ELSE 0 END), 0),
+              |    CAST(sum(CAST(value AS $dec)) AS DOUBLE) / count(*)) AS mean_value,
+              |  sum(CASE WHEN value >= 50 THEN 1 ELSE 0 END) = 0 AS used_fallback
+              |FROM events JOIN nation ON user_id % 25 = n_nationkey
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.Q
+import graft.core.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / reshape operators (SURVEY.md §2.7): lag widening (W2), last-k
+  * slice (W4), union-all concat (W5), long→wide pivot (W6), wide→long melt
+  * (W7), and the expanding (rolling-origin) frame (F10/W3's SQL face).
+  */
+object WindowQueries {
+
+  private val dec = "DECIMAL(18,2)"
+  private val etypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def all: Seq[Q] = Seq(
+
+    // W2: lag-column widening — each row carries the values observed 1 and 2
+    // observations earlier in its series (BiomassHindcasts.py:67-69 shape).
+    Q("w2_lag_widen", Seq("W2"),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"),
+                  lag("value", 1).over(w).as("lag1"),
+                  lag("value", 2).over(w).as("lag2"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, value,
+             |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS lag1,
+             |  lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts) AS lag2
+             |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
+    // W4: last-k slice per group (BiomassForecast.py:78-84 keeps last 4).
+    Q("w4_last_k", Seq("W4", "F9"),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").desc)
+        Tables.events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 4)
+          .select(col("user_id"), col("rn"), col("event_id"), col("value"))
+          .orderBy("user_id", "rn")
+      },
+      Some("""SELECT user_id, rn, event_id, value FROM (
+             |  SELECT user_id, event_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+             |  FROM events) t
+             |WHERE rn <= 4 ORDER BY user_id, rn""".stripMargin)),
+
+    // W5: union-all accumulation (pd.concat / xr.concat shape).
+    Q("w5_union_concat", Seq("W5"),
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val a = e.where(col("event_type") === "click")
+          .select(col("user_id"), col("value"), lit("clicks").as("src"))
+        val b = e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("value"), lit("purchases").as("src"))
+        a.unionByName(b)
+          .groupBy("src", "user_id")
+          .agg(count(lit(1)).as("n"), expr(s"CAST(sum(CAST(value AS $dec)) AS $dec)").as("total"))
+          .orderBy("src", "user_id")
+      },
+      Some(s"""WITH u AS (
+              |  SELECT user_id, value, 'clicks' AS src FROM events WHERE event_type = 'click'
+              |  UNION ALL
+              |  SELECT user_id, value, 'purchases' AS src FROM events WHERE event_type = 'purchase')
+              |SELECT src, user_id, count(*) AS n, CAST(sum(CAST(value AS $dec)) AS $dec) AS total
+              |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // W6: long→wide pivot (the zone×date cube build, BiomassAggregate.py:277).
+    Q("w6_pivot_wide", Seq("W6"),
+      (s, dir) => {
+        val pivoted = Tables.events(s, dir)
+          .groupBy("user_id")
+          .pivot("event_type", etypes)
+          .agg(expr(s"sum(CAST(value AS $dec))"))
+        pivoted.select(col("user_id") +: etypes.map(t => col(t).cast(dec).as(t)): _*)
+          .orderBy("user_id")
+      },
+      Some(s"""SELECT user_id,
+              |${etypes.map(t => s"  CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS $dec) END) AS $dec) AS $t").mkString(",\n")}
+              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // W7: wide→long melt (cube → flat CSV, BiomassAggregate.py:328-338).
+    Q("w7_melt_long", Seq("W7", "W6"),
+      (s, dir) => {
+        val pivoted = Tables.events(s, dir)
+          .groupBy("user_id")
+          .pivot("event_type", etypes)
+          .agg(expr(s"CAST(sum(CAST(value AS $dec)) AS $dec)"))
+        val stackArgs = etypes.map(t => s"'$t', $t").mkString(", ")
+        pivoted
+          .select(col("user_id"),
+                  expr(s"stack(${etypes.size}, $stackArgs) AS (etype, total)"))
+          .orderBy("user_id", "etype")
+      },
+      Some(s"""WITH p AS (SELECT user_id, event_type AS etype,
+              |    CAST(sum(CAST(value AS $dec)) AS $dec) AS total
+              |  FROM events GROUP BY 1, 2),
+              |  grid AS (SELECT user_id, etype
+              |    FROM (SELECT DISTINCT user_id FROM events),
+              |         (SELECT unnest(['click','error','purchase','signup','view']) AS etype))
+              |SELECT grid.user_id, grid.etype, p.total
+              |FROM grid LEFT JOIN p USING (user_id, etype)
+              |ORDER BY grid.user_id, grid.etype""".stripMargin)),
+
+    // F10/W3 (SQL face): expanding frame — running sum over a growing prefix,
+    // the rolling-origin hindcast's window shape.
+    Q("w9_expanding_prefix", Seq("F10", "W3", "W9"),
+      (s, dir) => {
+        val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        val w = Window.partitionBy("l_suppkey").orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wr = Window.partitionBy("l_suppkey").orderBy(order: _*)
+        Tables.lineitem(s, dir)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+                  row_number().over(wr).as("rn"),
+                  sum("l_quantity").over(w).as("run_qty"))
+          .orderBy("l_suppkey", "rn")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             |  row_number() OVER w AS rn,
+             |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+             |ORDER BY l_suppkey, rn""".stripMargin))
+  )
+}
