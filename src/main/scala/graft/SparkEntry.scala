@@ -15,7 +15,13 @@ object SparkEntry {
     _root_.graft.queries.CoreQueries.all ++
     _root_.graft.queries.JoinQueries.all ++
     _root_.graft.queries.AggQueries.all ++
-    _root_.graft.queries.WindowQueries.all
+    _root_.graft.queries.WindowQueries.all ++
+    _root_.graft.queries.MlQueries.all ++
+    _root_.graft.queries.StreamQueries.all ++
+    _root_.graft.queries.TextQueries.all ++
+    _root_.graft.queries.DedupQueries.all ++
+    _root_.graft.queries.AnnQueries.all ++
+    _root_.graft.queries.MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The stage-1 composite: 16-day period calendar with year reset (W1),

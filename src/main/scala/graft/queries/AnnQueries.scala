@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.Q
+import graft.core.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (`Array[Float]`, dim 64):
+  * brute-force cosine top-k as the exact baseline, and a bucket-pruned IVF
+  * variant as the scale path (probe only the query's coarse cell — here the
+  * `label` column stands in for a k-means cell id; at 100 TB the cell
+  * assignment is an argmin against a broadcast centroid table).
+  *
+  * Dot products fold left-to-right in double precision on both engines
+  * (`aggregate(zip_with(...))` in Spark, `list_sum(list_transform(...))` in
+  * DuckDB), so scores match bit-for-bit.
+  */
+object AnnQueries {
+
+  private val dotExpr =
+    "aggregate(zip_with(qe, be, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  private def normExpr(c: String) =
+    s"aggregate($c, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+
+  private val duckDot =
+    "list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)))"
+  private def duckNorm(c: String) =
+    s"list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  private def topk(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("bid"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("int").as("rank"), col("bid"),
+              round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy("qid", "rank")
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // Exact brute-force cosine top-10 for a fixed query set (vec_id < 8).
+    Q("ann_cosine_topk", Seq("similarity", "J2", "W4"),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val b = emb.select(col("vec_id").as("bid"), col("embedding").as("be"))
+        val pairs = q.crossJoin(b).where(col("qid") =!= col("bid"))
+          .withColumn("cos_sim",
+            expr(s"$dotExpr / sqrt((${normExpr("qe")}) * (${normExpr("be")}))"))
+        topk(pairs, 10)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+              |b AS (SELECT vec_id AS bid, embedding AS be FROM embeddings),
+              |p AS (SELECT qid, bid,
+              |    $duckDot / sqrt((${duckNorm("qe")}) * (${duckNorm("be")})) AS cos_sim
+              |  FROM q, b WHERE qid <> bid)
+              |SELECT qid, CAST(rank AS INTEGER) AS rank, bid, round(cos_sim, 6) AS cos_sim FROM (
+              |  SELECT qid, bid, cos_sim,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, bid) AS rank
+              |  FROM p) t
+              |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
+
+    // IVF-bucketed ANN: probe only the query's coarse cell (label) — the
+    // candidate set shrinks ~10×; at scale the bucket join is the shuffle.
+    Q("ann_ivf_bucketed", Seq("similarity", "J4", "W4"),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label"))
+        val b = emb.select(col("vec_id").as("bid"), col("embedding").as("be"), col("label"))
+        val pairs = q.join(b, "label").where(col("qid") =!= col("bid"))
+          .withColumn("cos_sim",
+            expr(s"$dotExpr / sqrt((${normExpr("qe")}) * (${normExpr("be")}))"))
+        topk(pairs, 5)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label FROM embeddings WHERE vec_id < 8),
+              |b AS (SELECT vec_id AS bid, embedding AS be, label FROM embeddings),
+              |p AS (SELECT qid, bid,
+              |    $duckDot / sqrt((${duckNorm("qe")}) * (${duckNorm("be")})) AS cos_sim
+              |  FROM q JOIN b USING (label) WHERE qid <> bid)
+              |SELECT qid, CAST(rank AS INTEGER) AS rank, bid, round(cos_sim, 6) AS cos_sim FROM (
+              |  SELECT qid, bid, cos_sim,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, bid) AS rank
+              |  FROM p) t
+              |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
+  )
+}

@@ -1,0 +1,231 @@
+package graft.queries
+
+import graft.Q
+import graft.core.Tables
+import graft.dedup.Hashing
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the documents table — the LLM-training-data
+  * pipeline family: exact (hash group-by), n-gram Jaccard near-dup,
+  * MinHash+LSH (shingle → minhash signature → banding → bucket join →
+  * candidate verify), and SimHash with banded Hamming join.
+  *
+  * All hashing is md5-based integer arithmetic (graft.dedup.Hashing), so the
+  * DuckDB oracles replicate the *exact* pipeline — including the LSH
+  * banding — and must match bit-for-bit.
+  *
+  * Scale notes: every stage is an equi-join/group-by shape. The LSH band
+  * join shuffles on (band_idx, band_key) — bounded bucket sizes replace the
+  * O(n²) pair space; the Jaccard verify only touches candidate pairs.
+  */
+object DedupQueries {
+
+  private val NumPerms = 32
+  private val NumBands = 8 // × 4 rows/band
+  private val coefs = Hashing.coefficients(NumPerms)
+
+  private val SimBits = 24
+  private val SimBands = 4 // 6 bits each; hamming ≤ 3 ⇒ some band equal
+
+  /** Spark-side distinct word-3-gram shingles: (doc_id, shingle). */
+  private def shingles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"),
+              explode(expr("transform(sequence(1, size(t)-2), i -> concat_ws(' ', slice(t, i, 3)))")).as("shingle"))
+      .distinct()
+
+  private val duckShingles: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks))""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    // Exact dedup: group identical texts, keep the lowest doc_id.
+    Q("dedup_exact", Seq("dedup", "A10"),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy("text")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+               min("n_chars").as("n_chars"))
+          .select("keep_id", "n_copies", "n_chars")
+          .orderBy("keep_id"),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies, min(n_chars) AS n_chars
+             |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    // N-gram Jaccard near-dup: distinct shingle sets, pair via shared
+    // shingles, exact |A∩B| / |A∪B| ≥ 0.5.
+    Q("dedup_ngram_jaccard", Seq("dedup", "J1", "A12"),
+      (s, dir) => {
+        val sh = shingles(s, dir).cache()
+        val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val pairs = sh.as("a")
+          .join(sh.as("b"),
+                col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("shared"))
+        pairs
+          .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
+          .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+          .withColumn("jaccard", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+          .where(col("jaccard") >= 0.5)
+          .select("a_id", "b_id", "shared", "na", "nb", "jaccard")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH $duckShingles,
+              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+              |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2)
+              |SELECT a_id, b_id, shared, ca.n_sh AS na, cb.n_sh AS nb,
+              |  CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) AS jaccard
+              |FROM pairs JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+              |WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // MinHash + LSH: 32 md5-based permutation minima per doc, 8 bands of 4;
+    // docs colliding in any band become candidates; candidates verified with
+    // exact Jaccard. The full pipeline is replicated in the oracle.
+    Q("dedup_minhash_lsh", Seq("dedup", "J2", "W6"),
+      (s, dir) => {
+        val sh = shingles(s, dir)
+          .withColumn("x", expr(Hashing.sparkMd5Mod("shingle")))
+        val minCols = coefs.zipWithIndex.map { case ((a, b), j) =>
+          min(expr(Hashing.permute("x", a, b))).as(s"h$j")
+        }
+        val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+        val bands = sig.select(col("doc_id"),
+          explode(array((0 until NumBands).map { bnd =>
+            struct(lit(bnd).as("band_idx"),
+                   concat_ws("_", (0 until 4).map(r => col(s"h${bnd * 4 + r}")): _*).as("band_key"))
+          }: _*)).as("band"))
+          .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+                col("a.band_idx") === col("b.band_idx") &&
+                col("a.band_key") === col("b.band_key") &&
+                col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        val sigA = sig.select(col("doc_id").as("a_id") +: (0 until NumPerms).map(j => col(s"h$j").as(s"ah$j")): _*)
+        val sigB = sig.select(col("doc_id").as("b_id") +: (0 until NumPerms).map(j => col(s"h$j").as(s"bh$j")): _*)
+        val est = cand.join(sigA, "a_id").join(sigB, "b_id")
+          .withColumn("matches",
+            expr((0 until NumPerms).map(j => s"CAST(ah$j = bh$j AS INT)").mkString(" + ")))
+          .select(col("a_id"), col("b_id"), col("matches"),
+                  (col("matches").cast("double") / NumPerms).as("est_sim"))
+        // exact-Jaccard verify on candidates only
+        val shd = shingles(s, dir)
+        val counts = shd.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val shared = est.select("a_id", "b_id")
+          .join(shd.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+          .join(shd.select(col("doc_id").as("b_id"), col("shingle").as("shingle2")), "b_id")
+          .where(col("shingle") === col("shingle2"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+        est.join(shared, Seq("a_id", "b_id"), "left")
+          .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
+          .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+          .withColumn("shared", coalesce(col("shared"), lit(0L)))
+          .withColumn("jaccard", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+          .select("a_id", "b_id", "matches", "est_sim", "shared", "jaccard")
+          .orderBy("a_id", "b_id")
+      },
+      Some {
+        val x = Hashing.duckMd5Mod("shingle")
+        val minExprs = coefs.zipWithIndex.map { case ((a, b), j) =>
+          s"min(${Hashing.permute("x", a, b)}) AS h$j"
+        }.mkString(",\n    ")
+        val bandArms = (0 until NumBands).map { bnd =>
+          val key = (0 until 4).map(r => s"CAST(h${bnd * 4 + r} AS VARCHAR)").mkString(", '_', ")
+          s"SELECT doc_id, $bnd AS band_idx, concat($key) AS band_key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        val matches = (0 until NumPerms).map(j => s"CAST(sa.h$j = sb.h$j AS INTEGER)").mkString(" + ")
+        s"""WITH $duckShingles,
+           |shx AS (SELECT doc_id, shingle, $x AS x FROM sh),
+           |sig AS (SELECT doc_id,
+           |    $minExprs
+           |  FROM shx GROUP BY doc_id),
+           |bands AS (
+           |  $bandArms),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |         FROM bands a JOIN bands b
+           |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |          AND a.doc_id < b.doc_id),
+           |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+           |est AS (SELECT a_id, b_id, $matches AS matches
+           |        FROM cand JOIN sig sa ON a_id = sa.doc_id JOIN sig sb ON b_id = sb.doc_id),
+           |shr AS (SELECT c.a_id, c.b_id, count(*) AS shared
+           |        FROM cand c JOIN sh a ON c.a_id = a.doc_id
+           |                    JOIN sh b ON c.b_id = b.doc_id AND a.shingle = b.shingle
+           |        GROUP BY 1, 2)
+           |SELECT e.a_id, e.b_id, CAST(e.matches AS INTEGER) AS matches,
+           |  CAST(e.matches AS DOUBLE) / $NumPerms AS est_sim,
+           |  CAST(coalesce(shr.shared, 0) AS BIGINT) AS shared,
+           |  CAST(coalesce(shr.shared, 0) AS DOUBLE) / (ca.n_sh + cb.n_sh - coalesce(shr.shared, 0)) AS jaccard
+           |FROM est e
+           |  LEFT JOIN shr ON e.a_id = shr.a_id AND e.b_id = shr.b_id
+           |  JOIN cnt ca ON e.a_id = ca.doc_id
+           |  JOIN cnt cb ON e.b_id = cb.doc_id
+           |ORDER BY e.a_id, e.b_id""".stripMargin
+      }),
+
+    // SimHash: 24-bit signature from count-weighted token-hash bits; banded
+    // Hamming-distance join (4 bands of 6 bits — pigeonhole-complete for
+    // hamming ≤ 3, so the banded Spark plan equals the naive-pairs oracle).
+    Q("dedup_simhash", Seq("dedup", "P2"),
+      (s, dir) => {
+        val tokc = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+          .withColumn("x", expr(Hashing.sparkMd5Mod("tok")))
+        val sumCols = (0 until SimBits).map { j =>
+          sum(expr(s"cnt * (CASE WHEN (shiftright(x, $j) % 2) = 1 THEN 1 ELSE -1 END)")).as(s"s$j")
+        }
+        val bitSums = tokc.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+        val sim = bitSums.select(col("doc_id"),
+          expr((0 until SimBits).map(j => s"CAST(s$j >= 0 AS BIGINT) * ${1L << j}").mkString(" + ")).as("simhash"))
+        val bands = sim.select(col("doc_id"), col("simhash"),
+          explode(array((0 until SimBands).map { bnd =>
+            struct(lit(bnd).as("band_idx"),
+                   expr(s"shiftright(simhash, ${bnd * 6}) % 64").as("band_val"))
+          }: _*)).as("band"))
+          .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
+        bands.as("a")
+          .join(bands.as("b"),
+                col("a.band_idx") === col("b.band_idx") &&
+                col("a.band_val") === col("b.band_val") &&
+                col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+                  col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+          .distinct()
+          .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS INTEGER)"))
+          .where(col("hamming") <= 3)
+          .select("a_id", "b_id", "sim_a", "sim_b", "hamming")
+          .orderBy("a_id", "b_id")
+      },
+      Some {
+        val x = Hashing.duckMd5Mod("tok")
+        val sumExprs = (0 until SimBits).map { j =>
+          s"sum(cnt * (CASE WHEN ((x >> $j) % 2) = 1 THEN 1 ELSE -1 END)) AS s$j"
+        }.mkString(",\n    ")
+        val simExpr = (0 until SimBits).map(j => s"CAST(s$j >= 0 AS BIGINT) * ${1L << j}").mkString(" + ")
+        s"""WITH tokc AS (SELECT doc_id, tok, count(*) AS cnt
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+           |  GROUP BY 1, 2),
+           |tokx AS (SELECT doc_id, cnt, $x AS x FROM tokc),
+           |bitsums AS (SELECT doc_id,
+           |    $sumExprs
+           |  FROM tokx GROUP BY doc_id),
+           |sim AS (SELECT doc_id, $simExpr AS simhash FROM bitsums)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |  a.simhash AS sim_a, b.simhash AS sim_b,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+           |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           |ORDER BY a_id, b_id""".stripMargin
+      })
+  )
+}

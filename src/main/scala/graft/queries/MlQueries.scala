@@ -1,0 +1,121 @@
+package graft.queries
+
+import java.time.LocalDate
+import java.time.temporal.ChronoUnit
+
+import graft.Q
+import graft.core.Tables
+import graft.ml.{GP, GWR, Hindcast}
+import org.apache.spark.sql.functions._
+
+/** ML per-group transform operators (SURVEY.md §2.8): closed-form GP
+  * forecast (M3), rolling-origin hindcast with lag widening (M4/W3/W2), and
+  * GWR locally-weighted scoring (M2) with the biomass formula (P6/P7).
+  *
+  * Not SQL-expressible — no DuckDB oracle; the driver records rows-only
+  * checks. Determinism: all three are closed-form double arithmetic over
+  * deterministically-ordered groups.
+  */
+object MlQueries {
+
+  private val dec = "DECIMAL(18,2)"
+
+  /** Daily per-zone series from events: zone = user_id, biomass = daily sum.
+    * The decimal-sum keeps the series values bit-deterministic. */
+  private def zoneSeries(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir)
+      .groupBy(col("user_id").as("zone"), to_date(col("ts")).as("d"))
+      .agg(expr(s"CAST(sum(CAST(value AS $dec)) AS DOUBLE)").as("biomass"))
+
+  def all: Seq[Q] = Seq(
+
+    // M3 + A13 + P16 + W4: per-zone GP forecast at +16/+32/+48 days,
+    // emitting the last-4 predictions like BiomassForecast.py:78-84.
+    Q("m3_gp_forecast", Seq("M3", "A13", "P16", "W4", "F4"),
+      (s, dir) => {
+        import s.implicits._
+        val ds = zoneSeries(s, dir)
+          .select(col("zone"), col("d").cast("string"), col("biomass"))
+          .as[(Long, String, Double)]
+        ds.groupByKey(_._1)
+          .flatMapGroups { (zone: Long, it: Iterator[(Long, String, Double)]) =>
+            val rows = it.toArray.sortBy(_._2)
+            val d0 = LocalDate.parse(rows.head._2)
+            val days = rows.map(r => ChronoUnit.DAYS.between(d0, LocalDate.parse(r._2)).toDouble)
+            val y = rows.map(_._3)
+            val (xt, preds) = GP.forecast(days, y)
+            val n = xt.length
+            (n - 4 until n).map { i =>
+              (zone, xt(i), java.sql.Date.valueOf(d0.plusDays(xt(i).toLong)), preds(i))
+            }
+          }
+          .toDF("zone", "day_offset", "pred_date", "pred")
+          .orderBy("zone", "day_offset")
+      },
+      None,
+      note = "closed-form RBF GP (ls=60, var=0.5, noise=0.01), mean-centered"),
+
+    // M4 + W3 + W2 + F10: expanding-origin hindcast; prediction k of origin
+    // run r lands at series row halfway+r+k, column k (hind:67-69), widening
+    // the zone series with lag0/lag16/lag32/lag48 columns (hind:91-93).
+    Q("m4_hindcast_lags", Seq("M4", "W3", "W2", "F10", "F4"),
+      (s, dir) => {
+        import s.implicits._
+        val ds = zoneSeries(s, dir)
+          .select(col("zone"), col("d").cast("string"), col("biomass"))
+          .as[(Long, String, Double)]
+        ds.groupByKey(_._1)
+          .flatMapGroups { (zone: Long, it: Iterator[(Long, String, Double)]) =>
+            val rows = it.toArray.sortBy(_._2)
+            val d0 = LocalDate.parse(rows.head._2)
+            val days = rows.map(r => ChronoUnit.DAYS.between(d0, LocalDate.parse(r._2)).toDouble)
+            val y = rows.map(_._3)
+            Hindcast.lagMatrix(days, y).map { lr =>
+              val obsDate =
+                if (lr.seriesIdx < rows.length)
+                  Some(java.sql.Date.valueOf(LocalDate.parse(rows(lr.seriesIdx)._2)))
+                else None // the 16-row forecast tail past the observed series
+              (zone, lr.seriesIdx, obsDate, lr.lag0, lr.lag16, lr.lag32, lr.lag48)
+            }
+          }
+          .toDF("zone", "series_idx", "d", "lag0", "lag16", "lag32", "lag48")
+          .orderBy("zone", "series_idx")
+      },
+      None,
+      note = "rolling-origin GP refits (≤100/zone from halfway), lag-widened"),
+
+    // M2 + P6 + P7: GWR scoring — broadcast calibration sample, row-parallel
+    // locally-weighted least squares, then the biomass formula and
+    // abs(round(·,2)) exactly as gwr_model.py:105 / rasterize.py:47-48.
+    Q("m2_gwr_score", Seq("M2", "M1", "P6", "P7", "P17"),
+      (s, dir) => {
+        import s.implicits._
+        val pts = Tables.lineitem(s, dir)
+          .select(
+            (col("l_orderkey") * 4 + col("l_linenumber")).as("id"),
+            (col("l_partkey") % 50).cast("double").as("px"),
+            (col("l_suppkey") % 50).cast("double").as("py"),
+            col("l_quantity").as("f1"),
+            col("l_discount").as("f2"),
+            (col("l_extendedprice") / 1000).as("y"))
+          .as[(Long, Double, Double, Double, Double, Double)]
+        // deterministic calibration sample: every 37th key
+        val calib = pts.filter(_._1 % 37 == 0).collect()
+          .map(r => GWR.Obs(r._2, r._3, Array(r._4, r._5), r._6))
+        val bcast = s.sparkContext.broadcast(calib)
+        val bw = 10.0
+        pts.mapPartitions { it =>
+          val c = bcast.value
+          it.map { r =>
+            val pred = GWR.predictAt(r._2, r._3, Array(r._4, r._5), c, bw)
+            val biom = GWR.biomass(pred)
+            (r._1, pred, math.abs(BigDecimal(biom).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          }
+        }
+          .toDF("id", "pred", "biom")
+          .orderBy("id")
+      },
+      None,
+      note = "gaussian-kernel local WLS, broadcast calibration, bw=10")
+  )
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.Q
+import graft.core.Tables
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table: token counting,
+  * quality scoring, language ID, fingerprinting. Ratios are built from
+  * integer counts with a single double division, so Spark and DuckDB agree
+  * bit-for-bit.
+  */
+object TextQueries {
+
+  private def hitsSql(sw: Seq[String]): String = {
+    val inList = sw.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), w -> w IN ($inList)))"
+  }
+
+  def all: Seq[Q] = Seq(
+
+    Q("text_token_stats", Seq("P12", "A12"),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+                  TextOps.tokenCount(col("text")).as("n_tokens"),
+                  TextOps.wordPieceCount(col("text")).as("n_pieces"),
+                  length(col("text")).as("n_chars_actual"),
+                  TextOps.meanTokenLen(col("text")).as("mean_tok_len"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_pieces,
+             |  CAST(length(text) AS INTEGER) AS n_chars_actual,
+             |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             |    / len(string_split(text, ' ')) AS mean_tok_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("text_quality_score", Seq("P8", "A9"),
+      (s, dir) => {
+        val sw = TextOps.LangStopwords.toMap.apply("en")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+                  TextOps.stopwordHits(col("text"), sw).as("stop_hits"),
+                  TextOps.qualityScore(col("text"), sw).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang,
+              |  CAST(${hitsSql(Seq("the", "a", "of", "and", "is"))} AS INTEGER) AS stop_hits,
+              |  greatest(0.0, least(1.0,
+              |    0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+              |    + 0.5 * (CAST(${hitsSql(Seq("the", "a", "of", "and", "is"))} AS DOUBLE)
+              |             / len(string_split(text, ' '))) * 5
+              |    - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+              |  )) AS quality
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("text_lang_id", Seq("P13"),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+                  TextOps.langId(col("text")).as("pred_lang"))
+          .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred_lang"),
+      Some {
+        val hits = TextOps.LangStopwords.map { case (l, sw) => l -> hitsSql(sw) }
+        val gmax = hits.map(_._2).mkString("greatest(", ", ", ")")
+        val cases = hits.map { case (l, h) =>
+          s"WHEN $h > 0 AND $h = $gmax THEN '$l'"
+        }.mkString("\n    ")
+        s"""WITH p AS (SELECT lang,
+           |  CASE
+           |    $cases
+           |    ELSE 'und' END AS pred_lang
+           |  FROM documents)
+           |SELECT lang, pred_lang, count(*) AS n FROM p
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
+    Q("text_fingerprint", Seq("P13", "A10"),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+          .groupBy("fp")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy("fp"),
+      Some("""SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+             |  min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** §2.9: the reference is an incrementally-scheduled batch job (file-source
+  * watermark state, complete-window append semantics). The idiomatic Spark
+  * form is Structured Streaming with `Trigger.AvailableNow` over a file
+  * source: each run drains exactly the available data and stops — the same
+  * contract as the reference's "process all complete periods since the last
+  * watermark, then exit" (`data_extraction_v2.py:403-449`).
+  */
+object StreamOps {
+
+  private val runCounter = new AtomicInteger(0)
+
+  /** Run a tumbling-window streaming aggregation over the events parquet
+    * with AvailableNow, collect into a memory sink, and return the batch
+    * result. Watermarking (`withWatermark`) bounds state like the
+    * reference's data-latency buffer (F6/§2.9). */
+  def windowedEventAgg(spark: SparkSession, dir: String): DataFrame = {
+    // file streaming needs the schema up front (no inference mid-stream)
+    val batch = graft.core.Tables.events(spark, dir)
+    val name = s"graft_stream_${runCounter.incrementAndGet()}"
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      // file source needs a directory; glob-filter down to the events table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))").as("sum_value"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val _ = batch // keeps the nanosAsLong conf set before the streaming scan
+    spark.table(name)
+      .select(to_date(col("window.start")).as("d"), col("event_type"),
+              col("n"), col("sum_value"))
+      .orderBy("d", "event_type")
+  }
+}
