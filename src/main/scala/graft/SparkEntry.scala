@@ -21,7 +21,8 @@ object SparkEntry {
     _root_.graft.queries.TextQueries.all ++
     _root_.graft.queries.DedupQueries.all ++
     _root_.graft.queries.AnnQueries.all ++
-    _root_.graft.queries.MultimodalQueries.all
+    _root_.graft.queries.MultimodalQueries.all ++
+    _root_.graft.queries.PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The stage-1 composite: 16-day period calendar with year reset (W1),

@@ -1,0 +1,107 @@
+package graft.agg
+
+import graft.grid.{Affine, Geometry}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** J4 + A4–A8: zonal statistics as a precomputed membership join.
+  *
+  * Key insight (SURVEY.md J4): the zone geometry and the raster grid are both
+  * constant, so pixel-in-polygon is computed ONCE into a static
+  * `cell→zone` map — then every raster date is a plain broadcast equi-join +
+  * group-by, not a per-date rasterization loop (the reference re-rasterizes
+  * every polygon for every date, `BiomassAggregate.py:193-307`).
+  *
+  * Membership flags reproduce the reference's 3-pass cascade in ONE pass:
+  *  - `strict`  — cell center inside polygon (`all_touched=False`, A4)
+  *  - `touched` — any cell corner or center inside (`all_touched=True`, A5)
+  *  - tiny polygons (area < ¼ pixel) get a half-pixel-diagonal buffer before
+  *    the strict test (A7, `BiomassAggregate.py:184-214`), widening their
+  *    membership exactly like the reference's `buffer(...)`.
+  * The centroid/3×3 fallback (A6) joins the centroid cell id.
+  */
+object Zonal {
+
+  /** Build the static membership table: (zone_id, row, col, strict, touched)
+    * plus per-zone centroid cells. Distributed over cells; polygons are tiny
+    * (151 rows) and broadcast via closure. */
+  def membership(spark: SparkSession, zones: Seq[(String, String)], affine: Affine): DataFrame = {
+    import spark.implicits._
+    val polys = zones.map { case (id, wkt) => (id, Geometry.parseWkt(wkt)) }
+    val halfDiag = affine.pixel * math.sqrt(2) / 2
+    val cells = spark.range(affine.nRows.toLong * affine.nCols)
+      .select((col("id") / affine.nCols).cast("int").as("row"),
+              (col("id") % affine.nCols).cast("int").as("col"))
+    val bc = spark.sparkContext.broadcast(polys)
+    val px = affine.pixel
+    val (oLon, oLat) = (affine.originLon, affine.originLat)
+    cells.as[(Int, Int)].flatMap { case (r, c) =>
+      val cx = oLon + (c + 0.5) * px
+      val cy = oLat - (r + 0.5) * px
+      bc.value.flatMap { case (id, poly) =>
+        val (bx0, by0, bx1, by1) = poly.bbox
+        // A7: tiny polygons (< ¼ pixel area) use a buffered bbox test
+        val tiny = (bx1 - bx0) * (by1 - by0) < 0.25 * px * px
+        if (cx < bx0 - px || cx > bx1 + px || cy < by0 - px || cy > by1 + px) None
+        else {
+          val strictBase = poly.contains(cx, cy)
+          val strict = strictBase ||
+            (tiny && cx >= bx0 - halfDiag && cx <= bx1 + halfDiag &&
+                     cy >= by0 - halfDiag && cy <= by1 + halfDiag)
+          val corners = Seq((cx - px / 2, cy - px / 2), (cx - px / 2, cy + px / 2),
+                            (cx + px / 2, cy - px / 2), (cx + px / 2, cy + px / 2))
+          val touched = strict || corners.exists { case (x, y) => poly.contains(x, y) }
+          if (touched) Some((id, r, c, strict, touched, tiny)) else None
+        }
+      }
+    }.toDF("zone_id", "row", "col", "strict", "touched", "buffered_tiny")
+  }
+
+  /** Per-zone centroid cell ids (A6 fallback leg). */
+  def centroids(spark: SparkSession, zones: Seq[(String, String)], affine: Affine): DataFrame = {
+    import spark.implicits._
+    zones.map { case (id, wkt) =>
+      val p = Geometry.parseWkt(wkt)
+      val cx = p.outer.xs.sum / p.outer.xs.length
+      val cy = p.outer.ys.sum / p.outer.ys.length
+      val r = math.floor((affine.originLat - cy) / affine.pixel).toInt
+      val c = math.floor((cx - affine.originLon) / affine.pixel).toInt
+      (id, r, c)
+    }.toDF("zone_id", "c_row", "c_col")
+  }
+
+  /** The one-pass cascade: strict mean where supported, else touched mean,
+    * else centroid-cell value, else 3×3 neighborhood mean around the
+    * centroid — with provenance flags (A8 / FIXTURES.md B8 diagnostics). */
+  def zonalStats(cells: DataFrame, member: DataFrame, centroidDf: DataFrame): DataFrame = {
+    val joined = cells.join(broadcast(member), Seq("row", "col"))
+    val base = joined.groupBy("zone_id", "date")
+      .agg(count(when(col("strict") && col("value").isNotNull, 1)).as("n_strict"),
+           sum(when(col("strict"), col("value"))).as("sum_strict"),
+           count(when(col("value").isNotNull, 1)).as("n_touched"),
+           sum(col("value")).as("sum_touched"),
+           max(col("buffered_tiny")).as("buffered_tiny"))
+    // centroid legs
+    val cent = cells.join(broadcast(centroidDf),
+        col("row") === col("c_row") && col("col") === col("c_col"))
+      .select(col("zone_id"), col("date"), col("value").as("centroid_v"))
+    val cent3 = cells.join(broadcast(centroidDf),
+        abs(col("row") - col("c_row")) <= 1 && abs(col("col") - col("c_col")) <= 1)
+      .groupBy("zone_id", "date")
+      .agg(avg(col("value")).as("centroid3_v"))
+    base
+      .join(cent, Seq("zone_id", "date"), "left")
+      .join(cent3, Seq("zone_id", "date"), "left")
+      .select(col("zone_id"), col("date"),
+        coalesce(
+          col("sum_strict") / nullif(col("n_strict"), lit(0)),
+          col("sum_touched") / nullif(col("n_touched"), lit(0)),
+          col("centroid_v"),
+          col("centroid3_v")).as("mean_value"),
+        col("n_strict").as("pixel_count"),
+        col("n_touched").as("valid_in_clip"),
+        (col("n_strict") === 0 && col("n_touched") > 0).as("retried_all_touched"),
+        (col("n_strict") === 0 && col("n_touched") === 0).as("used_fallback"),
+        col("buffered_tiny"))
+  }
+}
