@@ -55,4 +55,22 @@ object CleanOps {
   /** F7: empty-input guard — the reference truncates downstream outputs and
     * exits when an upstream stage produced nothing (`funcs.py:13-18`). */
   def nonEmpty(df: DataFrame): Boolean = !df.isEmpty
+
+  /** P17: conditional random augmentation (`gwr_model.py:44-59`): when the
+    * nonzero share of `valueCol` is below `sharePctThreshold`, add
+    * U(lo, hi) to a `frac` sample of the zero rows. The reference is
+    * unseeded (non-deterministic); the declared behavior is distribution
+    * repair, so we seed it (SURVEY.md §7.5). Two-pass: scalar share
+    * aggregate, then a seeded `rand` projection — no shuffle. */
+  def augmentZeros(df: DataFrame, valueCol: String, seed: Long,
+                   sharePctThreshold: Double = 4.0, frac: Double = 0.1,
+                   lo: Double = 0.001, hi: Double = 0.01): DataFrame = {
+    val v = col(valueCol)
+    val share = df.agg((avg(when(v =!= 0d, 1d).otherwise(0d)) * 100).as("s"))
+      .head().getDouble(0)
+    if (share >= sharePctThreshold) df
+    else df.withColumn(valueCol,
+      when(v === 0d && rand(seed) < frac,
+           lit(lo) + rand(seed + 1) * (hi - lo)).otherwise(v))
+  }
 }

@@ -37,7 +37,7 @@ object AggQueries {
     // The flagship stage-1 composite: assign facts to 16-day periods via a
     // broadcast day-calendar equi-join (no shuffle on the fact side), then
     // per-period mean (A1, null-skipping) and sum (A3).
-    Q("w1_period_composite", Seq("W1", "F6", "A1", "A3", "A12"),
+    Q("w1_period_composite", Seq("W1", "F6", "A1", "A2", "A3", "A12"),
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
           .select(to_date(col("l_shipdate")).as("sd"), col("l_quantity"),

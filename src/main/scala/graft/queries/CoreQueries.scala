@@ -119,6 +119,70 @@ object CoreQueries {
              |  max(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS max_k
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("p1_normalized_difference", Seq("P1"),
+      (s, dir) =>
+        // The NDVI shape (M7−M5)/(M7+M5) (`data_extraction_v2.py:138-140`)
+        // over two event-derived "bands" per (user, day).
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(expr(s"CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS $dec) END) AS DOUBLE)").as("nir"),
+               expr(s"CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS $dec) END) AS DOUBLE)").as("red"))
+          .where(col("nir").isNotNull && col("red").isNotNull)
+          .select(col("user_id"), col("d"),
+                  ((col("nir") - col("red")) / (col("nir") + col("red"))).as("ndvi"))
+          .orderBy("user_id", "d"),
+      Some(s"""SELECT user_id, d, (nir - red) / (nir + red) AS ndvi FROM (
+              |  SELECT user_id, CAST(ts AS DATE) AS d,
+              |    CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS $dec) END) AS DOUBLE) AS nir,
+              |    CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS $dec) END) AS DOUBLE) AS red
+              |  FROM events GROUP BY 1, 2) t
+              |WHERE nir IS NOT NULL AND red IS NOT NULL
+              |ORDER BY user_id, d""".stripMargin)),
+
+    Q("p14_filename_dates", Seq("P14", "A10", "A11"),
+      (s, dir) =>
+        // Date-from-filename regex scan (`data_extraction_v2.py:403-425`,
+        // GeoServer timeregex): synthesize mosaic filenames from order
+        // dates, parse them back, resolve the watermark max.
+        Tables.orders(s, dir)
+          .select(to_date(col("o_orderdate")).as("d0"))
+          .distinct()
+          .select(concat(lit("biomass_"), date_format(col("d0"), "yyyyMMdd"), lit(".tif")).as("fname"))
+          .select(col("fname"), graft.core.DateOps.dateFromName(col("fname")).as("d"))
+          .agg(count(lit(1)).as("n_files"), max(col("d")).as("max_d"),
+               date_add(max(col("d")), 1).as("resume_start")),
+      Some("""WITH f AS (SELECT 'biomass_' || strftime(d0, '%Y%m%d') || '.tif' AS fname
+             |           FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d0 FROM orders))
+             |SELECT count(*) AS n_files,
+             |  max(CAST(strptime(regexp_extract(fname, '(\d{8})', 1), '%Y%m%d') AS DATE)) AS max_d,
+             |  max(CAST(strptime(regexp_extract(fname, '(\d{8})', 1), '%Y%m%d') AS DATE)) + 1 AS resume_start
+             |FROM f""".stripMargin)),
+
+    Q("f2_bbox_time_slice", Seq("F2", "F8", "S6"),
+      (s, dir) =>
+        // Spatial-bounds predicate (AOI bbox, `data_extraction_v2.py:121`)
+        // + inclusive time slice (xarray `.sel(slice)`, F8) — both pushed
+        // into the scan by Catalyst.
+        Tables.events(s, dir)
+          .select((lit(36.0) + (col("user_id") % 15).cast("double") * 0.1).as("lon"),
+                  (lit(15.0) - floor(col("user_id") / 15).cast("double") * 0.1).as("lat"),
+                  to_date(col("ts")).as("d"), col("value"))
+          .where(col("lon") >= 36.2 && col("lon") <= 36.8 &&
+                 col("lat") >= 14.3 && col("lat") <= 15.0 &&
+                 col("d").between(lit("2024-01-05"), lit("2024-01-20")))
+          .groupBy("d")
+          .agg(count(lit(1)).as("n"), expr(s"CAST(sum(CAST(value AS $dec)) AS $dec)").as("sum_value"))
+          .orderBy("d"),
+      Some(s"""SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+              |  CAST(sum(CAST(value AS $dec)) AS $dec) AS sum_value
+              |FROM (SELECT ts, value,
+              |        36.0 + CAST(user_id % 15 AS DOUBLE) * 0.1 AS lon,
+              |        15.0 - CAST(user_id // 15 AS DOUBLE) * 0.1 AS lat
+              |      FROM events) t
+              |WHERE lon >= 36.2 AND lon <= 36.8 AND lat >= 14.3 AND lat <= 15.0
+              |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-20'
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("p4_gridsnap_join", Seq("P4", "J2"),
       (s, dir) => {
         // Join-key quantization: snapping both sides to a regular grid turns

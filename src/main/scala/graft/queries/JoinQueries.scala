@@ -43,7 +43,7 @@ object JoinQueries {
 
     // J6: manifest semi-join — "only process items named in the manifest"
     // (import_biomass.py:38-42). left_semi keeps the probe side unduplicated.
-    Q("j6_manifest_semi", Seq("J6"),
+    Q("j6_manifest_semi", Seq("J6", "S10", "K7"),
       (s, dir) => {
         val o = Tables.orders(s, dir)
         val manifest = Tables.lineitem(s, dir).where(col("l_quantity") >= 48)

@@ -18,12 +18,12 @@ object PipelineQueries {
 
   def all: Seq[Q] = Seq(
 
-    Q("forage_pipeline_e2e", Seq("§3", "J1", "A1", "A3", "M2", "W8", "J4", "A4", "A5", "A6"),
+    Q("forage_pipeline_e2e", Seq("§3", "J1", "A1", "A2", "A3", "A7", "M2", "W8", "J4", "A4", "A5", "A6", "S7", "P13"),
       (s, dir) => {
         val e = Tables.events(s, dir)
           .select(
             (lit(36.0) + (col("user_id") % 15).cast("double") * 0.1).as("lon"),
-            (lit(15.0) - (col("user_id") / 15).cast("double") * 0.1).as("lat"),
+            (lit(15.0) - floor(col("user_id") / 15).cast("double") * 0.1).as("lat"),
             to_date(col("ts")).as("d"), col("event_type"), col("value"))
         def src(et: String, scale: Double) =
           e.where(col("event_type") === et)

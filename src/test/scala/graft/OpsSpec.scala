@@ -63,6 +63,23 @@ class OpsSpec extends AnyFunSuite {
     assert(fp1 == fp2) // case + whitespace normalization
   }
 
+  test("P17: seeded zero-augmentation repairs a degenerate distribution") {
+    val df = (1 to 1000).map(i => (i.toLong, if (i <= 990) 0.0 else 1.0)).toDF("id", "preci")
+    val out = CleanOps.augmentZeros(df, "preci", seed = 7L)
+    val nz = out.where($"preci" =!= 0.0).count()
+    assert(nz > 10 && nz < 250) // ~10% of zeros got U(0.001,0.01) noise
+    val augmented = out.where($"preci" > 0.0 && $"preci" < 0.011).count()
+    assert(augmented == nz - 10)
+    // deterministic given the seed
+    val again = CleanOps.augmentZeros(df, "preci", seed = 7L)
+      .where($"preci" =!= 0.0).count()
+    assert(again == nz)
+    // above-threshold share: untouched
+    val healthy = (1 to 100).map(i => (i.toLong, i.toDouble % 7)).toDF("id", "preci")
+    assert(CleanOps.augmentZeros(healthy, "preci", seed = 7L).collect().toSeq ==
+           healthy.collect().toSeq)
+  }
+
   test("multimodal decode stub is deterministic and batch-shaped") {
     val m1 = Multimodal.decodeStub(1L, "hello world".getBytes("UTF-8"))
     val m2 = Multimodal.decodeStub(1L, "hello world".getBytes("UTF-8"))
