@@ -57,6 +57,27 @@ object AggQueries {
               |FROM lineitem JOIN period_days ON CAST(l_shipdate AS DATE) = d
               |GROUP BY p_start, p_end ORDER BY p_end""".stripMargin)),
 
+    // W1 via the custom codegen'd scalar expression (graft.plans.
+    // ForagePeriodEnd) instead of the calendar join: O(1) arithmetic per
+    // row, zero extra operators in the plan. Same oracle as the join form —
+    // the recursive-CTE calendar — so the closed form is proven equivalent.
+    Q("w1_period_expr_scalar", Seq("W1", "F6", "A1", "§2.10"),
+      (s, dir) => {
+        graft.plans.ForagePeriod.register(s)
+        Tables.lineitem(s, dir)
+          .select(to_date(col("l_shipdate")).as("sd"), col("l_quantity"))
+          .where(col("sd") >= lit(anchor.toString))
+          .withColumn("p_end", expr(s"forage_period_end(sd, DATE '$anchor')"))
+          .where(col("p_end") <= lit(current.toString)) // F6 complete windows
+          .groupBy("p_end")
+          .agg(count(lit(1)).as("n_obs"), sum(col("l_quantity")).as("sum_qty"))
+          .orderBy("p_end")
+      },
+      Some(s"""${Sql.periodCtes(anchor, current)}
+              |SELECT p_end, count(*) AS n_obs, sum(l_quantity) AS sum_qty
+              |FROM lineitem JOIN period_days ON CAST(l_shipdate AS DATE) = d
+              |GROUP BY p_end ORDER BY p_end""".stripMargin)),
+
     // A11 + §2.9: high-watermark resolution — resume point = max(date) + 1.
     Q("a11_watermark_max", Seq("A11", "P18"),
       (s, dir) =>

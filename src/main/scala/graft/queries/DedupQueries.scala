@@ -91,12 +91,12 @@ object DedupQueries {
     // exact Jaccard. The full pipeline is replicated in the oracle.
     Q("dedup_minhash_lsh", Seq("dedup", "J2", "W6"),
       (s, dir) => {
-        val sh = shingles(s, dir)
-          .withColumn("x", expr(Hashing.sparkMd5Mod("shingle")))
+        val shd = shingles(s, dir).cache() // reused: signature build + verify
+        val sh = shd.withColumn("x", expr(Hashing.sparkMd5Mod("shingle")))
         val minCols = coefs.zipWithIndex.map { case ((a, b), j) =>
           min(expr(Hashing.permute("x", a, b))).as(s"h$j")
         }
-        val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+        val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*).cache()
         val bands = sig.select(col("doc_id"),
           explode(array((0 until NumBands).map { bnd =>
             struct(lit(bnd).as("band_idx"),
@@ -117,8 +117,7 @@ object DedupQueries {
             expr((0 until NumPerms).map(j => s"CAST(ah$j = bh$j AS INT)").mkString(" + ")))
           .select(col("a_id"), col("b_id"), col("matches"),
                   (col("matches").cast("double") / NumPerms).as("est_sim"))
-        // exact-Jaccard verify on candidates only
-        val shd = shingles(s, dir)
+        // exact-Jaccard verify on candidates only (cached shingles reused)
         val counts = shd.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         val shared = est.select("a_id", "b_id")
           .join(shd.select(col("doc_id").as("a_id"), col("shingle")), "a_id")

@@ -16,6 +16,13 @@ object StreamQueries {
              |  count(*) AS n,
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      note = "Trigger.AvailableNow over file source, 1-day tumbling windows + watermark")
+      note = "Trigger.AvailableNow over file source, 1-day tumbling windows + watermark"),
+
+    Q("stream_stateful_watermark", Seq("§2.9", "A11", "W3"),
+      (s, dir) => StreamOps.statefulUserWatermark(s, dir),
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  min(CAST(ts AS DATE)) AS first_d, max(CAST(ts AS DATE)) AS last_d
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      note = "flatMapGroupsWithState custom per-key state, AvailableNow drain")
   )
 }

@@ -48,4 +48,43 @@ object StreamOps {
               col("n"), col("sum_value"))
       .orderBy("d", "event_type")
   }
+
+  /** Custom streaming state via `flatMapGroupsWithState` (§2.9 high-watermark
+    * semantics per key): for each user, fold the event stream into
+    * (count, first-day, last-day) state and emit the final state when the
+    * AvailableNow drain completes. Deterministic per group — the per-key
+    * result equals a batch GROUP BY, which is the oracle. */
+  def statefulUserWatermark(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    graft.core.Tables.events(spark, dir) // sets nanosAsLong
+    val name = s"graft_state_${runCounter.incrementAndGet()}"
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), expr("timestamp_micros(ts div 1000)").cast("date").cast("string").as("d"))
+      .as[(Long, String)]
+    // state per user: (n, first day, last day)
+    val folded = stream.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String, String), (Long, Long, String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, String)], state: GroupState[(Long, String, String)]) =>
+          val s0 = state.getOption.getOrElse((0L, "9999-12-31", "0000-01-01"))
+          val s1 = it.foldLeft(s0) { case ((n, lo, hi), (_, d)) =>
+            (n + 1, if (d < lo) d else lo, if (d > hi) d else hi)
+          }
+          state.update(s1)
+          Iterator((user, s1._1, s1._2, s1._3))
+      }
+    val q = folded.toDF("user_id", "n_events", "first_d", "last_d")
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"), col("n_events"),
+              col("first_d").cast("date").as("first_d"),
+              col("last_d").cast("date").as("last_d"))
+      .orderBy("user_id")
+  }
 }
