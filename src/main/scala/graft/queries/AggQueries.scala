@@ -110,6 +110,23 @@ object AggQueries {
              |  count(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Skew pattern: two-phase salted aggregation over a 5-value hot key
+    // (event_type). Decimal sums are associativity-free, so the salted
+    // two-phase result is bit-identical to the direct GROUP BY — which is
+    // the oracle.
+    Q("a_salted_two_phase", Seq("A1", "A12", "skew"),
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        graft.join.Salted.saltedSumCount(
+            e, "event_type",
+            expr(s"CAST(value AS $dec)"), entropy = col("event_id"), salts = 16)
+          .select(col("event_type"), expr(s"CAST(total AS $dec)").as("total"), col("n"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, CAST(sum(CAST(value AS $dec)) AS $dec) AS total,
+              |  count(*) AS n
+              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // W8 + P11: point→grid burn. Points are affine-projected to integer
     // cells; collisions resolve deterministically (min event_id wins — the
     // declared version of rasterio's burn-order semantics); non-positive

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S2/K1/K3: CSV scan with explicit schema (the reference's dtype-reassert
+  * blocks become schema-on-read) and sink round-trips. */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("S2+K1: CSV sink/scan round-trip with explicit schema") {
+    val dir = Files.createTempDirectory("graft_csv").toFile.getAbsolutePath
+    val combinedSchema = StructType(Seq( // FIXTURES.md B3 shape
+      StructField("lon", DoubleType), StructField("lat", DoubleType),
+      StructField("date", LongType), StructField("ndvi", DoubleType),
+      StructField("sm", DoubleType), StructField("preci", DoubleType)))
+    val df = Seq(
+      (39.41, 3.271, 20260202L, 0.22103376686573029, 0.05667313560843468, 0.0),
+      (39.445, 3.261, 20260202L, 0.21, 0.06, 1.25))
+      .toDF("lon", "lat", "date", "ndvi", "sm", "preci")
+    df.coalesce(1).write.option("header", "true").mode("overwrite").csv(dir) // K1
+    val back = spark.read.schema(combinedSchema).option("header", "true").csv(dir) // S2
+    assert(back.schema == combinedSchema) // no inference — declared dtypes
+    assert(back.orderBy("lon").collect().toSeq == df.orderBy("lon").collect().toSeq)
+  }
+
+  test("K3: partitioned parquet append/overwrite as the HDF5-resize analog") {
+    val dir = Files.createTempDirectory("graft_zser").toFile.getAbsolutePath
+    def batch(zone: String, dates: Seq[String]) =
+      dates.map(d => (zone, java.sql.Date.valueOf(d), 1.0)).toDF("zone_id", "date", "biomass")
+    batch("ET01", Seq("2024-01-01", "2024-01-17")).write
+      .partitionBy("zone_id").mode("append").parquet(dir)
+    // append 16 forecast rows ≙ unionByName + append (SURVEY §1.1 K3 verdict)
+    batch("ET01", Seq("2024-02-02")).write
+      .partitionBy("zone_id").mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 3)
+    // overwrite-by-partition keeps other zones intact
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch("ET02", Seq("2024-01-01")).write
+      .partitionBy("zone_id").mode("overwrite").parquet(dir)
+    val zones = spark.read.parquet(dir).select("zone_id").distinct()
+      .as[String].collect().sorted
+    assert(zones.toSeq == Seq("ET01", "ET02"))
+  }
+}
