@@ -18,6 +18,38 @@ import org.apache.spark.sql.functions._
   */
 object AnnQueries {
 
+  /** Random-hyperplane LSH planes: 8 planes × 64 dims, components are
+    * dyadic rationals k/1024 from a seeded LCG — exactly representable
+    * doubles, so the literal arrays parse identically in Spark and DuckDB
+    * and the bucket signs match bit-for-bit. */
+  private val Dim = 64
+  private val NumPlanes = 8
+  private val planes: Seq[Array[Double]] = {
+    var state = 0x9E3779B97F4A7C15L
+    Seq.fill(NumPlanes)(Array.fill(Dim) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 20) % 2049 - 1024).toDouble / 1024.0
+    })
+  }
+
+  private def planeLits(p: Array[Double]): String = p.mkString(", ")
+
+  /** Spark: sign bit of v·plane via zip_with + left-fold. */
+  private def sparkBucket(vecCol: String): String =
+    (0 until NumPlanes).map { j =>
+      val dot = s"aggregate(zip_with($vecCol, array(${planeLits(planes(j))}), " +
+        s"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+      s"(CAST($dot >= 0 AS INT) * ${1 << j})"
+    }.mkString(" + ")
+
+  /** DuckDB: same fold order over a literal list. */
+  private def duckBucket(vecCol: String): String =
+    (0 until NumPlanes).map { j =>
+      val dot = s"list_sum(list_transform(generate_series(1, $Dim), " +
+        s"i -> CAST($vecCol[i] AS DOUBLE) * ([${planeLits(planes(j))}])[i]))"
+      s"(CAST($dot >= 0 AS INTEGER) * ${1 << j})"
+    }.mkString(" + ")
+
   private val dotExpr =
     "aggregate(zip_with(qe, be, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
   private def normExpr(c: String) =
@@ -84,6 +116,36 @@ object AnnQueries {
               |  SELECT qid, bid, cos_sim,
               |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, bid) AS rank
               |  FROM p) t
-              |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
+              |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    // Random-hyperplane LSH: bucket every vector by 8 sign bits, probe only
+    // the query's bucket, exact cosine re-rank inside it. At scale the
+    // bucket join is the shuffle and the candidate set is n/2^planes —
+    // the approximate-but-deterministic scale path next to the exact
+    // brute force above.
+    Q("ann_lsh_hyperplane", Seq("similarity", "J2", "P2"),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("bucket", expr(sparkBucket("embedding")))
+        val q = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+        val b = emb.select(col("vec_id").as("bid"), col("embedding").as("be"), col("bucket"))
+        val pairs = q.join(b, "bucket").where(col("qid") =!= col("bid"))
+          .withColumn("cos_sim",
+            expr(s"$dotExpr / sqrt((${normExpr("qe")}) * (${normExpr("be")}))"))
+        topk(pairs, 3)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket FROM embeddings),
+              |q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM e WHERE vec_id < 8),
+              |b AS (SELECT vec_id AS bid, embedding AS be, bucket FROM e),
+              |p AS (SELECT qid, bid,
+              |    $duckDot / sqrt((${duckNorm("qe")}) * (${duckNorm("be")})) AS cos_sim
+              |  FROM q JOIN b USING (bucket) WHERE qid <> bid)
+              |SELECT qid, CAST(rank AS INTEGER) AS rank, bid, round(cos_sim, 6) AS cos_sim FROM (
+              |  SELECT qid, bid, cos_sim,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, bid) AS rank
+              |  FROM p) t
+              |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+      note = "8 seeded dyadic hyperplanes; bucket-pruned candidates, exact re-rank")
   )
 }
