@@ -35,14 +35,16 @@ object CoreQueries {
             // HALF_UP in Spark but truncate in DuckDB, so never downcast
             expr(s"CAST(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec)) AS DECIMAL(18,4))").as("net_price"),
             col("l_returnflag").as("rf"))
-          .orderBy("l_orderkey", "l_linenumber"),
+          // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+          // order by every output column so the ordering is total
+          .orderBy("l_orderkey", "l_linenumber", "ship_d", "qty", "net_price", "rf"),
       Some(s"""SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_d,
               |  l_quantity AS qty,
               |  CAST(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec)) AS DECIMAL(18,4)) AS net_price,
               |  l_returnflag AS rf
               |FROM lineitem
               |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
-              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+              |ORDER BY l_orderkey, l_linenumber, ship_d, qty, net_price, rf""".stripMargin)),
 
     Q("p2_bitmask_filter", Seq("P2"),
       (s, dir) =>

@@ -109,7 +109,10 @@ object WindowQueries {
     // the rolling-origin hindcast's window shape.
     Q("w9_expanding_prefix", Seq("F10", "W3", "W9"),
       (s, dir) => {
-        val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        // l_quantity joins the ordering: (shipdate, orderkey, linenumber) has
+        // genuine ties in the synthetic data; with quantity included, any
+        // remaining ties are value-identical so rn/run_qty are unaffected
+        val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         val w = Window.partitionBy("l_suppkey").orderBy(order: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wr = Window.partitionBy("l_suppkey").orderBy(order: _*)
@@ -122,10 +125,10 @@ object WindowQueries {
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
              |  row_number() OVER w AS rn,
              |  sum(l_quantity) OVER (PARTITION BY l_suppkey
-             |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
              |FROM lineitem
-             |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+             |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
              |ORDER BY l_suppkey, rn""".stripMargin))
   )
 }
