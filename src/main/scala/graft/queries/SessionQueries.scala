@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.Q
+import graft.core.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream temporal operators beyond the reference's own surface:
+  * gap-based sessionization, as-of ("most recent prior") join, and the
+  * zonal cascade as a custom typed Aggregator. All timestamps compare as
+  * epoch microseconds (`unix_micros` ≙ DuckDB `epoch_us`) so ns-vs-µs
+  * physical types can't skew anything.
+  */
+object SessionQueries {
+
+  private val GapUs = 30L * 60 * 1000000 // 30-minute session gap
+
+  def all: Seq[Q] = Seq(
+
+    // Gap-based sessionization: a new session starts after a >30min silence;
+    // running sum of session-start markers numbers the sessions.
+    Q("w_sessionize", Seq("W1", "W2", "F6", "session"),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+          .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(w))
+          .withColumn("is_new", when(col("gap").isNull || col("gap") > GapUs, 1).otherwise(0))
+          .withColumn("sess_id", sum("is_new").over(run))
+          .groupBy("user_id", "sess_id")
+          .agg(count(lit(1)).as("n_events"),
+               min("ts_us").as("start_us"),
+               max("ts_us").as("end_us"),
+               (max("ts_us") - min("ts_us")).as("duration_us"))
+          .orderBy("user_id", "sess_id")
+      },
+      Some(s"""WITH g AS (
+              |  SELECT user_id, epoch_us(ts) AS ts_us,
+              |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+              |  FROM events),
+              |m AS (SELECT user_id, ts_us,
+              |    CAST(sum(CASE WHEN gap IS NULL OR gap > $GapUs THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY user_id ORDER BY ts_us
+              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+              |  FROM g)
+              |SELECT user_id, sess_id, count(*) AS n_events,
+              |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+              |  max(ts_us) - min(ts_us) AS duration_us
+              |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // As-of join (the one join family Spark lacks natively): each purchase
+    // is matched with the user's most recent PRIOR view — composed from an
+    // ignore-nulls last_value over a preceding-rows frame, no custom
+    // operator needed (preference order (a) of the builder contract).
+    Q("j_asof_last_prior", Seq("asof", "J2", "W2"),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+                  unix_micros(col("ts")).as("ts_us"))
+          .withColumn("prior_view_us",
+            last(when(col("event_type") === "view", col("ts_us")), ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("prior_view_us"),
+                  (col("ts_us") - col("prior_view_us")).as("view_to_buy_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, ts_us, prior_view_us,
+             |  ts_us - prior_view_us AS view_to_buy_us
+             |FROM (
+             |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             |    last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_us
+             |  FROM events) t
+             |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
+    // Corpus term statistics: top-20 terms by frequency with doc frequency.
+    Q("text_term_freq", Seq("A12", "A10", "W4"),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("df"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(20),
+      Some("""SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS df
+             |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+             |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin)),
+
+    // §2.10: the zonal cascade as a single custom typed Aggregator
+    // (graft.agg.CascadeMean) — integer-cents buffer, so the partition
+    // merge order can't perturb the mean; oracle = the same cascade in SQL.
+    Q("j4_zonal_cascade_agg", Seq("§2.10", "J4", "A4", "A5"),
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select((col("user_id") % 25).cast("int").as("zone_key"),
+                  to_date(col("ts")).cast("string").as("d"),
+                  col("value"), (col("value") >= 50).as("strict"))
+          .as[(Int, String, Double, Boolean)]
+        e.groupByKey(r => (r._1, r._2))
+          .mapValues(r => (r._3, r._4))
+          .agg(graft.agg.CascadeMean.toColumn.name("mean_value"))
+          .map { case ((zone, d), m) => (zone, d, m) }
+          .toDF("zone_key", "d", "mean_value")
+          .select(col("zone_key"), col("d").cast("date").as("d"), col("mean_value"))
+          .orderBy("zone_key", "d")
+      },
+      Some("""SELECT CAST(user_id % 25 AS INTEGER) AS zone_key, CAST(ts AS DATE) AS d,
+             |  coalesce(
+             |    CAST(sum(CASE WHEN value >= 50 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             |      / nullif(sum(CASE WHEN value >= 50 THEN 1 ELSE 0 END), 0),
+             |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)) AS mean_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+}
