@@ -146,6 +146,70 @@ object AnnQueries {
               |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, bid) AS rank
               |  FROM p) t
               |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
-      note = "8 seeded dyadic hyperplanes; bucket-pruned candidates, exact re-rank")
+      note = "8 seeded dyadic hyperplanes; bucket-pruned candidates, exact re-rank"),
+
+    // IVF training step 1 — centroid build: per-(label, dim) mean vector in
+    // long format. Components are summed as scaled integers (×1e7, exact at
+    // float precision), so partition-parallel sums equal DuckDB's exactly;
+    // the mean is one deterministic double division.
+    Q("ann_centroid_build", Seq("similarity", "A1", "W6"),
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("label", "pos")
+          .agg(sum(expr("CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)")).as("sum_scaled"),
+               count(lit(1)).as("n"))
+          .withColumn("mean_x", col("sum_scaled").cast("double") / 1e7 / col("n"))
+          .orderBy("label", "pos"),
+      Some("""SELECT label, pos, CAST(sum(x_scaled) AS BIGINT) AS sum_scaled,
+             |  count(*) AS n,
+             |  CAST(CAST(sum(x_scaled) AS BIGINT) AS DOUBLE) / 1e7 / count(*) AS mean_x
+             |FROM (
+             |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+             |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS x_scaled
+             |  FROM embeddings) t
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // IVF training step 2 — assignment (k-means E-step): every vector goes
+    // to its nearest centroid by squared euclidean distance. At scale the
+    // centroid table broadcasts and assignment is a map-side argmin.
+    Q("ann_centroid_assign", Seq("similarity", "J2", "A13"),
+      (s, dir) => {
+        val cent = Tables.embeddings(s, dir)
+          .select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("c_label", "pos")
+          .agg((sum(expr("CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)")).cast("double") / 1e7 /
+                count(lit(1))).as("c_x"))
+        val vecs = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        val dists = vecs.join(broadcast(cent), "pos")
+          .groupBy("vec_id", "label", "c_label")
+          .agg(sum(expr("(CAST(x AS DOUBLE) - c_x) * (CAST(x AS DOUBLE) - c_x)")).as("d2"))
+        val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("c_label"))
+        dists.withColumn("rk", row_number().over(w))
+          .where(col("rk") === 1)
+          .select(col("vec_id"), col("label"), col("c_label").as("assigned"),
+                  round(col("d2"), 6).as("d2"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH cent AS (
+             |  SELECT label AS c_label, pos,
+             |    CAST(CAST(sum(x_scaled) AS BIGINT) AS DOUBLE) / 1e7 / count(*) AS c_x
+             |  FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+             |          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS x_scaled
+             |        FROM embeddings) t
+             |  GROUP BY 1, 2),
+             |vecs AS (SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+             |           CAST(unnest(embedding) AS DOUBLE) AS x
+             |         FROM embeddings),
+             |dists AS (SELECT vec_id, label, c_label,
+             |    sum((x - c_x) * (x - c_x)) AS d2
+             |  FROM vecs JOIN cent USING (pos) GROUP BY 1, 2, 3)
+             |SELECT vec_id, label, c_label AS assigned, round(d2, 6) AS d2 FROM (
+             |  SELECT vec_id, label, c_label, d2,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
+             |  FROM dists) t
+             |WHERE rk = 1 ORDER BY vec_id""".stripMargin),
+      note = "exact scaled-integer centroid sums; broadcast argmin assignment")
   )
 }
