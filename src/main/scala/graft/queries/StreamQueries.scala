@@ -18,6 +18,18 @@ object StreamQueries {
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       note = "Trigger.AvailableNow over file source, 1-day tumbling windows + watermark"),
 
+    Q("stream_append_complete_windows", Seq("§2.9", "F6", "W1"),
+      (s, dir) => StreamOps.appendCompleteWindows(s, dir),
+      // only windows whose end the watermark (max ts − 1 day) has passed
+      Some("""WITH m AS (SELECT max(ts) - INTERVAL 1 DAY AS wm FROM events)
+             |SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+             |FROM events
+             |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT wm FROM m)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      note = "append mode + watermark withholds incomplete trailing windows (F6)"),
+
     Q("stream_stateful_watermark", Seq("§2.9", "A11", "W3"),
       (s, dir) => StreamOps.statefulUserWatermark(s, dir),
       Some("""SELECT user_id, count(*) AS n_events,

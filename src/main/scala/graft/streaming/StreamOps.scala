@@ -49,6 +49,37 @@ object StreamOps {
       .orderBy("d", "event_type")
   }
 
+  /** F6 as true streaming semantics: APPEND mode + watermark — a window is
+    * emitted only once the event-time watermark (max event time − 1 day)
+    * passes its end, so incomplete trailing windows are withheld, exactly
+    * like the reference's complete-window rule (`data_extraction_v2.py:99-101`).
+    * AvailableNow runs a final no-data micro-batch that advances the
+    * watermark and flushes the closed windows. */
+  def appendCompleteWindows(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.events(spark, dir) // sets nanosAsLong
+    val name = s"graft_append_${runCounter.incrementAndGet()}"
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))").as("sum_value"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(to_date(col("window.start")).as("d"), col("event_type"),
+              col("n"), col("sum_value"))
+      .orderBy("d", "event_type")
+  }
+
   /** Custom streaming state via `flatMapGroupsWithState` (§2.9 high-watermark
     * semantics per key): for each user, fold the event stream into
     * (count, first-day, last-day) state and emit the final state when the
