@@ -25,43 +25,60 @@ object Zonal {
   /** Build the static membership table: (zone_id, row, col, strict, touched)
     * plus per-zone centroid cells. Distributed over cells; polygons are tiny
     * (151 rows) and broadcast via closure. */
-  def membership(spark: SparkSession, zones: Seq[(String, String)], affine: Affine): DataFrame = {
+  def membership(spark: SparkSession, zones: Seq[(String, String)], affine: Affine): DataFrame =
+    membershipShapes(spark, zones.map { case (id, wkt) => (id, Geometry.parseWkt(wkt)) }, affine)
+
+  /** Same, from already-parsed geometries (e.g. a shapefile scan).
+    *
+    *  - `strict`  = cell center in polygon; tiny polygons (area < ¼ px²,
+    *    BiomassAggregate.py:184-187) are buffered by the half-pixel
+    *    diagonal first, i.e. center-within-halfDiag-of-outline also counts
+    *  - `touched` = strict, or any cell corner inside, or a polygon edge/
+    *    vertex crossing the cell rectangle (rasterio `all_touched=True`
+    *    burns outline-crossed cells even when no corner is inside — thin
+    *    slivers pass through cell interiors)
+    */
+  def membershipShapes(spark: SparkSession, polys: Seq[(String, Geometry.Polygon)],
+                       affine: Affine): DataFrame = {
     import spark.implicits._
-    val polys = zones.map { case (id, wkt) => (id, Geometry.parseWkt(wkt)) }
     val halfDiag = affine.pixel * math.sqrt(2) / 2
     val cells = spark.range(affine.nRows.toLong * affine.nCols)
       .select((col("id") / affine.nCols).cast("int").as("row"),
               (col("id") % affine.nCols).cast("int").as("col"))
-    val bc = spark.sparkContext.broadcast(polys)
+    val prepared = polys.map { case (id, p) => (id, p, Geometry.area(p), p.bbox) }
+    val bc = spark.sparkContext.broadcast(prepared)
     val px = affine.pixel
     val (oLon, oLat) = (affine.originLon, affine.originLat)
     cells.as[(Int, Int)].flatMap { case (r, c) =>
       val cx = oLon + (c + 0.5) * px
       val cy = oLat - (r + 0.5) * px
-      bc.value.flatMap { case (id, poly) =>
-        val (bx0, by0, bx1, by1) = poly.bbox
-        // A7: tiny polygons (< ¼ pixel area) use a buffered bbox test
-        val tiny = (bx1 - bx0) * (by1 - by0) < 0.25 * px * px
+      bc.value.flatMap { case (id, poly, pArea, (bx0, by0, bx1, by1)) =>
         if (cx < bx0 - px || cx > bx1 + px || cy < by0 - px || cy > by1 + px) None
         else {
           val strictBase = poly.contains(cx, cy)
+          val tiny = pArea < 0.25 * px * px // A7
           val strict = strictBase ||
-            (tiny && cx >= bx0 - halfDiag && cx <= bx1 + halfDiag &&
-                     cy >= by0 - halfDiag && cy <= by1 + halfDiag)
+            (tiny && Geometry.distToOutline(poly, cx, cy) <= halfDiag)
           val corners = Seq((cx - px / 2, cy - px / 2), (cx - px / 2, cy + px / 2),
                             (cx + px / 2, cy - px / 2), (cx + px / 2, cy + px / 2))
-          val touched = strict || corners.exists { case (x, y) => poly.contains(x, y) }
-          if (touched) Some((id, r, c, strict, touched, tiny)) else None
+          val touched = strict ||
+            corners.exists { case (x, y) => poly.contains(x, y) } ||
+            Geometry.outlineIntersectsRect(poly, cx - px / 2, cy - px / 2, cx + px / 2, cy + px / 2)
+          if (touched) Some((id, r, c, strict, touched, tiny && strict && !strictBase))
+          else None
         }
       }
     }.toDF("zone_id", "row", "col", "strict", "touched", "buffered_tiny")
   }
 
   /** Per-zone centroid cell ids (A6 fallback leg). */
-  def centroids(spark: SparkSession, zones: Seq[(String, String)], affine: Affine): DataFrame = {
+  def centroids(spark: SparkSession, zones: Seq[(String, String)], affine: Affine): DataFrame =
+    centroidShapes(spark, zones.map { case (id, wkt) => (id, Geometry.parseWkt(wkt)) }, affine)
+
+  def centroidShapes(spark: SparkSession, polys: Seq[(String, Geometry.Polygon)],
+                     affine: Affine): DataFrame = {
     import spark.implicits._
-    zones.map { case (id, wkt) =>
-      val p = Geometry.parseWkt(wkt)
+    polys.map { case (id, p) =>
       val cx = p.outer.xs.sum / p.outer.xs.length
       val cy = p.outer.ys.sum / p.outer.ys.length
       val r = math.floor((affine.originLat - cy) / affine.pixel).toInt
