@@ -63,6 +63,38 @@ class OpsSpec extends AnyFunSuite {
     assert(fp1 == fp2) // case + whitespace normalization
   }
 
+  test("property: grid-snap quantization is a consistent equi-join key (P4/J2)") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 500) {
+      val step = Seq(0.05, 0.1, 0.001)(rnd.nextInt(3))
+      val origin = rnd.nextDouble() * 10
+      val x = origin + rnd.nextDouble() * 100
+      val cell = math.floor((x - origin) / step).toLong
+      // every point maps into [origin + cell*step, origin + (cell+1)*step)
+      assert(x >= origin + cell * step - 1e-9 && x < origin + (cell + 1) * step + 1e-9)
+      // two points in the same cell are within one step of each other
+      val y = origin + (cell + rnd.nextDouble()) * step
+      val cellY = math.floor((y - origin) / step).toLong
+      if (cellY == cell) assert(math.abs(x - y) < step + 1e-9)
+    }
+  }
+
+  test("K4/K5 sink payload shape: null-if-NaN mean, rounded") {
+    val df = Seq(("ET01", 1.23456789, "2024-01-01"), ("ET02", Double.NaN, "2024-01-01"))
+      .toDF("extId", "mean", "date")
+    val rows = graft.pipeline.Sinks.restPayload(df, 4).as[String].collect().sorted
+    assert(rows(0) == """{"extId":"ET01","mean":1.2346,"date":"2024-01-01"}""")
+    assert(rows(1) == """{"extId":"ET02","date":"2024-01-01"}""") // NaN → null, omitted by to_json
+  }
+
+  test("K7 manifest: new date partitions become mosaic filenames") {
+    val cells = Seq((java.sql.Date.valueOf("2024-01-01"), 0, 0, 1.0),
+                    (java.sql.Date.valueOf("2024-01-17"), 1, 1, 2.0))
+      .toDF("date", "row", "col", "value")
+    val m = graft.pipeline.Sinks.manifest(cells).as[String].collect()
+    assert(m.toSeq == Seq("biomass_20240101.tif", "biomass_20240117.tif"))
+  }
+
   test("P17: seeded zero-augmentation repairs a degenerate distribution") {
     val df = (1 to 1000).map(i => (i.toLong, if (i <= 990) 0.0 else 1.0)).toDF("id", "preci")
     val out = CleanOps.augmentZeros(df, "preci", seed = 7L)
