@@ -23,6 +23,7 @@ object SparkEntry {
     _root_.graft.queries.AnnQueries.all ++
     _root_.graft.queries.MultimodalQueries.all ++
     _root_.graft.queries.SessionQueries.all ++
+    _root_.graft.queries.AnalyticQueries.all ++
     _root_.graft.queries.PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

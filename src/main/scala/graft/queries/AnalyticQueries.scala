@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.Q
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** General analytic workloads over the full star schema — the "could a user
+  * run their other queries here too" breadth check. Classic TPC-H shapes
+  * (shipping priority, local-supplier volume, returned-item ranking)
+  * exercising 3–6-way joins that Catalyst reorders and broadcasts, with
+  * decimal-exact revenue math.
+  */
+object AnalyticQueries {
+
+  private val dec = "DECIMAL(18,2)"
+  private val rev = s"CAST(sum(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec))) AS DECIMAL(28,4))"
+
+  def all: Seq[Q] = Seq(
+
+    // Q3 shape: shipping priority — segment filter, date split, top-10 by
+    // revenue (decimal ordering, deterministic tie-break).
+    Q("q3_shipping_priority", Seq("J1", "F1", "A1", "W4"),
+      (s, dir) => {
+        val c = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, dir)
+          .where(col("o_orderdate") < lit("1997-03-15").cast("timestamp"))
+        val l = Tables.lineitem(s, dir)
+          .where(col("l_shipdate") > lit("1997-03-15").cast("timestamp"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("odate"))
+          .agg(expr(rev).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate, $rev AS revenue
+              |FROM lineitem
+              |  JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN customer ON o_custkey = c_custkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |  AND o_orderdate < TIMESTAMP '1997-03-15'
+              |  AND l_shipdate > TIMESTAMP '1997-03-15'
+              |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // Q5 shape: local-supplier volume — 6-way join with the customer and
+    // supplier constrained to the same nation, rolled up by nation.
+    Q("q5_local_supplier_volume", Seq("J1", "J4", "A1"),
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val sup = Tables.supplier(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir).where(col("r_name") === "ASIA")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+                     c("c_nationkey") === sup("s_nationkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("n_name")
+          .agg(expr(rev).as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name, $rev AS revenue, count(*) AS n_items
+              |FROM lineitem
+              |  JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN customer ON o_custkey = c_custkey
+              |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              |  JOIN nation ON s_nationkey = n_nationkey
+              |  JOIN region ON n_regionkey = r_regionkey
+              |WHERE r_name = 'ASIA'
+              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // Q10 shape: returned-item customer ranking — top-20 accounts by
+    // return-flag revenue with nation context.
+    Q("q10_returned_items", Seq("J1", "F1", "A1", "W4"),
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir).where(col("l_returnflag") === "R")
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(expr(rev).as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, n_name, $rev AS revenue, count(*) AS n_items
+              |FROM lineitem
+              |  JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN customer ON o_custkey = c_custkey
+              |  JOIN nation ON c_nationkey = n_nationkey
+              |WHERE l_returnflag = 'R'
+              |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // Part-type margin rollup — exercises the part dimension.
+    Q("q_part_type_margin", Seq("J1", "A1", "P12"),
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val p = Tables.part(s, dir)
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .groupBy("p_type")
+          .agg(count(lit(1)).as("n_items"),
+               expr(rev).as("revenue"),
+               expr(s"CAST(sum(CAST(p_retailprice AS $dec)) AS DECIMAL(28,2))").as("retail_total"))
+          .orderBy("p_type")
+      },
+      Some(s"""SELECT p_type, count(*) AS n_items, $rev AS revenue,
+              |  CAST(sum(CAST(p_retailprice AS $dec)) AS DECIMAL(28,2)) AS retail_total
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |GROUP BY p_type ORDER BY p_type""".stripMargin))
+  )
+}
