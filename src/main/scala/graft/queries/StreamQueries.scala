@@ -30,6 +30,23 @@ object StreamQueries {
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       note = "append mode + watermark withholds incomplete trailing windows (F6)"),
 
+    Q("stream_forage_periods", Seq("§2.9", "W1", "F6", "§2.10"),
+      (s, dir) => StreamOps.foragePeriodStream(s, dir),
+      // the same calendar + completeness rule, arithmetically: periods from
+      // 2024-01-01 are [01-01..01-16], [01-17..02-01]; watermark = max event
+      // date − 1 day, so only fully-elapsed periods survive
+      Some("""WITH e AS (SELECT CAST(ts AS DATE) AS d, event_type, value FROM events),
+             |p AS (SELECT CASE WHEN d <= DATE '2024-01-16' THEN DATE '2024-01-16'
+             |                  ELSE DATE '2024-02-01' END AS p_end,
+             |             event_type, value, d
+             |      FROM e),
+             |wm AS (SELECT max(CAST(ts AS DATE)) - 1 AS w FROM events)
+             |SELECT p_end, event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+             |FROM p WHERE p_end <= (SELECT w FROM wm)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      note = "custom forage_period_end Expression inside a streaming aggregation"),
+
     Q("stream_stateful_watermark", Seq("§2.9", "A11", "W3"),
       (s, dir) => StreamOps.statefulUserWatermark(s, dir),
       Some("""SELECT user_id, count(*) AS n_events,

@@ -80,6 +80,39 @@ object StreamOps {
       .orderBy("d", "event_type")
   }
 
+  /** Stage 1 as a streaming job: the custom `forage_period_end` scalar
+    * assigns the 16-day year-reset calendar inside the stream, the drain
+    * aggregates per (period, type), and the complete-window rule (F6) is the
+    * watermark cutoff `p_end <= max event date − 1 day`. */
+  def foragePeriodStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.events(spark, dir)
+    graft.plans.ForagePeriod.register(spark)
+    val name = s"graft_period_${runCounter.incrementAndGet()}"
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(expr("timestamp_micros(ts div 1000)").as("ts"),
+              col("event_type"), col("value"))
+      .withColumn("p_end", expr("forage_period_end(CAST(ts AS DATE), DATE '2024-01-01')"))
+      .groupBy("p_end", "event_type")
+      .agg(count(lit(1)).as("n"),
+           expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))").as("sum_value"),
+           max(col("ts")).as("max_ts"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val t = spark.table(name)
+    val wm = t.agg(max("max_ts")).head().getTimestamp(0).toLocalDateTime.toLocalDate.minusDays(1)
+    t.where(col("p_end") <= lit(java.sql.Date.valueOf(wm))) // F6 complete windows
+      .select(col("p_end"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("p_end", "event_type")
+  }
+
   /** Custom streaming state via `flatMapGroupsWithState` (§2.9 high-watermark
     * semantics per key): for each user, fold the event stream into
     * (count, first-day, last-day) state and emit the final state when the
