@@ -28,6 +28,19 @@ object DedupQueries {
   private val SimBits = 24
   private val SimBands = 4 // 6 bits each; hamming ≤ 3 ⇒ some band equal
 
+  /** Cosine threshold for embedding near-dup — tuned to the synthetic
+    * corpus (within-cluster tail; see AnnQueries for the fold-order-exact
+    * dot/norm constructs these strings mirror). */
+  private val CosTau = 0.35
+  private val embDot =
+    "aggregate(zip_with(qe, be, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  private def embNorm(c: String) =
+    s"aggregate($c, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+  private val duckEmbDot =
+    "list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)))"
+  private def duckEmbNorm(c: String) =
+    s"list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
   /** Spark-side distinct word-3-gram shingles: (doc_id, shingle). */
   private def shingles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -225,6 +238,37 @@ object DedupQueries {
            |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
            |ORDER BY a_id, b_id""".stripMargin
-      })
+      }),
+
+    // Embedding-cosine near-dup (the SemDeDup shape): within each coarse
+    // cluster (label ≙ k-means cell), a doc is a near-dup if some LOWER-id
+    // doc in its cluster sits within cosine ≥ τ; dropped docs report the
+    // earliest keeper and their strongest match. At scale the cluster key
+    // bounds the pair space to per-cell sizes — embeddings never compare
+    // across cells, and each cell's pairwise block is an independent task.
+    Q("dedup_embedding_cosine", Seq("dedup", "similarity", "J2", "A13"),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("qe"), col("label"))
+        val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("be"), col("label"))
+        a.join(b, "label").where(col("a_id") < col("b_id"))
+          .withColumn("cos_sim", expr(s"$embDot / sqrt((${embNorm("qe")}) * (${embNorm("be")}))"))
+          .where(col("cos_sim") >= CosTau)
+          .groupBy(col("b_id").as("dup_id"), col("label"))
+          .agg(min("a_id").as("keep_id"), count(lit(1)).as("n_matches"),
+               round(max("cos_sim"), 6).as("max_cos"))
+          .orderBy("dup_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+              |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, b.label AS label,
+              |    $duckEmbDot / sqrt((${duckEmbNorm("qe")}) * (${duckEmbNorm("be")})) AS cos_sim
+              |  FROM (SELECT vec_id, label, embedding AS qe FROM e) a
+              |  JOIN (SELECT vec_id, label, embedding AS be FROM e) b
+              |    ON a.label = b.label AND a.vec_id < b.vec_id)
+              |SELECT b_id AS dup_id, label, min(a_id) AS keep_id, count(*) AS n_matches,
+              |  round(max(cos_sim), 6) AS max_cos
+              |FROM p WHERE cos_sim >= $CosTau
+              |GROUP BY 1, 2 ORDER BY dup_id""".stripMargin),
+      note = s"SemDeDup within-cluster prune, τ=$CosTau; keep-earliest rule")
   )
 }

@@ -121,4 +121,15 @@ class OpsSpec extends AnyFunSuite {
       Seq((1L, "spark table")).toDF("doc_id", "text")).collect()
     assert(meta.head.format == "fmtB" && meta.head.nBytes == 11)
   }
+
+  test("embedding-cosine near-dup keeps the earliest doc per cluster") {
+    val out = SparkEntry.queries("dedup_embedding_cosine")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (dup, keep, cos) = (r.getLong(0), r.getLong(2), r.getDouble(4))
+      assert(keep < dup)           // keep-earliest: dropped doc cites a lower id
+      assert(cos >= 0.35 && cos <= 1.0)
+    }
+  }
 }
