@@ -40,6 +40,62 @@ object MultimodalQueries {
           .orderBy("format")
       },
       None, // checksum is byte-level (not SQL-expressible over text) — rows-only
-      note = "per-format rollup incl. byte-level rolling checksum")
+      note = "per-format rollup incl. byte-level rolling checksum"),
+
+    // Frame sampling: the payload is a sequence of fixed 16-byte frames;
+    // keep every 4th frame (a video keyframe / audio window sample) and emit
+    // per-frame features. The explode is map-side — no shuffle until the
+    // final presentation sort; at scale frames stay with their partition.
+    Q("mm_frame_sample", Seq("multimodal", "P9", "F9"),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+          .withColumn("frame_idx",
+            explode(expr("filter(sequence(0, CAST(ceil(length(text) / 16.0) AS INT) - 1), i -> i % 4 = 0)")))
+          .withColumn("frame", expr("substring(text, frame_idx * 16 + 1, 16)"))
+          .select(col("doc_id"), col("frame_idx"),
+                  length(col("frame")).as("frame_len"),
+                  expr("aggregate(transform(sequence(1, length(frame)), i -> CAST(ascii(substring(frame, i, 1)) AS BIGINT)), 0L, (a, x) -> a + x)").as("checksum"))
+          .orderBy("doc_id", "frame_idx"),
+      Some("""WITH idx AS (
+             |  SELECT doc_id, text,
+             |    unnest(generate_series(0, CAST(ceil(length(text) / 16.0) AS INTEGER) - 1)) AS i
+             |  FROM documents),
+             |f AS (SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+             |        substring(text, CAST(i AS INTEGER) * 16 + 1, 16) AS frame
+             |      FROM idx WHERE i % 4 = 0)
+             |SELECT doc_id, frame_idx, CAST(length(frame) AS INTEGER) AS frame_len,
+             |  CAST(list_sum(list_transform(generate_series(1, CAST(length(frame) AS INTEGER)), j -> unicode(frame[j]))) AS BIGINT) AS checksum
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin),
+      note = "strided keyframe sampling over the byte payload; map-side explode"),
+
+    // Resize: average-pool the payload down to a fixed 8-slot signature
+    // (the 1-D analog of image resize-by-area). Slot boundaries are the
+    // floor(b·len/8) grid; the mean is exact (integer sum, one double
+    // division), so the oracle matches bit-for-bit.
+    Q("mm_resize_pool", Seq("multimodal", "P9", "A13"),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+          .withColumn("slot", explode(expr("sequence(0, 7)")))
+          .withColumn("lo", expr("CAST(floor(slot * len / 8.0) AS INT)"))
+          .withColumn("hi", expr("CAST(floor((slot + 1) * len / 8.0) AS INT)"))
+          .withColumn("piece", expr("substring(text, lo + 1, hi - lo)"))
+          .select(col("doc_id"), col("slot"),
+                  (col("hi") - col("lo")).as("n_bytes"),
+                  expr("CAST(aggregate(transform(sequence(1, length(piece)), i -> CAST(ascii(substring(piece, i, 1)) AS BIGINT)), 0L, (a, x) -> a + x) AS DOUBLE) / (hi - lo)").as("mean_code"))
+          .orderBy("doc_id", "slot"),
+      Some("""WITH s AS (
+             |  SELECT doc_id, text, CAST(length(text) AS INTEGER) AS len,
+             |    unnest(generate_series(0, 7)) AS slot
+             |  FROM documents),
+             |b AS (SELECT doc_id, CAST(slot AS INTEGER) AS slot,
+             |        CAST(floor(slot * len / 8.0) AS INTEGER) AS lo,
+             |        CAST(floor((slot + 1) * len / 8.0) AS INTEGER) AS hi, text
+             |      FROM s)
+             |SELECT doc_id, slot, CAST(hi - lo AS INTEGER) AS n_bytes,
+             |  CAST(CAST(list_sum(list_transform(generate_series(lo + 1, hi), j -> unicode(text[j]))) AS BIGINT) AS DOUBLE) / (hi - lo) AS mean_code
+             |FROM b ORDER BY doc_id, slot""".stripMargin),
+      note = "1-D average-pooling resize to a fixed 8-slot signature")
   )
 }
