@@ -34,11 +34,11 @@ object AnnQueries {
 
   private def planeLits(p: Array[Double]): String = p.mkString(", ")
 
-  /** Spark: sign bit of v·plane via zip_with + left-fold. */
+  /** Spark: sign bit of v·plane via the codegen'd vec_dot kernel (same
+    * left-fold doubles as the zip_with form it replaced). */
   private def sparkBucket(vecCol: String): String =
     (0 until NumPlanes).map { j =>
-      val dot = s"aggregate(zip_with($vecCol, array(${planeLits(planes(j))}), " +
-        s"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+      val dot = s"vec_dot($vecCol, array(${planeLits(planes(j))}))"
       s"(CAST($dot >= 0 AS INT) * ${1 << j})"
     }.mkString(" + ")
 
@@ -50,10 +50,8 @@ object AnnQueries {
       s"(CAST($dot >= 0 AS INTEGER) * ${1 << j})"
     }.mkString(" + ")
 
-  private val dotExpr =
-    "aggregate(zip_with(qe, be, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-  private def normExpr(c: String) =
-    s"aggregate($c, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+  private val dotExpr = "vec_dot(qe, be)"
+  private def normExpr(c: String) = s"vec_dot($c, $c)"
 
   private val duckDot =
     "list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)))"
@@ -74,13 +72,14 @@ object AnnQueries {
     // Exact brute-force cosine top-10 for a fixed query set (vec_id < 8).
     Q("ann_cosine_topk", Seq("similarity", "J2", "W4"),
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
+        graft.plans.VecExprs.register(s)
+        // per-vector norms once, before the pair space (O(n·dim), not O(pairs·dim))
+        val emb = Tables.embeddings(s, dir).withColumn("nrm", expr(normExpr("embedding")))
         val q = emb.where(col("vec_id") < 8)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val b = emb.select(col("vec_id").as("bid"), col("embedding").as("be"))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("nq"))
+        val b = emb.select(col("vec_id").as("bid"), col("embedding").as("be"), col("nrm").as("nb"))
         val pairs = q.crossJoin(b).where(col("qid") =!= col("bid"))
-          .withColumn("cos_sim",
-            expr(s"$dotExpr / sqrt((${normExpr("qe")}) * (${normExpr("be")}))"))
+          .withColumn("cos_sim", expr(s"$dotExpr / sqrt(nq * nb)"))
         topk(pairs, 10)
       },
       Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
@@ -98,13 +97,13 @@ object AnnQueries {
     // candidate set shrinks ~10×; at scale the bucket join is the shuffle.
     Q("ann_ivf_bucketed", Seq("similarity", "J4", "W4"),
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
+        graft.plans.VecExprs.register(s)
+        val emb = Tables.embeddings(s, dir).withColumn("nrm", expr(normExpr("embedding")))
         val q = emb.where(col("vec_id") < 8)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label"))
-        val b = emb.select(col("vec_id").as("bid"), col("embedding").as("be"), col("label"))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("nq"), col("label"))
+        val b = emb.select(col("vec_id").as("bid"), col("embedding").as("be"), col("nrm").as("nb"), col("label"))
         val pairs = q.join(b, "label").where(col("qid") =!= col("bid"))
-          .withColumn("cos_sim",
-            expr(s"$dotExpr / sqrt((${normExpr("qe")}) * (${normExpr("be")}))"))
+          .withColumn("cos_sim", expr(s"$dotExpr / sqrt(nq * nb)"))
         topk(pairs, 5)
       },
       Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label FROM embeddings WHERE vec_id < 8),
@@ -125,14 +124,15 @@ object AnnQueries {
     // brute force above.
     Q("ann_lsh_hyperplane", Seq("similarity", "J2", "P2"),
       (s, dir) => {
+        graft.plans.VecExprs.register(s)
         val emb = Tables.embeddings(s, dir)
           .withColumn("bucket", expr(sparkBucket("embedding")))
+          .withColumn("nrm", expr(normExpr("embedding")))
         val q = emb.where(col("vec_id") < 8)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
-        val b = emb.select(col("vec_id").as("bid"), col("embedding").as("be"), col("bucket"))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("nq"), col("bucket"))
+        val b = emb.select(col("vec_id").as("bid"), col("embedding").as("be"), col("nrm").as("nb"), col("bucket"))
         val pairs = q.join(b, "bucket").where(col("qid") =!= col("bid"))
-          .withColumn("cos_sim",
-            expr(s"$dotExpr / sqrt((${normExpr("qe")}) * (${normExpr("be")}))"))
+          .withColumn("cos_sim", expr(s"$dotExpr / sqrt(nq * nb)"))
         topk(pairs, 3)
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket FROM embeddings),

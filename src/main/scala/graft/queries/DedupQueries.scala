@@ -32,10 +32,8 @@ object DedupQueries {
     * corpus (within-cluster tail; see AnnQueries for the fold-order-exact
     * dot/norm constructs these strings mirror). */
   private val CosTau = 0.35
-  private val embDot =
-    "aggregate(zip_with(qe, be, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-  private def embNorm(c: String) =
-    s"aggregate($c, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+  private val embDot = "vec_dot(qe, be)" // codegen'd kernel, same left fold
+  private def embNorm(c: String) = s"vec_dot($c, $c)"
   private val duckEmbDot =
     "list_sum(list_transform(generate_series(1, len(qe)), i -> CAST(qe[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)))"
   private def duckEmbNorm(c: String) =
@@ -248,11 +246,18 @@ object DedupQueries {
     // across cells, and each cell's pairwise block is an independent task.
     Q("dedup_embedding_cosine", Seq("dedup", "similarity", "J2", "A13"),
       (s, dir) => {
+        graft.plans.VecExprs.register(s)
+        // norms are per-vector, not per-pair: compute once before the join
+        // (the pair space is |cell|² — recomputing the fold there is the
+        // O(pairs·dim) term that matters at scale)
         val emb = Tables.embeddings(s, dir)
-        val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("qe"), col("label"))
-        val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("be"), col("label"))
+          .withColumn("nrm", expr(embNorm("embedding")))
+        val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("qe"),
+                           col("nrm").as("na"), col("label"))
+        val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+                           col("nrm").as("nb"), col("label"))
         a.join(b, "label").where(col("a_id") < col("b_id"))
-          .withColumn("cos_sim", expr(s"$embDot / sqrt((${embNorm("qe")}) * (${embNorm("be")}))"))
+          .withColumn("cos_sim", expr(s"$embDot / sqrt(na * nb)"))
           .where(col("cos_sim") >= CosTau)
           .groupBy(col("b_id").as("dup_id"), col("label"))
           .agg(min("a_id").as("keep_id"), count(lit(1)).as("n_matches"),
