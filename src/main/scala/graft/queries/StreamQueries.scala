@@ -47,6 +47,13 @@ object StreamQueries {
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       note = "custom forage_period_end Expression inside a streaming aggregation"),
 
+    Q("stream_dedup_fingerprint", Seq("§2.9", "dedup", "A10"),
+      (s, dir) => StreamOps.streamingDedup(s, dir),
+      Some("""SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+             |  min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "streaming ingest dedup: fingerprint-keyed min/count state, AvailableNow drain"),
+
     Q("stream_stateful_watermark", Seq("§2.9", "A11", "W3"),
       (s, dir) => StreamOps.statefulUserWatermark(s, dir),
       Some("""SELECT user_id, count(*) AS n_events,

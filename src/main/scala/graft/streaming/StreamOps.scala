@@ -113,6 +113,30 @@ object StreamOps {
       .orderBy("p_end", "event_type")
   }
 
+  /** Streaming ingest dedup — the training-data-pipeline crossover: as
+    * document files land, fingerprint each (normalized md5, same codec as
+    * the batch `text_fingerprint`) and hold per-fingerprint (min doc_id,
+    * count) state; the drain's table is the keep-list. State is keyed by
+    * fingerprint hash, so it shards evenly at any corpus size. */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_dedup_${runCounter.incrementAndGet()}"
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), graft.text.TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).select("fp", "keep_id", "n_copies").orderBy("fp")
+  }
+
   /** Custom streaming state via `flatMapGroupsWithState` (§2.9 high-watermark
     * semantics per key): for each user, fold the event stream into
     * (count, first-day, last-day) state and emit the final state when the
