@@ -23,11 +23,26 @@ object Bench {
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
         "region", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-    // registry order (stable) rather than Map iteration order
+    // JMH-style warmup: run every query once at the smallest SF so each
+    // plan's generated code is JIT-compiled before the timed region —
+    // otherwise ~2-5s of one-time codegen/JIT lands on whichever query
+    // shape runs first and the per-query numbers measure compiler noise,
+    // not the operator.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.registry.foreach { q =>
+      try q.run(spark, warmDir).count() catch { case _: Throwable => () }
+    }
+    // registry order (stable) rather than Map iteration order. Best-of-2
+    // per query: consecutive identical runs on this host differ by up to 2×
+    // from interference outside the JVM (virtualized CPU), so a single
+    // sample measures the host's mood; the minimum measures the operator.
     val results = SparkEntry.registry.map { q =>
-      val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.name -> samples.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
