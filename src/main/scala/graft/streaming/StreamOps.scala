@@ -17,6 +17,19 @@ object StreamOps {
 
   private val runCounter = new AtomicInteger(0)
 
+  /** Stateful streaming ops allocate one state store per shuffle partition;
+    * their per-run fixed cost is dominated by store init + commit, not row
+    * volume. Size the state partitioning to the STATE cardinality (windows ×
+    * types, fingerprints), not the batch default — on a real cluster this is
+    * executor count × a small factor, here 8. Restores the session conf
+    * afterwards so batch queries keep their own sizing. */
+  private def withStreamPartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Run a tumbling-window streaming aggregation over the events parquet
     * with AvailableNow, collect into a memory sink, and return the batch
     * result. Watermarking (`withWatermark`) bounds state like the
@@ -35,13 +48,15 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
            expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))").as("sum_value"))
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val _ = batch // keeps the nanosAsLong conf set before the streaming scan
     spark.table(name)
       .select(to_date(col("window.start")).as("d"), col("event_type"),
@@ -67,13 +82,15 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
            expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))").as("sum_value"))
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .select(to_date(col("window.start")).as("d"), col("event_type"),
               col("n"), col("sum_value"))
@@ -99,13 +116,15 @@ object StreamOps {
       .agg(count(lit(1)).as("n"),
            expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))").as("sum_value"),
            max(col("ts")).as("max_ts"))
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val t = spark.table(name)
     val wm = t.agg(max("max_ts")).head().getTimestamp(0).toLocalDateTime.toLocalDate.minusDays(1)
     t.where(col("p_end") <= lit(java.sql.Date.valueOf(wm))) // F6 complete windows
@@ -127,13 +146,15 @@ object StreamOps {
       .select(col("doc_id"), graft.text.TextOps.fingerprint(col("text")).as("fp"))
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).select("fp", "keep_id", "n_copies").orderBy("fp")
   }
 
@@ -165,10 +186,12 @@ object StreamOps {
           state.update(s1)
           Iterator((user, s1._1, s1._2, s1._3))
       }
-    val q = folded.toDF("user_id", "n_events", "first_d", "last_d")
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamPartitions(spark) {
+      val q = folded.toDF("user_id", "n_events", "first_d", "last_d")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .select(col("user_id"), col("n_events"),
               col("first_d").cast("date").as("first_d"),
