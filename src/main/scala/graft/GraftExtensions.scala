@@ -35,5 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[graft.plans.VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => graft.plans.VecDot(exprs.head, exprs(1))))
+    // native as-of join planning (graft.plans.AsOfJoinPlan.AsOfJoin nodes)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinPlan.AsOfJoinStrategy)
   }
 }

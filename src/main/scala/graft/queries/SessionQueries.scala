@@ -77,6 +77,41 @@ object SessionQueries {
              |  FROM events) t
              |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
 
+    // The same as-of semantics as a NATIVE operator (preference order (c)):
+    // custom LogicalPlan + SparkStrategy + merge-join SparkPlan
+    // (graft.plans.AsOfJoinPlan). Two separate relations this time —
+    // purchases probe the views table — the shape where the composed
+    // window form would have to union both relations first. The physical
+    // plan is shuffle-by-key + per-side (key,time) sort + one forward-only
+    // merge pass; the oracle is the declarative spec (max prior per pair).
+    Q("j_asof_native", Seq("asof", "J2", "§2.10"),
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+                  unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        val purchases = e.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts_us")
+        val views = e.where(col("event_type") === "view")
+          .select(col("user_id").as("v_user_id"), col("ts_us").as("v_ts_us"))
+        graft.plans.AsOfJoinPlan.join(
+            purchases, views,
+            keys = Seq("user_id" -> "v_user_id"), times = "ts_us" -> "v_ts_us")
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+                  col("v_ts_us").as("prior_view_us"),
+                  (col("ts_us") - col("v_ts_us")).as("view_to_buy_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+             |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id AS v_user_id, ts_us AS v_ts_us FROM e WHERE event_type = 'view')
+             |SELECT p.event_id, p.user_id, p.ts_us,
+             |  max(v.v_ts_us) AS prior_view_us,
+             |  p.ts_us - max(v.v_ts_us) AS view_to_buy_us
+             |FROM p LEFT JOIN v ON v.v_user_id = p.user_id AND v.v_ts_us < p.ts_us
+             |GROUP BY 1, 2, 3
+             |ORDER BY event_id""".stripMargin),
+      note = "native as-of: custom LogicalPlan/Strategy/SparkPlan merge join"),
+
     // Corpus term statistics: top-20 terms by frequency with doc frequency.
     Q("text_term_freq", Seq("A12", "A10", "W4"),
       (s, dir) =>
