@@ -65,6 +65,11 @@ object AsOfJoinPlan {
     override def outputOrdering: Seq[SortOrder] =
       leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
 
+    // the merge is a per-partition map over the left side — its clustering
+    // survives, so downstream key-aggregations plan without a re-shuffle
+    override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+      left.outputPartitioning
+
     private def timeExtractor(e: Expression, output: Seq[Attribute]): InternalRow => Long = {
       val bound = BindReferences.bindReference(e, output)
       e.dataType match {
