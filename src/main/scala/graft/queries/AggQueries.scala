@@ -149,6 +149,42 @@ object AggQueries {
              |  CASE WHEN min_by(value, event_id) - 250 <= 0 THEN -99999
              |       ELSE min_by(value, event_id) - 250 END AS burned,
              |  count(*) AS n_burned
-             |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+             |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Exact distributed quantiles, rank-based: p is "the smallest value
+    // whose rank reaches ⌈p·n⌉" — pure integer/element logic, no
+    // interpolation, so any two engines agree bit-for-bit (built-in
+    // percentile_cont/quantile interpolation formulas differ in the last
+    // ulp across engines and are unhashable). At 100 TB the same contract
+    // is served by approx_percentile's sketch (mergeable, one pass); this
+    // exact form is the oracle-able reference and the small-key path.
+    Q("a_exact_quantiles", Seq("A9", "A13", "W9", "§2.10"),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("v")
+        val wn = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+        Tables.events(s, dir)
+          .select(col("event_type"), col("value").cast("double").as("v"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy("event_type")
+          .agg(min(when(col("rn") >= ceil(col("n") * 0.5), col("v"))).as("p50"),
+               min(when(col("rn") >= ceil(col("n") * 0.9), col("v"))).as("p90"),
+               min(when(col("rn") >= ceil(col("n") * 0.99), col("v"))).as("p99"),
+               max(col("n")).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""WITH r AS (
+             |  SELECT event_type, CAST(value AS DOUBLE) AS v,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY CAST(value AS DOUBLE)) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events)
+             |SELECT event_type,
+             |  min(CASE WHEN rn >= ceil(n * 0.5) THEN v END) AS p50,
+             |  min(CASE WHEN rn >= ceil(n * 0.9) THEN v END) AS p90,
+             |  min(CASE WHEN rn >= ceil(n * 0.99) THEN v END) AS p99,
+             |  max(n) AS n
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "rank-based exact quantiles (sketchable via approx_percentile at scale)")
   )
 }
