@@ -86,6 +86,36 @@ object TextQueries {
           .orderBy("fp"),
       Some("""SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
              |  min(doc_id) AS keep_id, count(*) AS n_copies
-             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Corpus curation: deterministic stratified downsampling — cap each
+    // length stratum at 20 docs, chosen by md5-hash rank (a seedless,
+    // reproducible "uniform" sample; the md5 order IS the randomness, so
+    // reruns and engines agree exactly). At 100 TB this is the standard
+    // per-group reservoir: one window per stratum, no global shuffle.
+    Q("sample_stratified_hash", Seq("sampling", "W4", "P13", "W9"),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy("h", "doc_id")
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+                  expr("CAST(floor(n_chars / 100.0) AS INT)").as("bucket"),
+                  col("n_chars"))
+          .withColumn("h", expr(graft.dedup.Hashing.sparkMd5Mod("CAST(doc_id AS STRING)")))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 20)
+          .select("bucket", "rk", "doc_id", "n_chars")
+          .orderBy("bucket", "rk")
+      },
+      Some(s"""WITH h AS (
+              |  SELECT doc_id, CAST(floor(n_chars / 100.0) AS INTEGER) AS bucket, n_chars,
+              |    ${graft.dedup.Hashing.duckMd5Mod("CAST(doc_id AS VARCHAR)")} AS h
+              |  FROM documents)
+              |SELECT bucket, CAST(rk AS INTEGER) AS rk, doc_id, n_chars FROM (
+              |  SELECT bucket, doc_id, n_chars,
+              |    row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rk
+              |  FROM h) t
+              |WHERE rk <= 20 ORDER BY bucket, rk""".stripMargin),
+      note = "hash-ranked per-stratum cap: seedless reproducible sampling")
   )
 }
