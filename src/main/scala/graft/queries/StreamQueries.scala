@@ -47,6 +47,16 @@ object StreamQueries {
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       note = "custom forage_period_end Expression inside a streaming aggregation"),
 
+    Q("stream_stream_interval_join", Seq("§2.9", "J2", "F1", "F8"),
+      (s, dir) => StreamOps.streamStreamIntervalJoin(s, dir),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type FROM events),
+             |p AS (SELECT event_id AS p_id, user_id, t_us AS p_us FROM e WHERE event_type = 'purchase'),
+             |v AS (SELECT event_id AS v_id, user_id AS v_user, t_us AS v_us FROM e WHERE event_type = 'view')
+             |SELECT p_id, v_id, user_id, p_us, v_us
+             |FROM p JOIN v ON user_id = v_user AND v_us >= p_us - 3600000000 AND v_us < p_us
+             |ORDER BY p_id, v_id""".stripMargin),
+      note = "two watermarked streams, interval condition bounds join state"),
+
     Q("stream_dedup_fingerprint", Seq("§2.9", "dedup", "A10"),
       (s, dir) => StreamOps.streamingDedup(s, dir),
       Some("""SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,

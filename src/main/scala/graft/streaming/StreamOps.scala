@@ -132,6 +132,44 @@ object StreamOps {
       .orderBy("p_end", "event_type")
   }
 
+  /** Stream-stream interval join with watermarked state on BOTH sides:
+    * purchases join the views that happened in the preceding hour for the
+    * same user. The time-bound condition lets Spark evict view state once
+    * the purchase watermark passes `v_t + 1 hour` — bounded state at any
+    * stream length, the §2.9 contract in its two-stream form. Inner join
+    * emits matches as they form, so the AvailableNow drain is complete. */
+  def streamStreamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.events(spark, dir) // sets nanosAsLong
+    val name = s"graft_ssj_${runCounter.incrementAndGet()}"
+    def src = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("event_id"), col("user_id"),
+              expr("timestamp_micros(ts div 1000)").as("t"), col("event_type"))
+    val p = src.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("t").as("p_t"))
+      .withWatermark("p_t", "1 day")
+    val v = src.where(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("t").as("v_t"))
+      .withWatermark("v_t", "1 day")
+    val joined = p.join(v,
+      expr("user_id = v_user AND v_t >= p_t - INTERVAL 1 HOUR AND v_t < p_t"))
+    withStreamPartitions(spark) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .select(col("p_id"), col("v_id"), col("user_id"),
+              expr("unix_micros(p_t)").as("p_us"), expr("unix_micros(v_t)").as("v_us"))
+      .orderBy("p_id", "v_id")
+  }
+
   /** Streaming ingest dedup — the training-data-pipeline crossover: as
     * document files land, fingerprint each (normalized md5, same codec as
     * the batch `text_fingerprint`) and hold per-fingerprint (min doc_id,
