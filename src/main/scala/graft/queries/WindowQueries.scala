@@ -129,6 +129,50 @@ object WindowQueries {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
              |FROM lineitem
              |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
-             |ORDER BY l_suppkey, rn""".stripMargin))
+             |ORDER BY l_suppkey, rn""".stripMargin)),
+
+    // RANGE frame (vs the rows-frames above): trailing 3-day window keyed
+    // by event TIME, not row position — rows with equal timestamps share a
+    // frame, and gaps in time shrink it. The frame bound is value-based
+    // (epoch µs), which is what Spark's range frames require; counts stay
+    // integer-exact across engines.
+    Q("w_range_trailing", Seq("W2", "W3", "F8", "§2.10"),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us")
+          .rangeBetween(-3L * 86400L * 1000000L, 0L)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+          .withColumn("n_3d", count(lit(1)).over(w))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |    RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW) AS n_3d
+             |FROM events ORDER BY event_id""".stripMargin),
+      note = "value-based RANGE frame (time interval), not a rows frame"),
+
+    // ROLLUP lattice: per-(type, day) totals plus per-type and grand
+    // totals in ONE pass — Spark expands the grouping sets before the
+    // aggregation, so partial aggregation still happens map-side; the
+    // grouping-id disambiguates null-as-total from null-in-data.
+    Q("a_rollup_totals", Seq("A1", "A12", "W6", "§2.10"),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_type"), to_date(col("ts")).as("d"),
+                  col("value").cast("decimal(18,2)").as("v"))
+          .rollup("event_type", "d")
+          .agg(count(lit(1)).as("n"),
+               expr("CAST(sum(v) AS DECIMAL(18,2))").as("total"),
+               grouping_id().as("gid"))
+          .orderBy(col("gid"), col("event_type"), col("d")),
+      Some("""SELECT event_type, d, count(*) AS n,
+             |  CAST(sum(v) AS DECIMAL(18,2)) AS total,
+             |  CAST(grouping(event_type) * 2 + grouping(d) AS BIGINT) AS gid
+             |FROM (SELECT event_type, CAST(ts AS DATE) AS d,
+             |        CAST(value AS DECIMAL(18,2)) AS v FROM events) t
+             |GROUP BY ROLLUP (event_type, d)
+             |ORDER BY gid, event_type, d""".stripMargin),
+      note = "ROLLUP grouping sets with grouping_id disambiguation")
   )
 }
