@@ -46,4 +46,18 @@ class SourcesSpec extends AnyFunSuite {
       .as[String].collect().sorted
     assert(zones.toSeq == Seq("ET01", "ET02"))
   }
+
+  test("date-partitioned layout prunes partitions at planning time (S6/mosaic replacement)") {
+    val dir = Files.createTempDirectory("graft_prune").toFile.getAbsolutePath
+    (1 to 3).flatMap(d => Seq((s"2024-01-0$d", d.toLong, d * 1.5)))
+      .toDF("d", "k", "v")
+      .write.partitionBy("d").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).where($"d" === "2024-01-02")
+    assert(q.count() == 1)
+    // the filename-date scan of the reference (P14/A11) becomes a partition
+    // filter: the planner never lists the other dates' files
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("2024-01-02"),
+           s"expected pruned scan, got:\n$plan")
+  }
 }
