@@ -185,6 +185,43 @@ object AggQueries {
              |  min(CASE WHEN rn >= ceil(n * 0.99) THEN v END) AS p99,
              |  max(n) AS n
              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
-      note = "rank-based exact quantiles (sketchable via approx_percentile at scale)")
+      note = "rank-based exact quantiles (sketchable via approx_percentile at scale)"),
+
+    // KMV distinct sketch (graft.agg.KmvSketch, typed Aggregator): the
+    // mergeable estimator next to the exact countDistinct. Because the
+    // hash is md5-derived, the oracle reproduces the same k-min set and
+    // the same estimate — a deterministic sketch, verifiable bit-for-bit
+    // (HLL++'s approx_count_distinct can't cross engines like this).
+    Q("sketch_kmv_distinct", Seq("A12", "A13", "§2.10", "sampling"),
+      (s, dir) => {
+        val kmv = udaf(new graft.agg.KmvSketch(64, graft.dedup.Hashing.P.toDouble))
+        Tables.events(s, dir)
+          .select(col("event_type"),
+                  col("user_id"),
+                  expr(graft.dedup.Hashing.sparkMd5Mod("CAST(user_id AS STRING)")).as("h"))
+          .groupBy("event_type")
+          .agg(countDistinct("user_id").as("n_exact"),
+               round(kmv(col("h")), 6).as("kmv_est"))
+          .orderBy("event_type")
+      },
+      Some {
+        val h = graft.dedup.Hashing.duckMd5Mod("CAST(user_id AS VARCHAR)")
+        val P = graft.dedup.Hashing.P
+        s"""WITH hx AS (SELECT DISTINCT event_type, $h AS h FROM events),
+           |r AS (SELECT event_type, h,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+           |    count(*) OVER (PARTITION BY event_type) AS d
+           |  FROM hx),
+           |est AS (SELECT event_type,
+           |    CASE WHEN max(d) < 64 THEN CAST(max(d) AS DOUBLE)
+           |         ELSE 63.0 * $P.0 / CAST(max(CASE WHEN rk = 64 THEN h END) AS DOUBLE)
+           |    END AS e
+           |  FROM r GROUP BY 1),
+           |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+           |SELECT ex.event_type, ex.n_exact, round(est.e, 6) AS kmv_est
+           |FROM ex JOIN est USING (event_type)
+           |ORDER BY event_type""".stripMargin
+      },
+      note = "mergeable k-min-values sketch (typed Aggregator) vs exact, same answer either merge order")
   )
 }
