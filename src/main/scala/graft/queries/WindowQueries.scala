@@ -173,6 +173,26 @@ object WindowQueries {
              |        CAST(value AS DECIMAL(18,2)) AS v FROM events) t
              |GROUP BY ROLLUP (event_type, d)
              |ORDER BY gid, event_type, d""".stripMargin),
-      note = "ROLLUP grouping sets with grouping_id disambiguation")
+      note = "ROLLUP grouping sets with grouping_id disambiguation"),
+
+    // Set operations beyond W5's UNION: day-over-day audience INTERSECT
+    // (retained users) and EXCEPT (churned users) — both plan as hash
+    // aggregates over the union, one shuffle each, no pair join.
+    Q("set_retention_intersect", Seq("W5", "A10", "F1"),
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+        val d1 = e.where(col("d") === "2024-01-01").select("user_id").distinct()
+        val d2 = e.where(col("d") === "2024-01-02").select("user_id").distinct()
+        d1.intersect(d2).withColumn("status", lit("retained"))
+          .union(d1.except(d2).withColumn("status", lit("churned")))
+          .orderBy("status", "user_id")
+      },
+      Some("""WITH d1 AS (SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'),
+             |d2 AS (SELECT DISTINCT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'),
+             |r AS (SELECT user_id, 'retained' AS status FROM (SELECT * FROM d1 INTERSECT SELECT * FROM d2)
+             |      UNION ALL
+             |      SELECT user_id, 'churned' AS status FROM (SELECT * FROM d1 EXCEPT SELECT * FROM d2))
+             |SELECT user_id, status FROM r ORDER BY status, user_id""".stripMargin),
+      note = "INTERSECT/EXCEPT set ops (retained vs churned audiences)")
   )
 }
