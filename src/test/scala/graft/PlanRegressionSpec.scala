@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regressions: the properties PLANS.md documents, asserted.
+  * A change that silently turns a broadcast join into a sort-merge join or
+  * drops a pushed filter fails here, not at 100 TB. (sf0.001 keeps the
+  * planning fast; shapes are scale-independent except where AQE resizes.) */
+class PlanRegressionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("W1 composite joins the broadcast day-calendar, never a shuffle join") {
+    val p = plan("w1_period_composite")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("projection+filter queries push predicates into the parquet scan") {
+    for (q <- Seq("p12_project_filter", "f2_bbox_time_slice")) {
+      val p = plan(q)
+      assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+             s"$q lost its pushdown:\n$p")
+    }
+  }
+
+  test("the 6-way star join runs on broadcasts") {
+    val p = plan("q5_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("centroid assignment broadcasts the centroid table") {
+    val p = plan("ann_centroid_assign")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("native as-of join plans its custom exec with per-side sorts") {
+    val p = plan("j_asof_native")
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
