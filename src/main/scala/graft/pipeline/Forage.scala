@@ -52,10 +52,15 @@ object Forage {
   /** Stage 2 (gwr_model): impute → GWR (fit per distinct quantized coord,
     * broadcast coefficients) → pred → biomass formula (P6). */
   def stage2Score(spark: SparkSession, combined: DataFrame, bandwidth: Double = 1.0): DataFrame = {
-    if (combined.isEmpty) // F7 guard
-      return combined.withColumn("pred", lit(0.0)).withColumn("biom", lit(0.0)).limit(0)
+    // stage 1's output is read four times below (F7 guard, calibration
+    // collect, distinct-coordinate fit set, final scoring join) — cache it
+    // rather than recompute the upstream composite 4×. CacheManager dedups
+    // by canonicalized plan, so repeated pipeline runs share one entry.
+    val input = combined.cache()
+    if (input.isEmpty) // F7 guard
+      return input.withColumn("pred", lit(0.0)).withColumn("biom", lit(0.0)).limit(0)
     import spark.implicits._
-    val clean = combined.na.fill(0.0, Seq("ndvi", "sm", "preci")) // P8
+    val clean = input.na.fill(0.0, Seq("ndvi", "sm", "preci")) // P8
     val calib = clean.select("lon", "lat", "sm", "preci", "ndvi")
       .as[(Double, Double, Double, Double, Double)].collect()
       .map(r => GWR.Obs(r._1, r._2, Array(r._3, r._4), r._5))
