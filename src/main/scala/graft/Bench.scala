@@ -32,12 +32,13 @@ object Bench {
     SparkEntry.registry.foreach { q =>
       try q.run(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    // registry order (stable) rather than Map iteration order. Best-of-2
-    // per query: consecutive identical runs on this host differ by up to 2×
-    // from interference outside the JVM (virtualized CPU), so a single
-    // sample measures the host's mood; the minimum measures the operator.
+    // registry order (stable) rather than Map iteration order. Best-of-3
+    // per query: identical consecutive runs on this host differ by up to 2×
+    // from interference outside the JVM (virtualized CPU), and a bad window
+    // can swallow two samples; a single sample measures the host's mood,
+    // the minimum measures the operator.
     val results = SparkEntry.registry.map { q =>
-      val samples = (1 to 2).map { _ =>
+      val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
