@@ -1,0 +1,34 @@
+package graft
+
+import java.nio.file.Files
+import graft.pipeline.ForageJob
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The configured 5-stage job (the reference's scheduled entrypoint):
+  * runs end-to-end on harness data, writes date-partitioned sinks, and
+  * respects the latency watermark. */
+class ForageJobSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("ForageJob runs stages 1-5 and writes partitioned outputs") {
+    val out = Files.createTempDirectory("graft_job").toFile.getAbsolutePath
+    val paths = ForageJob.runOnHarness(spark, "/root/testdata/sf0.001", out)
+    assert(paths.keySet == Set("combined", "cells", "trends", "forecasts"))
+
+    val combined = spark.read.parquet(paths("combined"))
+    assert(combined.count() > 0)
+    // watermark: currentDate 2024-02-02 − 2 days latency ⇒ only the period
+    // ending 2024-01-16 is complete; the 02-01 period must be withheld
+    assert(combined.select("date").distinct().collect().map(_.getLong(0)).toSet == Set(20240116L))
+
+    // K3 shape: the cell mosaic and zone trends are date-partitioned
+    assert(new java.io.File(paths("cells")).listFiles().exists(_.getName.startsWith("date=")))
+    assert(new java.io.File(paths("trends")).listFiles().exists(_.getName.startsWith("date=")))
+
+    // K5 payload: 3 forecast horizons per zone, 4dp means
+    val fc = spark.read.parquet(paths("forecasts"))
+    val perZone = fc.groupBy("extId").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perZone.values.forall(_ == 3) && perZone.keySet == Set("Z_WEST", "Z_EAST"))
+    assert(fc.columns.toSet == Set("extId", "mean", "date"))
+  }
+}
