@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Spark-vs-DuckDB throughput comparison over the SAME queries.
+
+For every oracle-checked query, times the DuckDB side (best-of-3, single
+connection, tables pre-registered as views over the sf parquet) and joins
+it against the per-query timings from a graft.Bench JSON line. DuckDB is a
+state-of-the-art single-node engine, so "within small-factor of DuckDB on
+small data, while every plan is a distributed shuffle shape" is the
+single-node half of the 100 TB story.
+
+Usage: python3 tools/benchcmp.py <sfDir> <bench_json_file> [out_md]
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    bench_file = sys.argv[2] if len(sys.argv) > 2 else "/tmp/bench.json"
+    out_md = sys.argv[3] if len(sys.argv) > 3 else "BENCHCMP.md"
+
+    s = open(bench_file).read()
+    bench = json.loads(s[s.index('{"metric"'):])
+    spark_times = bench["queries"]
+
+    # oracle SQL dumped by graft.Verify for the same SF family
+    oracle = json.load(open("/tmp/graft_verify_01/oracle_sql.json"))
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    rows = []
+    for name, sql in sorted(oracle.items()):
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        sp = spark_times.get(name)
+        rows.append((name, sp, best))
+
+    lines = [
+        "# BENCHCMP — Spark (local[32], best-of-3) vs DuckDB (best-of-3), same queries, same parquet",
+        "",
+        f"Scale dir: `{sf}`. DuckDB runs the driver's own oracle SQL; Spark runs",
+        "the registry implementation. DuckDB is the single-node reference point;",
+        "the Spark column carries distributed-shape overhead (shuffles, task",
+        "scheduling) that buys the 1000-executor scale-out path.",
+        "",
+        "| query | spark s | duckdb s | spark/duckdb |",
+        "|---|---|---|---|",
+    ]
+    tot_sp = tot_dk = 0.0
+    for name, sp, dk in rows:
+        if sp is None:
+            continue
+        tot_sp += sp
+        tot_dk += dk
+        lines.append(f"| `{name}` | {sp:.3f} | {dk:.3f} | {sp / dk:.1f}× |" if dk > 0
+                     else f"| `{name}` | {sp:.3f} | {dk:.3f} | — |")
+    lines.append(f"| **total ({len(rows)} oracle queries)** | **{tot_sp:.1f}** | "
+                 f"**{tot_dk:.1f}** | **{tot_sp / tot_dk:.1f}×** |")
+    open(out_md, "w").write("\n".join(lines) + "\n")
+    print(f"spark {tot_sp:.1f}s vs duckdb {tot_dk:.1f}s over {len(rows)} queries -> {out_md}")
+
+
+if __name__ == "__main__":
+    main()
