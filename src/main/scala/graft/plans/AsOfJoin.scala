@@ -134,11 +134,98 @@ object AsOfJoinPlan {
       copy(left = newLeft, right = newRight)
   }
 
-  /** Planner strategy: AsOfJoin logical → AsOfJoinExec physical. */
+  /** Broadcast as-of join: when the quote side is small, ship it whole and
+    * binary-search per probe row — the probe side is never shuffled OR
+    * sorted (map-side only, preserves upstream partitioning). This is the
+    * as-of analog of BroadcastHashJoin and the plan you want at 100 TB
+    * facts × small reference series. */
+  case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                                   leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                                   leftTime: Expression, rightTime: Expression,
+                                   strict: Boolean)
+      extends BinaryExecNode {
+
+    override def output: Seq[Attribute] =
+      left.output ++ right.output.map(_.withNullability(true))
+
+    override def requiredChildDistribution: Seq[Distribution] = Seq(
+      org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution,
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode))
+
+    override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+      left.outputPartitioning
+    override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+    private def timeOf(e: Expression, out: Seq[Attribute]): InternalRow => Long = {
+      val bound = BindReferences.bindReference(e, out)
+      e.dataType match {
+        case LongType | TimestampType => row => bound.eval(row).asInstanceOf[Long]
+        case IntegerType | DateType   => row => bound.eval(row).asInstanceOf[Int].toLong
+        case t => throw new IllegalArgumentException(s"as-of time must be integral/date/timestamp, got $t")
+      }
+    }
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val strictLocal = strict
+      val lOut = left.output
+      val rOut = right.output
+      val lKeysLocal = leftKeys
+      val rKeysLocal = rightKeys
+      val lTimeLocal = leftTime
+      val rTimeLocal = rightTime
+      val bc = right.executeBroadcast[Array[InternalRow]]()
+      left.execute().mapPartitions { lIt =>
+        // per-partition index over the broadcast side: key → rows sorted by time
+        val rKeyProj = UnsafeProjection.create(rKeysLocal, rOut)
+        val rTimeOf = timeOf(rTimeLocal, rOut)
+        val index = bc.value.groupBy(r => rKeyProj(r).copy())
+          .map { case (k, rows) =>
+            val sorted = rows.map(r => (rTimeOf(r), r)).sortBy(_._1)
+            k -> (sorted.map(_._1), sorted.map(_._2))
+          }
+        val lKeyProj = UnsafeProjection.create(lKeysLocal, lOut)
+        val lTimeOf = timeOf(lTimeLocal, lOut)
+        val nullRight = new GenericInternalRow(rOut.size)
+        val joined = new JoinedRow
+        val toUnsafe = UnsafeProjection.create(output, lOut ++ rOut)
+        lIt.map { lRow =>
+          val matched = index.get(lKeyProj(lRow)) match {
+            case Some((times, rows)) =>
+              val lT = lTimeOf(lRow)
+              // rightmost index with time < lT (or <= when non-strict)
+              var lo = 0; var hi = times.length - 1; var best = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (if (strictLocal) times(mid) < lT else times(mid) <= lT) {
+                  best = mid; lo = mid + 1
+                } else hi = mid - 1
+              }
+              if (best >= 0) rows(best) else null
+            case None => null
+          }
+          toUnsafe(joined(lRow, if (matched != null) matched else nullRight))
+        }
+      }
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Planner strategy — cost-based physical selection, the BroadcastHashJoin
+    * vs SortMergeJoin decision replayed for the custom operator: a quote
+    * side under the broadcast threshold plans map-side, else co-clustered
+    * merge. */
   object AsOfJoinStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case AsOfJoin(l, r, lk, rk, lt, rt, strict) =>
-        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict) :: Nil
+        val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+        if (threshold > 0 && r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= threshold)
+          BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict) :: Nil
+        else
+          AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict) :: Nil
       case _ => Nil
     }
   }

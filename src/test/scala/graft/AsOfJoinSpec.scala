@@ -34,6 +34,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == Map(1L -> Some("b"), 2L -> Some("a"), 3L -> None, 4L -> None))
   }
 
+  test("cost-based physical selection: broadcast under threshold, merge above") {
+    def planOf(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan.toString
+    val bcast = AsOfJoinPlan.join(probe, quotes, Seq("k" -> "qk"), "t" -> "qt")
+    assert(planOf(bcast).contains("BroadcastAsOfJoin"), planOf(bcast))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val merge = AsOfJoinPlan.join(probe, quotes, Seq("k" -> "qk"), "t" -> "qt")
+      assert(planOf(merge).contains("AsOfJoin") && !planOf(merge).contains("BroadcastAsOfJoin"),
+             planOf(merge))
+      // both paths produce the identical result
+      val a = bcast.orderBy("id").collect().toSeq
+      val b = merge.orderBy("id").collect().toSeq
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("native as-of equals the declarative max-prior spec on events (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.core.Tables.events(spark, dir)
