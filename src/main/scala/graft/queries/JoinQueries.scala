@@ -105,6 +105,45 @@ object JoinQueries {
               |    CAST(sum(CAST(value AS $dec)) AS DOUBLE) / count(*)) AS mean_value,
               |  sum(CASE WHEN value >= 50 THEN 1 ELSE 0 END) = 0 AS used_fallback
               |FROM events JOIN nation ON user_id % 25 = n_nationkey
-              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // LEFT OUTER: every customer keeps a row — zero orders become count 0
+    // and a 0.00 total (null-preserving join, null-absorbing aggregates).
+    Q("j_left_outer_orders", Seq("J1", "A12", "P8"),
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir),
+                col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_orders"),
+               expr("CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2))").as("total_spent"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+             |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS total_spent
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // FULL OUTER: audiences that only ever viewed, only ever purchased, or
+    // did both — both sides' unmatched rows survive with nulls.
+    Q("j_full_outer_activity", Seq("J1", "F1", "A10"),
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val v = e.where(col("event_type") === "view").select(col("user_id").as("vu")).distinct()
+        val p = e.where(col("event_type") === "purchase").select(col("user_id").as("pu")).distinct()
+        v.join(p, col("vu") === col("pu"), "full")
+          .select(coalesce(col("vu"), col("pu")).as("user_id"),
+                  when(col("vu").isNotNull && col("pu").isNotNull, "both")
+                    .when(col("vu").isNotNull, "view_only")
+                    .otherwise("purchase_only").as("status"))
+          .orderBy("user_id")
+      },
+      Some("""WITH v AS (SELECT DISTINCT user_id AS vu FROM events WHERE event_type = 'view'),
+             |p AS (SELECT DISTINCT user_id AS pu FROM events WHERE event_type = 'purchase')
+             |SELECT coalesce(vu, pu) AS user_id,
+             |  CASE WHEN vu IS NOT NULL AND pu IS NOT NULL THEN 'both'
+             |       WHEN vu IS NOT NULL THEN 'view_only'
+             |       ELSE 'purchase_only' END AS status
+             |FROM v FULL OUTER JOIN p ON vu = pu
+             |ORDER BY user_id""".stripMargin))
   )
 }
