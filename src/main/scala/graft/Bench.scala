@@ -45,10 +45,22 @@ object Bench {
       }
       q.name -> samples.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only a bounded tail of stdout; full-precision doubles
+    // made round 1's line overflow it and the head of the JSON was cut off.
+    // 1 ms resolution keeps the whole line inside the tail window; the
+    // full-precision record goes to a local file instead.
+    def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
+    catch { case _: Throwable => () }
     spark.stop()
+    // single compact FINAL stdout line, after spark.stop() so no shutdown
+    // logging can land after it
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -1,10 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native dot product over embedding columns (the "custom Expression over
   * composing built-ins" rung of the builder prompt's preference order).
@@ -44,25 +44,26 @@ object VecExprs {
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "scala_udf")
 }
 
-/** array<float|double> × array<float|double> → double. */
-case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+/** array<float|double> × array<float|double> → double.
+  *
+  * Float and double arrays are accepted AS-IS (no per-row cast in the pair
+  * kernels); anything else numeric — notably literal `array(0.123, ...)`,
+  * whose plain decimal literals make it `array<decimal>` unless one element
+  * happens to print in E-notation — is implicitly cast to `array<double>`
+  * at analysis time, so resolution never depends on literal formatting or
+  * session state (round-1 DATATYPE_MISMATCH on ann_lsh_hyperplane). */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _                       => false
   }
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
-      case _                                                  => false
-    }
-    if (ok(left.dataType) && ok(right.dataType))
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"vec_dot needs array<float>/array<double>, got ${left.dataType} / ${right.dataType}")
-  }
+  // result type inferred: AbstractDataType is private[sql] in Spark 4, so
+  // the spec is built behind the graftshim bridge (see vecDotInputTypes)
+  override def inputTypes =
+    org.apache.spark.sql.graftshim.GraftSqlBridge.vecDotInputTypes
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

@@ -47,13 +47,13 @@ object AggQueries {
           .agg(count(lit(1)).as("n_obs"),
                sum(col("l_quantity")).as("sum_qty"),
                avg(col("l_quantity")).as("avg_qty"),
-               expr(s"CAST(sum(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec))) AS DECIMAL(28,4))").as("revenue"))
+               expr(s"CAST(sum(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec))) AS DOUBLE)").as("revenue"))
           .orderBy("p_end")
       },
       Some(s"""${Sql.periodCtes(anchor, current)}
               |SELECT p_start, p_end, count(*) AS n_obs, sum(l_quantity) AS sum_qty,
               |  avg(l_quantity) AS avg_qty,
-              |  CAST(sum(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec))) AS DECIMAL(28,4)) AS revenue
+              |  CAST(sum(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec))) AS DOUBLE) AS revenue
               |FROM lineitem JOIN period_days ON CAST(l_shipdate AS DATE) = d
               |GROUP BY p_start, p_end ORDER BY p_end""".stripMargin)),
 
@@ -120,10 +120,10 @@ object AggQueries {
         graft.join.Salted.saltedSumCount(
             e, "event_type",
             expr(s"CAST(value AS $dec)"), entropy = col("event_id"), salts = 16)
-          .select(col("event_type"), expr(s"CAST(total AS $dec)").as("total"), col("n"))
+          .select(col("event_type"), expr(s"CAST(CAST(total AS $dec) AS DOUBLE)").as("total"), col("n"))
           .orderBy("event_type")
       },
-      Some(s"""SELECT event_type, CAST(sum(CAST(value AS $dec)) AS $dec) AS total,
+      Some(s"""SELECT event_type, CAST(CAST(sum(CAST(value AS $dec)) AS $dec) AS DOUBLE) AS total,
               |  count(*) AS n
               |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 

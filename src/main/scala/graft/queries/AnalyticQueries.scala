@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
 object AnalyticQueries {
 
   private val dec = "DECIMAL(18,2)"
-  private val rev = s"CAST(sum(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec))) AS DECIMAL(28,4))"
+  // decimal sum internally (associativity-free), DOUBLE on the wire: the two
+  // engines serialize trailing-zero decimals differently, identical doubles
+  // hash identically (decimal→double is correctly rounded in both)
+  private val rev = s"CAST(CAST(sum(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec))) AS DECIMAL(28,4)) AS DOUBLE)"
 
   def all: Seq[Q] = Seq(
 
@@ -105,11 +108,11 @@ object AnalyticQueries {
           .groupBy("p_type")
           .agg(count(lit(1)).as("n_items"),
                expr(rev).as("revenue"),
-               expr(s"CAST(sum(CAST(p_retailprice AS $dec)) AS DECIMAL(28,2))").as("retail_total"))
+               expr(s"CAST(sum(CAST(p_retailprice AS $dec)) AS DOUBLE)").as("retail_total"))
           .orderBy("p_type")
       },
       Some(s"""SELECT p_type, count(*) AS n_items, $rev AS revenue,
-              |  CAST(sum(CAST(p_retailprice AS $dec)) AS DECIMAL(28,2)) AS retail_total
+              |  CAST(sum(CAST(p_retailprice AS $dec)) AS DOUBLE) AS retail_total
               |FROM lineitem JOIN part ON l_partkey = p_partkey
               |GROUP BY p_type ORDER BY p_type""".stripMargin))
   )

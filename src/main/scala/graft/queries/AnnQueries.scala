@@ -35,10 +35,13 @@ object AnnQueries {
   private def planeLits(p: Array[Double]): String = p.mkString(", ")
 
   /** Spark: sign bit of v·plane via the codegen'd vec_dot kernel (same
-    * left-fold doubles as the zip_with form it replaced). */
+    * left-fold doubles as the zip_with form it replaced). The literal array
+    * is cast to ARRAY<DOUBLE> explicitly — plain decimal literals would
+    * otherwise type the array as array<decimal> — and constant-folds to a
+    * single array, so the cast costs nothing per row. */
   private def sparkBucket(vecCol: String): String =
     (0 until NumPlanes).map { j =>
-      val dot = s"vec_dot($vecCol, array(${planeLits(planes(j))}))"
+      val dot = s"vec_dot($vecCol, CAST(array(${planeLits(planes(j))}) AS ARRAY<DOUBLE>))"
       s"(CAST($dot >= 0 AS INT) * ${1 << j})"
     }.mkString(" + ")
 

@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
   * Money columns are cast to DECIMAL(18,2) before summing: decimal arithmetic
   * is associativity-independent, so Spark's partition-parallel aggregation
   * and DuckDB's sequential one produce bit-identical results (doubles would
-  * drift in the last ulp and break the driver's hash compare).
+  * drift in the last ulp and break the driver's hash compare). Final output
+  * columns are then cast DECIMAL→DOUBLE on BOTH sides: the two engines format
+  * trailing-zero decimals differently ("587.3" vs "587.30"), while identical
+  * doubles always serialize identically; decimal→double is the same
+  * correctly-rounded conversion in both engines.
   */
 object CoreQueries {
 
@@ -31,16 +35,16 @@ object CoreQueries {
             col("l_orderkey"), col("l_linenumber"),
             to_date(col("l_shipdate")).as("ship_d"),
             col("l_quantity").as("qty"),
-            // keep the exact scale-4 product: decimal downcasts round
-            // HALF_UP in Spark but truncate in DuckDB, so never downcast
-            expr(s"CAST(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec)) AS DECIMAL(18,4))").as("net_price"),
+            // exact scale-4 decimal product internally (downcasts round
+            // HALF_UP in Spark but truncate in DuckDB), emitted as DOUBLE
+            expr(s"CAST(CAST(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec)) AS DECIMAL(18,4)) AS DOUBLE)").as("net_price"),
             col("l_returnflag").as("rf"))
           // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
           // order by every output column so the ordering is total
           .orderBy("l_orderkey", "l_linenumber", "ship_d", "qty", "net_price", "rf"),
       Some(s"""SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_d,
               |  l_quantity AS qty,
-              |  CAST(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec)) AS DECIMAL(18,4)) AS net_price,
+              |  CAST(CAST(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec)) AS DECIMAL(18,4)) AS DOUBLE) AS net_price,
               |  l_returnflag AS rf
               |FROM lineitem
               |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -67,11 +71,11 @@ object CoreQueries {
         val (y, m, _) = DateOps.decompose(col("o_orderdate"))
         o.groupBy(y.as("y"), m.as("m"))
           .agg(count(lit(1)).as("n"),
-               expr(s"CAST(sum(CAST(o_totalprice AS $dec)) AS $dec)").as("sum_price"))
+               expr(s"CAST(sum(CAST(o_totalprice AS $dec)) AS DOUBLE)").as("sum_price"))
           .orderBy("y", "m")
       },
       Some(s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS y, CAST(month(o_orderdate) AS INTEGER) AS m,
-              |  count(*) AS n, CAST(sum(CAST(o_totalprice AS $dec)) AS $dec) AS sum_price
+              |  count(*) AS n, CAST(sum(CAST(o_totalprice AS $dec)) AS DOUBLE) AS sum_price
               |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     Q("p3_yyyymmdd_roundtrip", Seq("P3", "P15", "P18"),
@@ -82,10 +86,10 @@ object CoreQueries {
           .withColumn("d", DateOps.fromYyyymmdd(col("ymd")))
           .groupBy("ymd", "d")
           .agg(count(lit(1)).as("n"),
-               expr(s"CAST(sum(CAST(value AS $dec)) AS $dec)").as("sum_value"))
+               expr(s"CAST(sum(CAST(value AS $dec)) AS DOUBLE)").as("sum_value"))
           .orderBy("ymd"),
       Some(s"""SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS ymd, CAST(ts AS DATE) AS d,
-              |  count(*) AS n, CAST(sum(CAST(value AS $dec)) AS $dec) AS sum_value
+              |  count(*) AS n, CAST(sum(CAST(value AS $dec)) AS DOUBLE) AS sum_value
               |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
     Q("p10_sentinel_impute", Seq("P8", "P10", "A3"),
@@ -97,13 +101,13 @@ object CoreQueries {
           .select(col("event_type"), v.as("v"))
           .groupBy("event_type")
           .agg(sum(when(col("v").isNull, 1).otherwise(0)).as("n_masked"),
-               expr(s"CAST(coalesce(sum(CAST(v AS $dec)), 0) AS $dec)").as("sum_valid"))
+               expr(s"CAST(coalesce(sum(CAST(v AS $dec)), 0) AS DOUBLE)").as("sum_valid"))
           .orderBy("event_type")
       },
       Some(s"""SELECT event_type,
               |  CAST(sum(CASE WHEN value < 1.0 OR value = -99999 THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
               |  CAST(coalesce(sum(CASE WHEN value < 1.0 OR value = -99999 THEN NULL
-              |                         ELSE CAST(value AS $dec) END), 0) AS $dec) AS sum_valid
+              |                         ELSE CAST(value AS $dec) END), 0) AS DOUBLE) AS sum_valid
               |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     Q("p13_json_extract", Seq("S3", "P13", "P15"),
@@ -173,10 +177,10 @@ object CoreQueries {
                  col("lat") >= 14.3 && col("lat") <= 15.0 &&
                  col("d").between(lit("2024-01-05"), lit("2024-01-20")))
           .groupBy("d")
-          .agg(count(lit(1)).as("n"), expr(s"CAST(sum(CAST(value AS $dec)) AS $dec)").as("sum_value"))
+          .agg(count(lit(1)).as("n"), expr(s"CAST(sum(CAST(value AS $dec)) AS DOUBLE)").as("sum_value"))
           .orderBy("d"),
       Some(s"""SELECT CAST(ts AS DATE) AS d, count(*) AS n,
-              |  CAST(sum(CAST(value AS $dec)) AS $dec) AS sum_value
+              |  CAST(sum(CAST(value AS $dec)) AS DOUBLE) AS sum_value
               |FROM (SELECT ts, value,
               |        36.0 + CAST(user_id % 15 AS DOUBLE) * 0.1 AS lon,
               |        15.0 - CAST(user_id // 15 AS DOUBLE) * 0.1 AS lat

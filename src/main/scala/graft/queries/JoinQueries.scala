@@ -23,7 +23,7 @@ object JoinQueries {
         def branch(et: String, aggName: String) =
           e.where(col("event_type") === et)
             .groupBy("user_id", "d")
-            .agg(expr(s"CAST(sum(CAST(value AS $dec)) AS $dec)").as(aggName))
+            .agg(expr(s"CAST(sum(CAST(value AS $dec)) AS DOUBLE)").as(aggName))
         val views = branch("view", "view_sum")
         val clicks = branch("click", "click_sum")
         val buys = branch("purchase", "purchase_sum")
@@ -31,11 +31,11 @@ object JoinQueries {
           .join(buys, Seq("user_id", "d"), "inner")
           .orderBy("user_id", "d")
       },
-      Some(s"""WITH v AS (SELECT user_id, CAST(ts AS DATE) AS d, CAST(sum(CAST(value AS $dec)) AS $dec) AS view_sum
+      Some(s"""WITH v AS (SELECT user_id, CAST(ts AS DATE) AS d, CAST(sum(CAST(value AS $dec)) AS DOUBLE) AS view_sum
               |          FROM events WHERE event_type = 'view' GROUP BY 1, 2),
-              |     c AS (SELECT user_id, CAST(ts AS DATE) AS d, CAST(sum(CAST(value AS $dec)) AS $dec) AS click_sum
+              |     c AS (SELECT user_id, CAST(ts AS DATE) AS d, CAST(sum(CAST(value AS $dec)) AS DOUBLE) AS click_sum
               |          FROM events WHERE event_type = 'click' GROUP BY 1, 2),
-              |     p AS (SELECT user_id, CAST(ts AS DATE) AS d, CAST(sum(CAST(value AS $dec)) AS $dec) AS purchase_sum
+              |     p AS (SELECT user_id, CAST(ts AS DATE) AS d, CAST(sum(CAST(value AS $dec)) AS DOUBLE) AS purchase_sum
               |          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
               |SELECT v.user_id, v.d, view_sum, click_sum, purchase_sum
               |FROM v JOIN c USING (user_id, d) JOIN p USING (user_id, d)
@@ -50,10 +50,10 @@ object JoinQueries {
           .select(col("l_orderkey").as("o_orderkey"))
         o.join(manifest, Seq("o_orderkey"), "left_semi")
           .select(col("o_orderkey"), col("o_orderstatus"),
-                  expr(s"CAST(o_totalprice AS $dec)").as("price"))
+                  expr(s"CAST(CAST(o_totalprice AS $dec) AS DOUBLE)").as("price"))
           .orderBy("o_orderkey")
       },
-      Some(s"""SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS $dec) AS price
+      Some(s"""SELECT o_orderkey, o_orderstatus, CAST(CAST(o_totalprice AS $dec) AS DOUBLE) AS price
               |FROM orders
               |WHERE EXISTS (SELECT 1 FROM lineitem
               |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
@@ -116,10 +116,10 @@ object JoinQueries {
                 col("c_custkey") === col("o_custkey"), "left")
           .groupBy("c_custkey")
           .agg(count(col("o_orderkey")).as("n_orders"),
-               expr("CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2))").as("total_spent"))
+               expr("CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)").as("total_spent"))
           .orderBy("c_custkey"),
       Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
-             |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS total_spent
+             |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
              |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 

@@ -14,7 +14,7 @@ object StreamQueries {
       (s, dir) => StreamOps.windowedEventAgg(s, dir),
       Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
              |  count(*) AS n,
-             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       note = "Trigger.AvailableNow over file source, 1-day tumbling windows + watermark"),
 
@@ -24,7 +24,7 @@ object StreamQueries {
       Some("""WITH m AS (SELECT max(ts) - INTERVAL 1 DAY AS wm FROM events)
              |SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
              |  count(*) AS n,
-             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events
              |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT wm FROM m)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
@@ -42,7 +42,7 @@ object StreamQueries {
              |      FROM e),
              |wm AS (SELECT max(CAST(ts AS DATE)) - 1 AS w FROM events)
              |SELECT p_end, event_type, count(*) AS n,
-             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM p WHERE p_end <= (SELECT w FROM wm)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       note = "custom forage_period_end Expression inside a streaming aggregation"),

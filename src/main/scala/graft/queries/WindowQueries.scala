@@ -58,14 +58,14 @@ object WindowQueries {
           .select(col("user_id"), col("value"), lit("purchases").as("src"))
         a.unionByName(b)
           .groupBy("src", "user_id")
-          .agg(count(lit(1)).as("n"), expr(s"CAST(sum(CAST(value AS $dec)) AS $dec)").as("total"))
+          .agg(count(lit(1)).as("n"), expr(s"CAST(sum(CAST(value AS $dec)) AS DOUBLE)").as("total"))
           .orderBy("src", "user_id")
       },
       Some(s"""WITH u AS (
               |  SELECT user_id, value, 'clicks' AS src FROM events WHERE event_type = 'click'
               |  UNION ALL
               |  SELECT user_id, value, 'purchases' AS src FROM events WHERE event_type = 'purchase')
-              |SELECT src, user_id, count(*) AS n, CAST(sum(CAST(value AS $dec)) AS $dec) AS total
+              |SELECT src, user_id, count(*) AS n, CAST(sum(CAST(value AS $dec)) AS DOUBLE) AS total
               |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // W6: long→wide pivot (the zone×date cube build, BiomassAggregate.py:277).
@@ -75,11 +75,11 @@ object WindowQueries {
           .groupBy("user_id")
           .pivot("event_type", etypes)
           .agg(expr(s"sum(CAST(value AS $dec))"))
-        pivoted.select(col("user_id") +: etypes.map(t => col(t).cast(dec).as(t)): _*)
+        pivoted.select(col("user_id") +: etypes.map(t => col(t).cast(dec).cast("double").as(t)): _*)
           .orderBy("user_id")
       },
       Some(s"""SELECT user_id,
-              |${etypes.map(t => s"  CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS $dec) END) AS $dec) AS $t").mkString(",\n")}
+              |${etypes.map(t => s"  CAST(CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS $dec) END) AS $dec) AS DOUBLE) AS $t").mkString(",\n")}
               |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // W7: wide→long melt (cube → flat CSV, BiomassAggregate.py:328-338).
@@ -93,6 +93,7 @@ object WindowQueries {
         pivoted
           .select(col("user_id"),
                   expr(s"stack(${etypes.size}, $stackArgs) AS (etype, total)"))
+          .withColumn("total", col("total").cast("double"))
           .orderBy("user_id", "etype")
       },
       Some(s"""WITH p AS (SELECT user_id, event_type AS etype,
@@ -101,7 +102,7 @@ object WindowQueries {
               |  grid AS (SELECT user_id, etype
               |    FROM (SELECT DISTINCT user_id FROM events),
               |         (SELECT unnest(['click','error','purchase','signup','view']) AS etype))
-              |SELECT grid.user_id, grid.etype, p.total
+              |SELECT grid.user_id, grid.etype, CAST(p.total AS DOUBLE) AS total
               |FROM grid LEFT JOIN p USING (user_id, etype)
               |ORDER BY grid.user_id, grid.etype""".stripMargin)),
 
@@ -163,11 +164,11 @@ object WindowQueries {
                   col("value").cast("decimal(18,2)").as("v"))
           .rollup("event_type", "d")
           .agg(count(lit(1)).as("n"),
-               expr("CAST(sum(v) AS DECIMAL(18,2))").as("total"),
+               expr("CAST(sum(v) AS DOUBLE)").as("total"),
                grouping_id().as("gid"))
           .orderBy(col("gid"), col("event_type"), col("d")),
       Some("""SELECT event_type, d, count(*) AS n,
-             |  CAST(sum(v) AS DECIMAL(18,2)) AS total,
+             |  CAST(sum(v) AS DOUBLE) AS total,
              |  CAST(grouping(event_type) * 2 + grouping(d) AS BIGINT) AS gid
              |FROM (SELECT event_type, CAST(ts AS DATE) AS d,
              |        CAST(value AS DECIMAL(18,2)) AS v FROM events) t

@@ -17,6 +17,14 @@ object StreamOps {
 
   private val runCounter = new AtomicInteger(0)
 
+  /** File streams need the schema up front (no inference mid-stream). Reading
+    * it is a driver-side parquet-footer round-trip; cache per table path so
+    * the six stream queries don't each re-pay it. */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+  private def tableSchema(spark: SparkSession, path: String) =
+    schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+
   /** Stateful streaming ops allocate one state store per shuffle partition;
     * their per-run fixed cost is dominated by store init + commit, not row
     * volume. Size the state partitioning to the STATE cardinality (windows ×
@@ -35,11 +43,10 @@ object StreamOps {
     * result. Watermarking (`withWatermark`) bounds state like the
     * reference's data-latency buffer (F6/§2.9). */
   def windowedEventAgg(spark: SparkSession, dir: String): DataFrame = {
-    // file streaming needs the schema up front (no inference mid-stream)
     val batch = graft.core.Tables.events(spark, dir)
     val name = s"graft_stream_${runCounter.incrementAndGet()}"
     val stream = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .schema(tableSchema(spark, s"$dir/events.parquet"))
       // file source needs a directory; glob-filter down to the events table
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -60,7 +67,7 @@ object StreamOps {
     val _ = batch // keeps the nanosAsLong conf set before the streaming scan
     spark.table(name)
       .select(to_date(col("window.start")).as("d"), col("event_type"),
-              col("n"), col("sum_value"))
+              col("n"), col("sum_value").cast("double").as("sum_value"))
       .orderBy("d", "event_type")
   }
 
@@ -74,7 +81,7 @@ object StreamOps {
     graft.core.Tables.events(spark, dir) // sets nanosAsLong
     val name = s"graft_append_${runCounter.incrementAndGet()}"
     val stream = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .schema(tableSchema(spark, s"$dir/events.parquet"))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -93,7 +100,7 @@ object StreamOps {
     }
     spark.table(name)
       .select(to_date(col("window.start")).as("d"), col("event_type"),
-              col("n"), col("sum_value"))
+              col("n"), col("sum_value").cast("double").as("sum_value"))
       .orderBy("d", "event_type")
   }
 
@@ -106,7 +113,7 @@ object StreamOps {
     graft.plans.ForagePeriod.register(spark)
     val name = s"graft_period_${runCounter.incrementAndGet()}"
     val stream = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .schema(tableSchema(spark, s"$dir/events.parquet"))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .select(expr("timestamp_micros(ts div 1000)").as("ts"),
@@ -128,7 +135,8 @@ object StreamOps {
     val t = spark.table(name)
     val wm = t.agg(max("max_ts")).head().getTimestamp(0).toLocalDateTime.toLocalDate.minusDays(1)
     t.where(col("p_end") <= lit(java.sql.Date.valueOf(wm))) // F6 complete windows
-      .select(col("p_end"), col("event_type"), col("n"), col("sum_value"))
+      .select(col("p_end"), col("event_type"), col("n"),
+              col("sum_value").cast("double").as("sum_value"))
       .orderBy("p_end", "event_type")
   }
 
@@ -142,7 +150,7 @@ object StreamOps {
     graft.core.Tables.events(spark, dir) // sets nanosAsLong
     val name = s"graft_ssj_${runCounter.incrementAndGet()}"
     def src = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .schema(tableSchema(spark, s"$dir/events.parquet"))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .select(col("event_id"), col("user_id"),
@@ -178,7 +186,7 @@ object StreamOps {
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_dedup_${runCounter.incrementAndGet()}"
     val stream = spark.readStream
-      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
+      .schema(tableSchema(spark, s"$dir/documents.parquet"))
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
       .select(col("doc_id"), graft.text.TextOps.fingerprint(col("text")).as("fp"))
@@ -207,7 +215,7 @@ object StreamOps {
     graft.core.Tables.events(spark, dir) // sets nanosAsLong
     val name = s"graft_state_${runCounter.incrementAndGet()}"
     val stream = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .schema(tableSchema(spark, s"$dir/events.parquet"))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .select(col("user_id"), expr("timestamp_micros(ts div 1000)").cast("date").cast("string").as("d"))

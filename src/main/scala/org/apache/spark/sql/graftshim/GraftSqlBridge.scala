@@ -11,4 +11,15 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** `AbstractDataType`/`TypeCollection` are `private[sql]` in Spark 4, so
+    * the input-type spec for vec_dot is built here: each argument accepts
+    * array<double>/array<float> AS-IS (no per-row cast in the pair kernels)
+    * and anything else numeric is implicitly cast to the FIRST member —
+    * array<double>, never lossy array<float>. */
+  def vecDotInputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] = {
+    import org.apache.spark.sql.types._
+    val arg = TypeCollection(ArrayType(DoubleType), ArrayType(FloatType))
+    Seq(arg, arg)
+  }
 }
