@@ -39,7 +39,25 @@ object MultimodalQueries {
                min("checksum").as("min_checksum"))
           .orderBy("format")
       },
-      None, // checksum is byte-level (not SQL-expressible over text) — rows-only
+      // the rolling checksum is a left fold of integer arithmetic
+      // ((a*31+x) mod 1e9+7) over the payload bytes — DuckDB's list_reduce
+      // reproduces it exactly (corpus is pure ASCII, so unicode(text[j])
+      // IS the payload byte)
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CASE WHEN ascii(text) BETWEEN 97 AND 109 THEN 'fmtA'
+             |         WHEN ascii(text) BETWEEN 110 AND 122 THEN 'fmtB'
+             |         ELSE 'bin' END AS format,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |    list_reduce(
+             |      list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(generate_series(1, CAST(length(text) AS INTEGER)),
+             |                       j -> CAST(unicode(text[j]) AS BIGINT))),
+             |      (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+             |  FROM documents)
+             |SELECT format, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+             |  min(checksum) AS min_checksum
+             |FROM m GROUP BY format ORDER BY format""".stripMargin),
       note = "per-format rollup incl. byte-level rolling checksum"),
 
     // Frame sampling: the payload is a sequence of fixed 16-byte frames;
