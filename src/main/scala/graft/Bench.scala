@@ -33,18 +33,22 @@ object Bench {
       try q.run(spark, warmDir).count() catch { case _: Throwable => () }
     }
     // registry order (stable) rather than Map iteration order. Best-of-3
-    // per query: identical consecutive runs on this host differ by up to 2×
-    // from interference outside the JVM (virtualized CPU), and a bad window
-    // can swallow two samples; a single sample measures the host's mood,
-    // the minimum measures the operator.
-    val results = SparkEntry.registry.map { q =>
-      val samples = (1 to 3).map { _ =>
+    // per query, but INTERLEAVED: host interference comes in multi-second
+    // windows, so three consecutive samples of one query can all land in the
+    // same bad window (observed: a query 8× its steady-state in all three).
+    // Running the whole registry as three full passes puts a query's samples
+    // minutes apart — the per-query minimum then measures the operator, not
+    // the window.
+    val sampleTimes = Array.fill(SparkEntry.registry.size)(Double.MaxValue)
+    for (_ <- 1 to 3) {
+      SparkEntry.registry.zipWithIndex.foreach { case (q, i) =>
         val t0 = System.nanoTime()
         try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt < sampleTimes(i)) sampleTimes(i) = dt
       }
-      q.name -> samples.min
     }
+    val results = SparkEntry.registry.zipWithIndex.map { case (q, i) => q.name -> sampleTimes(i) }
     // The driver keeps only a bounded tail of stdout; full-precision doubles
     // made round 1's line overflow it and the head of the JSON was cut off.
     // 1 ms resolution keeps the whole line inside the tail window; the

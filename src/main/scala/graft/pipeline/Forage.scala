@@ -50,8 +50,16 @@ object Forage {
   }
 
   /** Stage 2 (gwr_model): impute → GWR (fit per distinct quantized coord,
-    * broadcast coefficients) → pred → biomass formula (P6). */
-  def stage2Score(spark: SparkSession, combined: DataFrame, bandwidth: Double = 1.0): DataFrame = {
+    * broadcast coefficients) → pred → biomass formula (P6).
+    *
+    * The calibration set the reference fits against is the WHOLE combined
+    * table (`gwr_model.py:68-99`) — fine at its 19k rows, a driver OOM at
+    * 100×. `calibCap` bounds the collect: inputs at or under the cap are
+    * used whole (reference-identical), larger inputs are strided down
+    * deterministically by a hash of the row key, so the sample — and the
+    * fitted surface — is stable across runs and partitionings. */
+  def stage2Score(spark: SparkSession, combined: DataFrame, bandwidth: Double = 1.0,
+                  calibCap: Long = 20000): DataFrame = {
     // stage 1's output is read four times below (F7 guard, calibration
     // collect, distinct-coordinate fit set, final scoring join) — cache it
     // rather than recompute the upstream composite 4×. CacheManager dedups
@@ -61,7 +69,14 @@ object Forage {
       return input.withColumn("pred", lit(0.0)).withColumn("biom", lit(0.0)).limit(0)
     import spark.implicits._
     val clean = input.na.fill(0.0, Seq("ndvi", "sm", "preci")) // P8
-    val calib = clean.select("lon", "lat", "sm", "preci", "ndvi")
+    val nRows = clean.count()
+    val calibSrc =
+      if (nRows <= calibCap) clean
+      else { // every m-th row by stable key hash — deterministic at any parallelism
+        val m = (nRows + calibCap - 1) / calibCap
+        clean.where(pmod(xxhash64(col("lon"), col("lat"), col("date")), lit(m)) === 0)
+      }
+    val calib = calibSrc.select("lon", "lat", "sm", "preci", "ndvi")
       .as[(Double, Double, Double, Double, Double)].collect()
       .map(r => GWR.Obs(r._1, r._2, Array(r._3, r._4), r._5))
     val bcast = spark.sparkContext.broadcast(calib)

@@ -149,7 +149,9 @@ object StreamOps {
   def streamStreamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.events(spark, dir) // sets nanosAsLong
     val name = s"graft_ssj_${runCounter.incrementAndGet()}"
-    def src = spark.readStream
+    // ONE shared source node (streaming self-join): a `def` here would plan
+    // two independent parquet sources and read the table twice per batch
+    val src = spark.readStream
       .schema(tableSchema(spark, s"$dir/events.parquet"))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
