@@ -24,9 +24,19 @@ object Zonal {
 
   /** Build the static membership table: (zone_id, row, col, strict, touched)
     * plus per-zone centroid cells. Distributed over cells; polygons are tiny
-    * (151 rows) and broadcast via closure. */
+    * (151 rows) and broadcast via closure.
+    *
+    * The zone set and the grid are constants of a deployment — THE design
+    * point of this operator (one membership build, then every raster date is
+    * a broadcast join). Memoize per (session, zones, affine) and cache the
+    * plan so repeated pipeline runs pay the point-in-polygon sweep once. */
+  private val memberMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Seq[(String, String)], Affine), DataFrame]
+
   def membership(spark: SparkSession, zones: Seq[(String, String)], affine: Affine): DataFrame =
-    membershipShapes(spark, zones.map { case (id, wkt) => (id, Geometry.parseWkt(wkt)) }, affine)
+    memberMemo.getOrElseUpdate((spark, zones, affine),
+      membershipShapes(spark, zones.map { case (id, wkt) => (id, Geometry.parseWkt(wkt)) }, affine)
+        .cache())
 
   /** Same, from already-parsed geometries (e.g. a shapefile scan).
     *
@@ -71,9 +81,14 @@ object Zonal {
     }.toDF("zone_id", "row", "col", "strict", "touched", "buffered_tiny")
   }
 
-  /** Per-zone centroid cell ids (A6 fallback leg). */
+  /** Per-zone centroid cell ids (A6 fallback leg); memoized like membership. */
+  private val centroidMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Seq[(String, String)], Affine), DataFrame]
+
   def centroids(spark: SparkSession, zones: Seq[(String, String)], affine: Affine): DataFrame =
-    centroidShapes(spark, zones.map { case (id, wkt) => (id, Geometry.parseWkt(wkt)) }, affine)
+    centroidMemo.getOrElseUpdate((spark, zones, affine),
+      centroidShapes(spark, zones.map { case (id, wkt) => (id, Geometry.parseWkt(wkt)) }, affine)
+        .cache())
 
   def centroidShapes(spark: SparkSession, polys: Seq[(String, Geometry.Polygon)],
                      affine: Affine): DataFrame = {
