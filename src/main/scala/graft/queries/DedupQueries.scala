@@ -104,6 +104,57 @@ object DedupQueries {
               |WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5
               |ORDER BY a_id, b_id""".stripMargin)),
 
+    // The 100 TB shape of the same operator: PPJoin-style positional prefix
+    // filtering. Rank each doc's shingles rarest-first by global document
+    // frequency (total order: df, then shingle); for Jaccard τ two similar
+    // docs MUST share a shingle within their first n − ⌈τ·n⌉ + 1 — so only
+    // prefix shingles enter the pair join, and the exact verify touches
+    // candidates only. On THIS corpus (near-unique shingles) it measures
+    // slower than the direct join above — the df pass dominates — but its
+    // pair space stays bounded on duplicate-heavy corpora where the direct
+    // join is O(pairs). The oracle is the direct-join computation: equal
+    // output IS the completeness proof of the filter.
+    Q("dedup_ngram_prefix", Seq("dedup", "J1", "A12", "skew"),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+        val sh = shingles(s, dir).cache()
+        val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val prefix = sh.join(df, "shingle")
+          .withColumn("rk", row_number().over(w))
+          .join(counts, "doc_id")
+          .where(col("rk") <= col("n_sh") - ceil(col("n_sh") * 0.5) + 1)
+          .select("doc_id", "shingle")
+        val cand = prefix.as("a")
+          .join(prefix.as("b"),
+                col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        val shared = cand
+          .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+          .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+        shared
+          .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
+          .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+          .withColumn("jaccard", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+          .where(col("jaccard") >= 0.5)
+          .select("a_id", "b_id", "shared", "na", "nb", "jaccard")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH $duckShingles,
+              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+              |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2)
+              |SELECT a_id, b_id, shared, ca.n_sh AS na, cb.n_sh AS nb,
+              |  CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) AS jaccard
+              |FROM pairs JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+              |WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5
+              |ORDER BY a_id, b_id""".stripMargin),
+      note = "PPJoin prefix filter (df-ranked), candidates-only verify; oracle = direct join (completeness proof)"),
+
     // MinHash + LSH: 32 md5-based permutation minima per doc, 8 bands of 4;
     // docs colliding in any band become candidates; candidates verified with
     // exact Jaccard. The full pipeline is replicated in the oracle.

@@ -64,6 +64,30 @@ object StreamQueries {
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
       note = "streaming ingest dedup: fingerprint-keyed min/count state, AvailableNow drain"),
 
+    Q("stream_session_window", Seq("§2.9", "session", "F6", "W1"),
+      (s, dir) => StreamOps.sessionWindowAgg(s, dir),
+      // batch equivalent: gap sessionization (new session at gap >= 30min —
+      // session windows are half-open [ts, ts+gap)), session end = last
+      // event + gap, emitted only when the watermark (max ts − 1 day)
+      // has passed the end
+      Some("""WITH g AS (
+             |  SELECT user_id, epoch_us(ts) AS ts_us,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+             |  FROM events),
+             |m AS (SELECT user_id, ts_us,
+             |    CAST(sum(CASE WHEN gap IS NULL OR gap >= 1800000000 THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts_us
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+             |  FROM g),
+             |s AS (SELECT user_id, sess_id, min(ts_us) AS start_us,
+             |        max(ts_us) + 1800000000 AS end_us, count(*) AS n_events
+             |      FROM m GROUP BY 1, 2),
+             |wm AS (SELECT max(epoch_us(ts)) - 86400000000 AS w FROM events)
+             |SELECT user_id, start_us, end_us, n_events
+             |FROM s WHERE end_us <= (SELECT w FROM wm)
+             |ORDER BY user_id, start_us""".stripMargin),
+      note = "native session_window + watermark: sessions emitted on close (append mode)"),
+
     Q("stream_stateful_watermark", Seq("§2.9", "A11", "W3"),
       (s, dir) => StreamOps.statefulUserWatermark(s, dir),
       Some("""SELECT user_id, count(*) AS n_events,

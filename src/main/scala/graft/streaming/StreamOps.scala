@@ -140,6 +140,40 @@ object StreamOps {
       .orderBy("p_end", "event_type")
   }
 
+  /** Native session windows in a stream: events gap-merge into sessions
+    * (`session_window`, 30-min gap), and APPEND mode + watermark emits a
+    * session only once the event-time watermark passes its end — the
+    * gap-based analog of the complete-window rule. The batch equivalent
+    * (gap sessionization with end = last event + gap, filtered to the
+    * watermark) is the oracle. */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.events(spark, dir) // sets nanosAsLong
+    val name = s"graft_sess_${runCounter.incrementAndGet()}"
+    val stream = spark.readStream
+      .schema(tableSchema(spark, s"$dir/events.parquet"))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("ts"))
+      .withWatermark("ts", "1 day")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    withStreamPartitions(spark) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .select(col("user_id"),
+              expr("unix_micros(session_window.start)").as("start_us"),
+              expr("unix_micros(session_window.end)").as("end_us"),
+              col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
+
   /** Stream-stream interval join with watermarked state on BOTH sides:
     * purchases join the views that happened in the preceding hour for the
     * same user. The time-bound condition lets Spark evict view state once

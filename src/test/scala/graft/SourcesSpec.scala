@@ -60,4 +60,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters:") && plan.contains("2024-01-02"),
            s"expected pruned scan, got:\n$plan")
   }
+
+  test("S1 golden: pure-JVM xlsx scan reads the reference's grid_points workbook") {
+    val sheet = graft.sources.Xlsx.readSheet("/root/reference/src/inputs/grid_points.xlsx")
+    assert(sheet.headers == Seq("X", "Y"))
+    assert(sheet.rows.length == 19129)
+    // the reference quantizes these points with round(·, 3) and joins them
+    // against sampled rasters (data_extraction_v2.py:353-355); its committed
+    // combined.csv coordinates must therefore be a subset of the rounded
+    // workbook points
+    val pts = sheet.rows.map(r =>
+      (BigDecimal(r(0)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble,
+       BigDecimal(r(1)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val combined = spark.read.option("header", "true").csv("/root/reference/src/outputs/combined.csv")
+      .select($"lon".cast("double"), $"lat".cast("double"))
+      .distinct().as[(Double, Double)].collect().toSet
+    assert(combined.size > 19000)
+    val missing = combined.diff(pts)
+    assert(missing.isEmpty, s"${missing.size} combined coords not in the workbook, e.g. ${missing.take(3)}")
+    // DataFrame face: header-named double columns
+    val df = graft.sources.Xlsx.toDF(spark, "/root/reference/src/inputs/grid_points.xlsx")
+    assert(df.columns.toSeq == Seq("X", "Y") && df.count() == 19129)
+  }
 }
