@@ -34,7 +34,7 @@ object AsOfJoinPlan {
   case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                       leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                       leftTime: Expression, rightTime: Expression,
-                      strict: Boolean)
+                      strict: Boolean, toleranceUnits: Long = -1L)
       extends BinaryNode {
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
@@ -49,7 +49,7 @@ object AsOfJoinPlan {
   case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                           leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                           leftTime: Expression, rightTime: Expression,
-                          strict: Boolean)
+                          strict: Boolean, toleranceUnits: Long = -1L)
       extends BinaryExecNode {
 
     override def output: Seq[Attribute] =
@@ -81,6 +81,7 @@ object AsOfJoinPlan {
 
     override protected def doExecute(): RDD[InternalRow] = {
       val strictLocal = strict
+      val tolLocal = toleranceUnits // < 0 ⇒ unbounded lookback
       val lOut = left.output
       val rOut = right.output
       val lKeysLocal = leftKeys
@@ -100,6 +101,7 @@ object AsOfJoinPlan {
 
         var lastMatch: InternalRow = null // copy of the best right row so far
         var lastMatchKey: InternalRow = null
+        var lastMatchTime: Long = Long.MinValue
 
         lIt.map { lRow =>
           val lKey = lKeyProj(lRow)
@@ -117,13 +119,15 @@ object AsOfJoinPlan {
               if (if (strictLocal) rT < lT else rT <= lT) {
                 lastMatch = rBuf.next().copy()
                 lastMatchKey = lKey.copy()
+                lastMatchTime = rT
               } else advancing = false
             } else advancing = false
           }
           val matched =
             lastMatch != null && lastMatchKey != null && keyOrd.compare(
               lastMatchKey.asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeRow],
-              lKey) == 0
+              lKey) == 0 &&
+            (tolLocal < 0 || lT - lastMatchTime <= tolLocal)
           toUnsafe(joined(lRow, if (matched) lastMatch else nullRight))
         }
       }
@@ -142,7 +146,7 @@ object AsOfJoinPlan {
   case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
                                    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                                    leftTime: Expression, rightTime: Expression,
-                                   strict: Boolean)
+                                   strict: Boolean, toleranceUnits: Long = -1L)
       extends BinaryExecNode {
 
     override def output: Seq[Attribute] =
@@ -168,6 +172,7 @@ object AsOfJoinPlan {
 
     override protected def doExecute(): RDD[InternalRow] = {
       val strictLocal = strict
+      val tolLocal = toleranceUnits // < 0 ⇒ unbounded lookback
       val lOut = left.output
       val rOut = right.output
       val lKeysLocal = leftKeys
@@ -201,7 +206,7 @@ object AsOfJoinPlan {
                   best = mid; lo = mid + 1
                 } else hi = mid - 1
               }
-              if (best >= 0) rows(best) else null
+              if (best >= 0 && (tolLocal < 0 || lT - times(best) <= tolLocal)) rows(best) else null
             case None => null
           }
           toUnsafe(joined(lRow, if (matched != null) matched else nullRight))
@@ -220,12 +225,12 @@ object AsOfJoinPlan {
     * merge. */
   object AsOfJoinStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoin(l, r, lk, rk, lt, rt, strict) =>
+      case AsOfJoin(l, r, lk, rk, lt, rt, strict, tol) =>
         val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
         if (threshold > 0 && r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= threshold)
-          BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict) :: Nil
+          BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, tol) :: Nil
         else
-          AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict) :: Nil
+          AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, tol) :: Nil
       case _ => Nil
     }
   }
@@ -241,11 +246,18 @@ object AsOfJoinPlan {
   /** Public API: `AsOf.join(purchases, views, keys = left "user_id" ->
     * right "v_user_id", times = "ts_us" -> "v_ts_us")`. Column names must be
     * disjoint across sides (every column is re-aliased, which also gives
-    * the plan collision-free attribute ids). */
+    * the plan collision-free attribute ids).
+    *
+    * `tolerance` (pandas `merge_asof(tolerance=...)`): when set, a prior
+    * right row only matches if `leftTime − rightTime <= tolerance`, in the
+    * time column's own units (µs for timestamps, days for dates). Stale
+    * quotes fall out as nulls instead of matching from arbitrarily far
+    * back. */
   def join(left: DataFrame, right: DataFrame,
            keys: Seq[(String, String)],
            times: (String, String),
-           strict: Boolean = true): DataFrame = {
+           strict: Boolean = true,
+           tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
@@ -256,9 +268,11 @@ object AsOfJoinPlan {
     def attr(out: Seq[Attribute], n: String): Attribute =
       out.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column $n in ${out.map(_.name)}"))
+    require(tolerance.forall(_ >= 0), "as-of tolerance must be non-negative")
     val node = AsOfJoin(lPlan, rPlan,
       keys.map(k => attr(lPlan.output, k._1)), keys.map(k => attr(rPlan.output, k._2)),
-      attr(lPlan.output, times._1), attr(rPlan.output, times._2), strict)
+      attr(lPlan.output, times._1), attr(rPlan.output, times._2), strict,
+      tolerance.getOrElse(-1L))
     org.apache.spark.sql.graftshim.GraftSqlBridge.ofRows(spark, node)
   }
 }

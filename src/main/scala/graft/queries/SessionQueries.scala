@@ -112,6 +112,40 @@ object SessionQueries {
              |ORDER BY event_id""".stripMargin),
       note = "native as-of: custom LogicalPlan/Strategy/SparkPlan merge join"),
 
+    // As-of with TOLERANCE (pandas merge_asof(tolerance=...)): the prior
+    // view must be at most 1 hour old or the purchase stays unmatched —
+    // stale quotes become nulls instead of matching from arbitrarily far
+    // back. Same native operator, bounded lookback.
+    Q("j_asof_tolerance", Seq("asof", "J2", "F8", "§2.10"),
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+                  unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        val purchases = e.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts_us")
+        val views = e.where(col("event_type") === "view")
+          .select(col("user_id").as("v_user_id"), col("ts_us").as("v_ts_us"))
+        graft.plans.AsOfJoinPlan.join(
+            purchases, views,
+            keys = Seq("user_id" -> "v_user_id"), times = "ts_us" -> "v_ts_us",
+            tolerance = Some(3600000000L)) // 1 hour in µs
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+                  col("v_ts_us").as("prior_view_us"),
+                  (col("ts_us") - col("v_ts_us")).as("view_to_buy_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+             |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id AS v_user_id, ts_us AS v_ts_us FROM e WHERE event_type = 'view'),
+             |m AS (SELECT p.event_id, p.user_id, p.ts_us, max(v.v_ts_us) AS prior_view_us
+             |      FROM p LEFT JOIN v ON v.v_user_id = p.user_id AND v.v_ts_us < p.ts_us
+             |      GROUP BY 1, 2, 3)
+             |SELECT event_id, user_id, ts_us,
+             |  CASE WHEN ts_us - prior_view_us <= 3600000000 THEN prior_view_us END AS prior_view_us,
+             |  CASE WHEN ts_us - prior_view_us <= 3600000000 THEN ts_us - prior_view_us END AS view_to_buy_us
+             |FROM m ORDER BY event_id""".stripMargin),
+      note = "as-of with 1-hour tolerance: bounded lookback, stale quotes null out"),
+
     // Corpus term statistics: top-20 terms by frequency with doc frequency.
     Q("text_term_freq", Seq("A12", "A10", "W4"),
       (s, dir) =>

@@ -51,6 +51,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("tolerance bounds the lookback on BOTH physical variants") {
+    // id 1 at t=100: latest prior quote is b at t=70 (age 30); tolerance 29
+    // rejects it (and the even-older a is not considered — as-of matches the
+    // LATEST prior or nothing), tolerance 30 admits it
+    def run(tol: Long) =
+      AsOfJoinPlan.join(probe, quotes, Seq("k" -> "qk"), "t" -> "qt", tolerance = Some(tol))
+        .select($"id", $"tag").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(run(30L) == Map(1L -> Some("b"), 2L -> None, 3L -> None, 4L -> None))
+    assert(run(29L) == Map(1L -> None, 2L -> None, 3L -> None, 4L -> None))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force merge variant
+      assert(run(30L) == Map(1L -> Some("b"), 2L -> None, 3L -> None, 4L -> None))
+      assert(run(29L) == Map(1L -> None, 2L -> None, 3L -> None, 4L -> None))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("native as-of equals the declarative max-prior spec on events (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.core.Tables.events(spark, dir)
