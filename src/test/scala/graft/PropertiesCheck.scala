@@ -1,0 +1,81 @@
+package graft
+
+import java.time.LocalDate
+import java.time.temporal.ChronoUnit
+
+import graft.window.Periods
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties (SURVEY §5): the period-window operator's closed
+  * form vs the transcription calendar, the quantized-join cell contract,
+  * and the KMV sketch's merge-order invariance. These run as their own sbt
+  * test framework (100 generated cases each by default). */
+object PropertiesCheck extends Properties("graft") {
+
+  // ---- W1: closed-form period end ≡ the calendar transcription, any date --
+
+  private val genAnchor: Gen[LocalDate] =
+    Gen.choose(0, 3650).map(LocalDate.parse("2018-01-01").plusDays(_))
+  private val genOffset: Gen[Int] = Gen.choose(0, 2000)
+
+  property("forage_period_end closed form equals the composite calendar") =
+    forAll(genAnchor, genOffset) { (anchor, off) =>
+      val d = anchor.plusDays(off.toLong)
+      // calendar far enough out that d's period is complete
+      val ps = Periods.compositePeriods(anchor, d.plusDays(40))
+      val expected = ps.find(p => !p.start.isAfter(d) && !p.end.isBefore(d)).get.end
+      val got = graft.plans.ForagePeriod.periodEndDaysOrMin(
+        d.toEpochDay.toInt, anchor.toEpochDay.toInt)
+      Prop(got == expected.toEpochDay.toInt) :| s"d=$d anchor=$anchor exp=$expected"
+    }
+
+  property("dates before the anchor have no period") =
+    forAll(genAnchor, Gen.choose(1, 1000)) { (anchor, back) =>
+      graft.plans.ForagePeriod.periodEndDaysOrMin(
+        (anchor.toEpochDay - back).toInt, anchor.toEpochDay.toInt) == Int.MinValue
+    }
+
+  property("period calendar is contiguous and complete-window only") =
+    forAll(genAnchor, Gen.choose(20, 400)) { (anchor, span) =>
+      val current = anchor.plusDays(span.toLong)
+      val ps = Periods.compositePeriods(anchor, current)
+      val contiguous = ps.zip(ps.drop(1)).forall { case (a, b) => b.start == a.end.plusDays(1) }
+      val complete = ps.forall(p => !p.end.isAfter(current))
+      val bounded = ps.forall(p => ChronoUnit.DAYS.between(p.start, p.end) < 16)
+      Prop(contiguous && complete && bounded)
+    }
+
+  // ---- J2/P4: quantized-join cell contract ------------------------------
+
+  private def cell(v: Double, origin: Double, step: Double): Long =
+    math.floor((v - origin) / step).toLong // the gridSnap expression's math
+
+  property("same grid cell implies distance < step; >= step implies different cell") =
+    forAll(Gen.choose(-1e6, 1e6), Gen.choose(-1e6, 1e6), Gen.choose(0.001, 1000.0)) {
+      (a, b, step) =>
+        val (ca, cb) = (cell(a, 0.0, step), cell(b, 0.0, step))
+        val sameImpliesClose = ca != cb || math.abs(a - b) < step
+        val farImpliesDiff = math.abs(a - b) < step || ca != cb
+        Prop(sameImpliesClose && farImpliesDiff)
+    }
+
+  // ---- §2.10: KMV sketch is merge-order invariant -----------------------
+
+  private val kmv = new graft.agg.KmvSketch(16, graft.dedup.Hashing.P.toDouble)
+
+  property("KMV sketch: any partitioning and merge order gives the same estimate") =
+    forAll(Gen.listOf(Gen.choose(1L, graft.dedup.Hashing.P - 1)),
+           Gen.choose(1, 8), Gen.long) { (hashes, nParts, seed) =>
+      val sequential = hashes.foldLeft(kmv.zero)(kmv.reduce)
+      val rnd = new scala.util.Random(seed)
+      val shuffled = rnd.shuffle(hashes)
+      val parts = (0 until nParts).map(i => shuffled.zipWithIndex.collect {
+        case (h, j) if j % nParts == i => h
+      })
+      val partials = parts.map(_.foldLeft(kmv.zero)(kmv.reduce))
+      val merged = rnd.shuffle(partials).foldLeft(kmv.zero)(kmv.merge)
+      Prop(kmv.finish(merged) == kmv.finish(sequential)) :|
+        s"n=${hashes.size} parts=$nParts"
+    }
+}
