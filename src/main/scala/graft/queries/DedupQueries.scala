@@ -332,6 +332,80 @@ object DedupQueries {
               |  round(max(cos_sim), 6) AS max_cos
               |FROM p WHERE cos_sim >= $CosTau
               |GROUP BY 1, 2 ORDER BY dup_id""".stripMargin),
-      note = s"SemDeDup within-cluster prune, τ=$CosTau; keep-earliest rule")
+      note = s"SemDeDup within-cluster prune, τ=$CosTau; keep-earliest rule"),
+
+    // The last step of a dedup pipeline: pair graph → duplicate CLUSTERS →
+    // keep-list. Edges are exact-duplicate stars (every doc linked to its
+    // text group's min id) plus near-dup pairs (word-3-gram Jaccard ≥ 0.5);
+    // each doc's cluster id is the smallest doc id reachable through the
+    // graph, found by iterative min-label propagation: every round each
+    // vertex takes the min of its own label and its neighbors' labels —
+    // O(diameter) rounds of shuffle-by-key joins, the scale shape of
+    // connected components without a graph library (each round is one
+    // hash-partitioned join + aggregate; lineage truncated per round).
+    // The oracle computes the same fixpoint with a recursive CTE.
+    Q("dedup_cluster_components", Seq("dedup", "J1", "W9", "§2.10"),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val exactEdges = docs
+          .join(docs.groupBy("text").agg(min("doc_id").as("root")), "text")
+          .where(col("doc_id") =!= col("root"))
+          .select(col("root").as("a"), col("doc_id").as("b"))
+        val sh = shingles(s, dir)
+        val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val nearEdges = sh.as("x")
+          .join(sh.as("y"),
+                col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .agg(count(lit(1)).as("shared"))
+          .join(counts.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+          .join(counts.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+          .where(col("shared").cast("double") / (col("na") + col("nb") - col("shared")) >= 0.5)
+          .select("a", "b")
+        val edges = exactEdges.union(nearEdges)
+        val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).cache()
+        var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 20) {
+          val viaNbr = sym.join(labels, sym("a") === labels("doc_id"))
+            .groupBy(col("b")).agg(min("label").as("nl"))
+          val next = labels.as("l")
+            .join(viaNbr, col("l.doc_id") === viaNbr("b"), "left")
+            .select(col("l.doc_id").as("doc_id"),
+                    least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"))
+            .localCheckpoint() // truncate the iterative lineage
+          changed = next.as("n").join(labels.as("o"), "doc_id")
+            .where(col("n.label") =!= col("o.label")).count()
+          labels = next
+          rounds += 1
+        }
+        labels.select(col("doc_id"), col("label").as("cluster_id"),
+                      (col("doc_id") === col("label")).as("is_kept"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $duckShingles,
+              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |near AS (SELECT x.doc_id AS a, y.doc_id AS b
+              |         FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              |         GROUP BY 1, 2
+              |         HAVING CAST(count(*) AS DOUBLE) /
+              |                ((SELECT n_sh FROM cnt WHERE doc_id = a) +
+              |                 (SELECT n_sh FROM cnt WHERE doc_id = b) - count(*)) >= 0.5),
+              |exact AS (SELECT g.root AS a, d.doc_id AS b
+              |          FROM documents d
+              |          JOIN (SELECT text, min(doc_id) AS root FROM documents GROUP BY text) g
+              |            ON d.text = g.text
+              |          WHERE d.doc_id <> g.root),
+              |edges AS (SELECT a, b FROM near UNION SELECT a, b FROM exact
+              |          UNION SELECT b, a FROM near UNION SELECT b, a FROM exact),
+              |reach(src, node) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
+              |SELECT src AS doc_id, min(node) AS cluster_id,
+              |  src = min(node) AS is_kept
+              |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
+      note = "pair graph → connected components by min-label propagation; oracle = recursive-CTE closure")
   )
 }
