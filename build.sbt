@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. sbt's "[success] Total time: ..." trailer printed AFTER the
+// program's final JSON line is what made BENCH_r01/r02 unparseable
+// ("parsed": null) — suppress it, and route forked output straight to
+// stdout (no logger prefix), so the bench JSON is the genuine last line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -6,6 +6,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Dev-only subset filter (regex on query name); unset = full registry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,7 +31,11 @@ object Bench {
     // shape runs first and the per-query numbers measure compiler noise,
     // not the operator.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.registry.foreach { q =>
+    val registry = only match {
+      case Some(rx) => SparkEntry.registry.filter(q => rx.findFirstIn(q.name).isDefined)
+      case None     => SparkEntry.registry
+    }
+    registry.foreach { q =>
       try q.run(spark, warmDir).count() catch { case _: Throwable => () }
     }
     // registry order (stable) rather than Map iteration order. Best-of-3
@@ -39,16 +45,16 @@ object Bench {
     // Running the whole registry as three full passes puts a query's samples
     // minutes apart — the per-query minimum then measures the operator, not
     // the window.
-    val sampleTimes = Array.fill(SparkEntry.registry.size)(Double.MaxValue)
+    val sampleTimes = Array.fill(registry.size)(Double.MaxValue)
     for (_ <- 1 to 3) {
-      SparkEntry.registry.zipWithIndex.foreach { case (q, i) =>
+      registry.zipWithIndex.foreach { case (q, i) =>
         val t0 = System.nanoTime()
         try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         if (dt < sampleTimes(i)) sampleTimes(i) = dt
       }
     }
-    val results = SparkEntry.registry.zipWithIndex.map { case (q, i) => q.name -> sampleTimes(i) }
+    val results = registry.zipWithIndex.map { case (q, i) => q.name -> sampleTimes(i) }
     // The driver keeps only a bounded tail of stdout; full-precision doubles
     // made round 1's line overflow it and the head of the JSON was cut off.
     // 1 ms resolution keeps the whole line inside the tail window; the

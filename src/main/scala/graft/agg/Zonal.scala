@@ -29,14 +29,32 @@ object Zonal {
     * The zone set and the grid are constants of a deployment — THE design
     * point of this operator (one membership build, then every raster date is
     * a broadcast join). Memoize per (session, zones, affine) and cache the
-    * plan so repeated pipeline runs pay the point-in-polygon sweep once. */
-  private val memberMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, Seq[(String, String)], Affine), DataFrame]
+    * plan so repeated pipeline runs pay the point-in-polygon sweep once.
+    *
+    * The memo is WEAK-keyed by the SparkSession: a stopped/dereferenced
+    * session's entries (and the strong refs they hold to cached DataFrames)
+    * become collectable instead of leaking for the JVM's lifetime. Note for
+    * benchmarking: a warm memo means repeat zonal runs exclude the
+    * point-in-polygon build — recorded in BENCHCMP.md. */
+  private val memberMemo: java.util.Map[SparkSession,
+      scala.collection.concurrent.TrieMap[(Seq[(String, String)], Affine), DataFrame]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[(Seq[(String, String)], Affine), DataFrame]]())
 
-  def membership(spark: SparkSession, zones: Seq[(String, String)], affine: Affine): DataFrame =
-    memberMemo.getOrElseUpdate((spark, zones, affine),
+  def membership(spark: SparkSession, zones: Seq[(String, String)], affine: Affine): DataFrame = {
+    val perSession = memberMemo.synchronized {
+      var m = memberMemo.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(Seq[(String, String)], Affine), DataFrame]
+        memberMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((zones, affine),
       membershipShapes(spark, zones.map { case (id, wkt) => (id, Geometry.parseWkt(wkt)) }, affine)
         .cache())
+  }
 
   /** Same, from already-parsed geometries (e.g. a shapefile scan).
     *

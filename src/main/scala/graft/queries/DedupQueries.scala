@@ -367,7 +367,8 @@ object DedupQueries {
         var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
         var changed = 1L
         var rounds = 0
-        while (changed > 0 && rounds < 20) {
+        val maxRounds = 50 // O(graph diameter) rounds; far above any real corpus
+        while (changed > 0 && rounds < maxRounds) {
           val viaNbr = sym.join(labels, sym("a") === labels("doc_id"))
             .groupBy(col("b")).agg(min("label").as("nl"))
           val next = labels.as("l")
@@ -380,18 +381,25 @@ object DedupQueries {
           labels = next
           rounds += 1
         }
+        // A component with diameter > maxRounds must fail loudly rather than
+        // silently emit non-converged cluster ids that diverge from the
+        // oracle's recursive-CTE fixpoint.
+        require(changed == 0,
+          s"min-label propagation did not converge in $maxRounds rounds")
         labels.select(col("doc_id"), col("label").as("cluster_id"),
                       (col("doc_id") === col("label")).as("is_kept"))
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE $duckShingles,
               |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-              |near AS (SELECT x.doc_id AS a, y.doc_id AS b
-              |         FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-              |         GROUP BY 1, 2
-              |         HAVING CAST(count(*) AS DOUBLE) /
-              |                ((SELECT n_sh FROM cnt WHERE doc_id = a) +
-              |                 (SELECT n_sh FROM cnt WHERE doc_id = b) - count(*)) >= 0.5),
+              |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+              |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              |          GROUP BY 1, 2),
+              |near AS (SELECT p.a, p.b
+              |         FROM pairs p
+              |         JOIN cnt ca ON ca.doc_id = p.a
+              |         JOIN cnt cb ON cb.doc_id = p.b
+              |         WHERE CAST(p.shared AS DOUBLE) / (ca.n_sh + cb.n_sh - p.shared) >= 0.5),
               |exact AS (SELECT g.root AS a, d.doc_id AS b
               |          FROM documents d
               |          JOIN (SELECT text, min(doc_id) AS root FROM documents GROUP BY text) g

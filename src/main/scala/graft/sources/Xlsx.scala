@@ -48,7 +48,28 @@ object Xlsx {
         }
       }
 
-      val doc = dom(part("xl/worksheets/sheet1.xml"))
+      // Resolve the first sheet's part through the workbook relationships
+      // instead of assuming "xl/worksheets/sheet1.xml" (writers are free to
+      // name parts anything; the rels file is the normative mapping).
+      val sheetPart: String = {
+        val resolved =
+          for {
+            wbE <- Option(zip.getEntry("xl/workbook.xml"))
+            relsE <- Option(zip.getEntry("xl/_rels/workbook.xml.rels"))
+            sheets = dom(zip.getInputStream(wbE).readAllBytes())
+              .getElementsByTagName("sheet")
+            if sheets.getLength > 0
+            rid = sheets.item(0).asInstanceOf[org.w3c.dom.Element].getAttribute("r:id")
+            rs = dom(zip.getInputStream(relsE).readAllBytes())
+              .getElementsByTagName("Relationship")
+            target <- (0 until rs.getLength).iterator
+              .map(i => rs.item(i).asInstanceOf[org.w3c.dom.Element])
+              .find(_.getAttribute("Id") == rid)
+              .map(_.getAttribute("Target"))
+          } yield if (target.startsWith("/")) target.drop(1) else s"xl/$target"
+        resolved.getOrElse("xl/worksheets/sheet1.xml")
+      }
+      val doc = dom(part(sheetPart))
       val rowNodes = doc.getElementsByTagName("row")
 
       // "A2" → 0, "AB7" → 27
@@ -58,11 +79,17 @@ object Xlsx {
       def cells(rowIdx: Int): Seq[(Int, String, Option[String])] = {
         val row = rowNodes.item(rowIdx).asInstanceOf[org.w3c.dom.Element]
         val cs = row.getElementsByTagName("c")
+        // The r= cell reference is OPTIONAL in OOXML: when absent, a cell
+        // occupies the column after the previous cell (position 0 if first).
+        var nextPos = 0
         (0 until cs.getLength).flatMap { j =>
           val c = cs.item(j).asInstanceOf[org.w3c.dom.Element]
+          val ref = c.getAttribute("r")
+          val pos = if (ref.nonEmpty && ref.exists(_.isLetter)) colIdx(ref) else nextPos
+          nextPos = pos + 1
           val vs = c.getElementsByTagName("v")
           if (vs.getLength == 0) None
-          else Some((colIdx(c.getAttribute("r")),
+          else Some((pos,
                      vs.item(0).getTextContent,
                      Option(c.getAttribute("t")).filter(_.nonEmpty)))
         }

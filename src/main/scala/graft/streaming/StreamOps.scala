@@ -38,6 +38,34 @@ object StreamOps {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Start an AvailableNow drain into the memory sink and block until done.
+    *
+    * State-store and offset-log commits fsync every micro-batch; on this
+    * host `/tmp` (the default temp-checkpoint parent) is disk-backed while
+    * `/dev/shm` is tmpfs, and the fixed per-run cost of the stream family is
+    * dominated by exactly those commits. Each AvailableNow run is a
+    * drain-and-stop with a unique name, so its checkpoint is pure scratch:
+    * point it at RAM and delete it afterwards. The cluster-shape analog is
+    * fast local state storage (NVMe/RocksDB), not a semantic change. */
+  private def drain(spark: SparkSession, name: String,
+                    writer: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
+    val ckptDir = new java.io.File(s"/dev/shm/graft_ckpt/$name")
+    withStreamPartitions(spark) {
+      val q = writer
+        .option("checkpointLocation", ckptDir.getAbsolutePath)
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(); ()
+    }
+    rm(ckptDir)
+  }
+
   /** Run a tumbling-window streaming aggregation over the events parquet
     * with AvailableNow, collect into a memory sink, and return the batch
     * result. Watermarking (`withWatermark`) bounds state like the
@@ -55,15 +83,7 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
            expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))").as("sum_value"))
-    withStreamPartitions(spark) {
-      val q = stream.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    drain(spark, name, stream.writeStream.outputMode("complete").format("memory"))
     val _ = batch // keeps the nanosAsLong conf set before the streaming scan
     spark.table(name)
       .select(to_date(col("window.start")).as("d"), col("event_type"),
@@ -89,15 +109,7 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
            expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))").as("sum_value"))
-    withStreamPartitions(spark) {
-      val q = stream.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    drain(spark, name, stream.writeStream.outputMode("append").format("memory"))
     spark.table(name)
       .select(to_date(col("window.start")).as("d"), col("event_type"),
               col("n"), col("sum_value").cast("double").as("sum_value"))
@@ -123,15 +135,7 @@ object StreamOps {
       .agg(count(lit(1)).as("n"),
            expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))").as("sum_value"),
            max(col("ts")).as("max_ts"))
-    withStreamPartitions(spark) {
-      val q = stream.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    drain(spark, name, stream.writeStream.outputMode("complete").format("memory"))
     val t = spark.table(name)
     val wm = t.agg(max("max_ts")).head().getTimestamp(0).toLocalDateTime.toLocalDate.minusDays(1)
     t.where(col("p_end") <= lit(java.sql.Date.valueOf(wm))) // F6 complete windows
@@ -157,15 +161,7 @@ object StreamOps {
       .withWatermark("ts", "1 day")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
-    withStreamPartitions(spark) {
-      val q = stream.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    drain(spark, name, stream.writeStream.outputMode("append").format("memory"))
     spark.table(name)
       .select(col("user_id"),
               expr("unix_micros(session_window.start)").as("start_us"),
@@ -199,15 +195,7 @@ object StreamOps {
       .withWatermark("v_t", "1 day")
     val joined = p.join(v,
       expr("user_id = v_user AND v_t >= p_t - INTERVAL 1 HOUR AND v_t < p_t"))
-    withStreamPartitions(spark) {
-      val q = joined.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    drain(spark, name, joined.writeStream.outputMode("append").format("memory"))
     spark.table(name)
       .select(col("p_id"), col("v_id"), col("user_id"),
               expr("unix_micros(p_t)").as("p_us"), expr("unix_micros(v_t)").as("v_us"))
@@ -228,15 +216,7 @@ object StreamOps {
       .select(col("doc_id"), graft.text.TextOps.fingerprint(col("text")).as("fp"))
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-    withStreamPartitions(spark) {
-      val q = stream.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    drain(spark, name, stream.writeStream.outputMode("complete").format("memory"))
     spark.table(name).select("fp", "keep_id", "n_copies").orderBy("fp")
   }
 
@@ -268,12 +248,8 @@ object StreamOps {
           state.update(s1)
           Iterator((user, s1._1, s1._2, s1._3))
       }
-    withStreamPartitions(spark) {
-      val q = folded.toDF("user_id", "n_events", "first_d", "last_d")
-        .writeStream.outputMode("append").format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
+    drain(spark, name, folded.toDF("user_id", "n_events", "first_d", "last_d")
+      .writeStream.outputMode("append").format("memory"))
     spark.table(name)
       .select(col("user_id"), col("n_events"),
               col("first_d").cast("date").as("first_d"),
