@@ -20,6 +20,7 @@ object SparkEntry {
     _root_.graft.queries.StreamQueries.all ++
     _root_.graft.queries.TextQueries.all ++
     _root_.graft.queries.DedupQueries.all ++
+    _root_.graft.queries.CorpusQueries.all ++
     _root_.graft.queries.AnnQueries.all ++
     _root_.graft.queries.MultimodalQueries.all ++
     _root_.graft.queries.SessionQueries.all ++

@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.Q
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the rest of the LLM-training-data pipeline
+  * family beyond dedup/ANN: per-domain capping, corpus-level boilerplate
+  * n-gram detection, benchmark-contamination screening, and token-budget
+  * shard packing. Each is an equi-join/group-by/window shape that survives
+  * a 100-TB corpus, and each carries an exact DuckDB oracle.
+  *
+  * These generalize the reference's own idioms: the manifest semi-join
+  * (`import_biomass.py:38-42`) becomes the contamination screen, the
+  * quantized grouping (`data_extraction_v2.py:354-355`) becomes the
+  * hash-bucketed packer.
+  */
+object CorpusQueries {
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, shingle). Same codec
+    * as DedupQueries so oracle text handling is shared. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"),
+              explode(expr("transform(sequence(1, size(t)-2), i -> concat_ws(' ', slice(t, i, 3)))")).as("shingle"))
+      .distinct()
+
+  private val duckShingles: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks))""".stripMargin
+
+  private val DomainCap = 15 // max docs kept per source/domain
+  private val BpDf = 5 // a shingle in ≥ this many docs is boilerplate
+  private val PackWorkers = 8 // parallel packer lanes (cluster: executor count)
+  private val PackBudget = 4000L // token budget per shard
+
+  def all: Seq[Q] = Seq(
+
+    // Per-domain capping: web corpora are dominated by a few huge domains;
+    // capping docs-per-domain is a standard pretraining diversity control.
+    // Deterministic rank: longest docs first, doc_id tiebreak. One window
+    // shuffle keyed by domain; the cap bounds every group's output, and
+    // rank-k-per-key needs no global sort. A pathologically hot domain is
+    // the classic AQE-skew / salted two-phase case (a_salted_two_phase
+    // demonstrates the mitigation shape).
+    Q("corpus_domain_cap", Seq("corpus", "F9", "W4"),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+        Tables.documents(s, dir)
+          .select("doc_id", "source", "n_chars")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .where(col("rk") <= DomainCap)
+          .select("doc_id", "source", "rk")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, source, rk FROM (
+              |  SELECT doc_id, source,
+              |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+              |  FROM documents)
+              |WHERE rk <= $DomainCap ORDER BY doc_id""".stripMargin),
+      note = s"keep top-$DomainCap docs per source by length; rank-per-key window"),
+
+    // Corpus-level boilerplate: n-grams recurring across ≥ BpDf distinct
+    // docs (headers, footers, license blurbs) get flagged; each doc is
+    // annotated with its boilerplate density. The boilerplate list is tiny
+    // relative to the corpus (bounded by truly-repeated n-grams), so it
+    // broadcasts; the corpus-side join is map-side, and the per-doc
+    // aggregate combines partially. At 100 TB the list can be replaced by a
+    // bloom filter without changing the plan shape.
+    Q("corpus_boilerplate_ngrams", Seq("corpus", "A12", "F4"),
+      (s, dir) => {
+        val sh = shingles(s, dir).cache()
+        val bp = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") >= BpDf).select("shingle")
+        val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        sh.join(broadcast(bp), "shingle")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_bp"))
+          .join(counts, "doc_id")
+          .withColumn("bp_ratio", col("n_bp").cast("double") / col("n_sh"))
+          .select("doc_id", "n_bp", "n_sh", "bp_ratio")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckShingles,
+              |bp AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= $BpDf),
+              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+              |SELECT s.doc_id, count(*) AS n_bp, any_value(c.n_sh) AS n_sh,
+              |  CAST(count(*) AS DOUBLE) / any_value(c.n_sh) AS bp_ratio
+              |FROM sh s JOIN bp USING (shingle) JOIN cnt c ON c.doc_id = s.doc_id
+              |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
+      note = s"shingles recurring in >= $BpDf docs = boilerplate; per-doc density"),
+
+    // Benchmark-contamination screen: docs sharing n-grams with a held-out
+    // eval set (here: doc_id ≡ 0 mod 97) are flagged with their hit count
+    // and overlap ratio. The eval side is small by construction → broadcast;
+    // the corpus side never shuffles except the per-doc combine. This is the
+    // manifest semi-join (J6) generalized from filenames to content.
+    Q("corpus_contamination", Seq("corpus", "J6", "A12"),
+      (s, dir) => {
+        val sh = shingles(s, dir).cache()
+        val bench = sh.where(col("doc_id") % 97 === 0)
+          .select("shingle").distinct()
+        val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        sh.where(col("doc_id") % 97 =!= 0)
+          .join(broadcast(bench), "shingle")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+          .join(counts, "doc_id")
+          .withColumn("overlap_ratio", col("n_hits").cast("double") / col("n_sh"))
+          .select("doc_id", "n_hits", "n_sh", "overlap_ratio")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckShingles,
+              |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+              |SELECT s.doc_id, count(*) AS n_hits, any_value(c.n_sh) AS n_sh,
+              |  CAST(count(*) AS DOUBLE) / any_value(c.n_sh) AS overlap_ratio
+              |FROM sh s JOIN bench USING (shingle) JOIN cnt c ON c.doc_id = s.doc_id
+              |WHERE s.doc_id % 97 <> 0
+              |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
+      note = "n-gram overlap vs held-out eval docs; broadcast eval side"),
+
+    // Token-budget shard packing: assign docs to fixed-budget training
+    // shards. A single global greedy pack is inherently sequential — the
+    // distributed form lanes docs by hash (doc_id % W), packs each lane
+    // independently with a running-sum window, and namespaces shard ids per
+    // lane. W lanes = W-way parallelism with zero coordination; each lane's
+    // windows are ordered by the unique doc_id so the output is total-order
+    // deterministic.
+    Q("corpus_pack_shards", Seq("corpus", "W9", "P16"),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("worker").orderBy("doc_id")
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+                  size(split(col("text"), " ")).cast("long").as("tok"))
+          .withColumn("worker", col("doc_id") % PackWorkers)
+          .withColumn("cum", sum("tok").over(w))
+          .withColumn("shard_id",
+            col("worker") * 1000 + expr(s"(cum - tok) div $PackBudget"))
+          .select("doc_id", "worker", "tok", "cum", "shard_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, worker, tok, cum,
+              |  worker * 1000 + (cum - tok) // $PackBudget AS shard_id
+              |FROM (
+              |  SELECT doc_id, doc_id % $PackWorkers AS worker,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+              |    CAST(sum(len(string_split(text, ' ')))
+              |      OVER (PARTITION BY doc_id % $PackWorkers ORDER BY doc_id) AS BIGINT) AS cum
+              |  FROM documents)
+              |ORDER BY doc_id""".stripMargin),
+      note = s"hash-laned greedy packing, $PackBudget tokens/shard, $PackWorkers lanes")
+  )
+}

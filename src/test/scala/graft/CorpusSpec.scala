@@ -1,0 +1,59 @@
+package graft
+
+import graft.queries.CorpusQueries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-curation operators: domain capping, boilerplate detection,
+  * contamination screening, token-budget packing (sf0.001 tables). */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) =
+    CorpusQueries.all.find(_.name == name).get.run(spark, dir)
+
+  test("domain cap keeps at most K docs per source, ranked by length") {
+    val out = q("corpus_domain_cap").cache()
+    val perSource = out.groupBy("source").count().collect()
+    assert(perSource.forall(_.getLong(1) <= 15))
+    // rank 1 of each source is that source's longest doc (doc_id tiebreak)
+    val docs = graft.core.Tables.documents(spark, dir)
+    val top = docs.groupBy("source")
+      .agg(max(struct(col("n_chars"), -col("doc_id"))).as("m"))
+      .select(col("source"), (-col("m.col2")).as("doc_id"))
+    val rk1 = out.where(col("rk") === 1).select("source", "doc_id")
+    assert(rk1.except(top).isEmpty && top.except(rk1).isEmpty)
+  }
+
+  test("boilerplate ratio is in (0,1] and bounded by the shingle count") {
+    val out = q("corpus_boilerplate_ngrams").collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val (nBp, nSh, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      nBp >= 1 && nBp <= nSh && math.abs(ratio - nBp.toDouble / nSh) < 1e-15
+    })
+  }
+
+  test("contamination never flags the benchmark docs themselves") {
+    val out = q("corpus_contamination").collect()
+    assert(out.forall(r => r.getLong(0) % 97 != 0))
+    assert(out.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= r.getLong(2)))
+  }
+
+  test("pack shards: every doc assigned, lanes partition by id, cum is a running sum") {
+    val out = q("corpus_pack_shards").cache()
+    val docs = graft.core.Tables.documents(spark, dir)
+    assert(out.count() == docs.count())
+    assert(out.where(col("worker") =!= col("doc_id") % 8).isEmpty)
+    // within a (worker, shard) the tokens before a doc stay under budget:
+    // shard_id changes exactly when the lane's running sum crosses 4000
+    assert(out.where(expr("shard_id != worker * 1000 + (cum - tok) div 4000")).isEmpty)
+    // running sum is consistent: per worker, cum - tok of the next doc
+    // equals cum of the previous doc
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("worker").orderBy("doc_id")
+    val bad = out.withColumn("prev_cum", lag("cum", 1, 0).over(w))
+      .where(col("cum") - col("tok") =!= col("prev_cum"))
+    assert(bad.isEmpty)
+  }
+}
