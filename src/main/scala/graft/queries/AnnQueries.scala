@@ -213,6 +213,60 @@ object AnnQueries {
              |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
              |  FROM dists) t
              |WHERE rk = 1 ORDER BY vec_id""".stripMargin),
-      note = "exact scaled-integer centroid sums; broadcast argmin assignment")
+      note = "exact scaled-integer centroid sums; broadcast argmin assignment"),
+
+    // Product quantization — the memory path of billion-vector ANN: split
+    // each 64-dim vector into M=2 subspaces and store, per subspace, the id
+    // of the nearest codeword (here a 16-entry codebook per subspace seeded
+    // from the first 16 vectors — the k-means-init-by-sampling step). A
+    // 64-dim float vector compresses to 2 small ints + a reconstruction
+    // error. Everything is integer arithmetic on 1e7-scaled components, so
+    // Spark's partition-parallel sums equal DuckDB's sequential ones
+    // bit-for-bit with no float-order caveats. Plan shape: codebook is tiny
+    // → broadcast; per-vector argmin is a map-side join + combiner groupBy;
+    // pivot-to-wide is a second tiny groupBy. Scales to any corpus.
+    Q("ann_pq_encode", Seq("similarity", "P4", "J2", "W6"),
+      (s, dir) => {
+        val scaled = "CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)"
+        val vecs = Tables.embeddings(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("vec_id"), col("pos"), expr(scaled).as("xs"))
+        val code = Tables.embeddings(s, dir)
+          .where(col("vec_id") < 16)
+          .select(col("vec_id").as("code_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("code_id"), col("pos"), expr(scaled).as("cs"))
+        val dists = vecs.join(broadcast(code), "pos") // pos equality implies same subspace
+          .groupBy(col("vec_id"), expr("pos div 32").as("sub"), col("code_id"))
+          .agg(sum(expr("(xs - cs) * (xs - cs)")).as("d2s"))
+        val w = Window.partitionBy("vec_id", "sub").orderBy(col("d2s"), col("code_id"))
+        dists.withColumn("rk", row_number().over(w))
+          .where(col("rk") === 1)
+          .groupBy("vec_id")
+          .agg(max(when(col("sub") === 0, col("code_id"))).as("code0"),
+               max(when(col("sub") === 1, col("code_id"))).as("code1"),
+               (sum("d2s").cast("double") / 1e14).as("err"))
+          .withColumn("err", round(col("err"), 6))
+          .orderBy("vec_id")
+      },
+      Some("""WITH comps AS (
+             |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS xs
+             |  FROM embeddings),
+             |code AS (SELECT vec_id AS code_id, pos, xs AS cs FROM comps WHERE vec_id < 16),
+             |dists AS (
+             |  SELECT v.vec_id, v.pos // 32 AS sub, c.code_id,
+             |    CAST(sum((v.xs - c.cs) * (v.xs - c.cs)) AS BIGINT) AS d2s
+             |  FROM comps v JOIN code c USING (pos)
+             |  GROUP BY 1, 2, 3),
+             |best AS (SELECT vec_id, sub, code_id, d2s FROM (
+             |    SELECT vec_id, sub, code_id, d2s,
+             |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2s, code_id) AS rk
+             |    FROM dists) t WHERE rk = 1)
+             |SELECT vec_id,
+             |  max(CASE WHEN sub = 0 THEN code_id END) AS code0,
+             |  max(CASE WHEN sub = 1 THEN code_id END) AS code1,
+             |  round(CAST(CAST(sum(d2s) AS BIGINT) AS DOUBLE) / 1e14, 6) AS err
+             |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+      note = "M=2 sub-quantizers, 16-codeword books from sampled vectors; exact integer distances")
   )
 }
