@@ -37,5 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.plans.VecDot(exprs.head, exprs(1))))
     // native as-of join planning (graft.plans.AsOfJoinPlan.AsOfJoin nodes)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinPlan.AsOfJoinStrategy)
+    // interval-join bucketing rewrite (fires when
+    // spark.graft.rangeJoin.bucketWidth > 0)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
   }
 }

@@ -76,11 +76,15 @@ object CorpusQueries {
       (s, dir) => {
         val sh = shingles(s, dir).cache()
         val bp = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .where(col("df") >= BpDf).select("shingle")
-        val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        sh.join(broadcast(bp), "shingle")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_bp"))
-          .join(counts, "doc_id")
+          .where(col("df") >= BpDf).select("shingle").withColumn("is_bp", lit(1L))
+        // one per-doc aggregation computes both the total and the flagged
+        // count (left join against the broadcast list, then a single
+        // combiner-friendly groupBy) — no second shuffle + re-join
+        sh.join(broadcast(bp), Seq("shingle"), "left")
+          .groupBy("doc_id")
+          .agg(sum(coalesce(col("is_bp"), lit(0L))).as("n_bp"),
+               count(lit(1)).as("n_sh"))
+          .where(col("n_bp") >= 1)
           .withColumn("bp_ratio", col("n_bp").cast("double") / col("n_sh"))
           .select("doc_id", "n_bp", "n_sh", "bp_ratio")
           .orderBy("doc_id")
@@ -103,12 +107,13 @@ object CorpusQueries {
       (s, dir) => {
         val sh = shingles(s, dir).cache()
         val bench = sh.where(col("doc_id") % 97 === 0)
-          .select("shingle").distinct()
-        val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+          .select("shingle").distinct().withColumn("is_hit", lit(1L))
         sh.where(col("doc_id") % 97 =!= 0)
-          .join(broadcast(bench), "shingle")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-          .join(counts, "doc_id")
+          .join(broadcast(bench), Seq("shingle"), "left")
+          .groupBy("doc_id")
+          .agg(sum(coalesce(col("is_hit"), lit(0L))).as("n_hits"),
+               count(lit(1)).as("n_sh"))
+          .where(col("n_hits") >= 1)
           .withColumn("overlap_ratio", col("n_hits").cast("double") / col("n_sh"))
           .select("doc_id", "n_hits", "n_sh", "overlap_ratio")
           .orderBy("doc_id")

@@ -144,6 +144,49 @@ object JoinQueries {
              |       WHEN vu IS NOT NULL THEN 'view_only'
              |       ELSE 'purchase_only' END AS status
              |FROM v FULL OUTER JOIN p ON vu = pu
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // Pure interval join (NO equi key): lineitems shipped inside a sampled
+    // set of 14-day order windows. Written as the declarative BETWEEN join;
+    // graft.plans.RangeJoinRule rewrites it to a bucketed equi-join
+    // (intervals explode to floor(lo/W)..floor(hi/W) bucket ids, points
+    // bucket once, exact predicate kept as residual) — without the rule
+    // Spark plans a broadcast nested-loop, the O(n×m) cliff at scale.
+    // PlanRegressionSpec asserts the rewritten plan hash-joins.
+    Q("j_range_bucketed", Seq("J2", "F1", "A12", "§2.10"),
+      (s, dir) => {
+        graft.plans.RangeJoinRule.register(s)
+        // NB the conf must still be set when the returned frame EXECUTES
+        // (optimization is lazy), so it stays on for the session; the rule's
+        // strict pattern guard (pure cross-side interval, integral types, no
+        // equi conjunct) keeps it from touching any other registry plan.
+        s.conf.set(graft.plans.RangeJoinRule.WidthConf, "16")
+        val iv = Tables.orders(s, dir)
+          .where(col("o_orderkey") % 1000 === 0)
+          .select(col("o_orderkey"),
+                  datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("lo"))
+          .withColumn("hi", col("lo") + 13)
+        val pts = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"),
+                  datediff(to_date(col("l_shipdate")), lit("1970-01-01")).as("d"))
+        iv.join(pts, col("d") >= col("lo") && col("d") <= col("hi"))
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_in_window"),
+               min("d").as("first_day"), max("d").as("last_day"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH iv AS (
+             |  SELECT o_orderkey,
+             |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lo,
+             |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 13 AS hi
+             |  FROM orders WHERE o_orderkey % 1000 = 0),
+             |pts AS (SELECT l_orderkey,
+             |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d
+             |  FROM lineitem)
+             |SELECT o_orderkey, count(*) AS n_in_window,
+             |  min(d) AS first_day, max(d) AS last_day
+             |FROM iv JOIN pts ON d >= lo AND d <= hi
+             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin),
+      note = "RangeJoinRule: BETWEEN join rewritten to bucketed equi-join (W=16)")
   )
 }

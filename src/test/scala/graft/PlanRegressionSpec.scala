@@ -43,4 +43,36 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("AsOfJoin"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("RangeJoinRule rewrites the pure interval join to a bucketed hash join") {
+    val p = plan("j_range_bucketed") // sets the width conf + registers the rule
+    assert(p.contains("Generate explode"), p) // interval → bucket ids
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("RangeJoinRule leaves equi-keyed and disabled joins untouched") {
+    import org.apache.spark.sql.functions._
+    graft.plans.RangeJoinRule.register(spark)
+    val l = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("lo"),
+                                    (col("id") * 2 + 5).as("hi"))
+    val r = spark.range(100).select(col("id").as("k2"), (col("id") * 3).as("v"))
+    spark.conf.set(graft.plans.RangeJoinRule.WidthConf, "8")
+    try {
+      // equi conjunct present → Spark hash-joins on it, rule must not fire
+      val withEqui = l.join(r, col("k") === col("k2") &&
+        col("v") >= col("lo") && col("v") <= col("hi"))
+      assert(!withEqui.queryExecution.executedPlan.toString.contains("Generate"))
+      // pure range → fires
+      val pure = l.join(r, col("v") >= col("lo") && col("v") <= col("hi"))
+      assert(pure.queryExecution.executedPlan.toString.contains("Generate"))
+      // and the rewrite is exact: same rows as the nested-loop plan
+      spark.conf.set(graft.plans.RangeJoinRule.WidthConf, "0")
+      val expect = l.join(r, col("v") >= col("lo") && col("v") <= col("hi"))
+        .collect().map(_.toSeq).toSet
+      spark.conf.set(graft.plans.RangeJoinRule.WidthConf, "8")
+      assert(pure.collect().map(_.toSeq).toSet == expect)
+    } finally spark.conf.set(graft.plans.RangeJoinRule.WidthConf, "0")
+  }
 }
