@@ -116,6 +116,46 @@ object TextQueries {
               |    row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rk
               |  FROM h) t
               |WHERE rk <= 20 ORDER BY bucket, rk""".stripMargin),
-      note = "hash-ranked per-stratum cap: seedless reproducible sampling")
+      note = "hash-ranked per-stratum cap: seedless reproducible sampling"),
+
+    // Data mixing — the step after scoring in a pretraining pipeline:
+    // quality tiers get different sampling rates (keep all high-quality,
+    // half of mid, a fifth of low). Tiers are fixed score thresholds (pure
+    // map-side, no global ntile sort), the keep decision is md5-hash rank
+    // (seedless, engine-exact, rerun-stable) — so the mixture is a single
+    // scan + filter at any corpus size.
+    Q("corpus_quality_mix", Seq("corpus", "sampling", "A9", "P13"),
+      (s, dir) => {
+        val sw = TextOps.LangStopwords.toMap.apply("en")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.qualityScore(col("text"), sw).as("q"))
+          .withColumn("tier",
+            when(col("q") >= 0.55, "high").when(col("q") >= 0.35, "mid").otherwise("low"))
+          .withColumn("rate",
+            when(col("tier") === "high", 100).when(col("tier") === "mid", 50).otherwise(20))
+          .withColumn("h",
+            expr(graft.dedup.Hashing.sparkMd5Mod("CAST(doc_id AS STRING)")) % 100)
+          .where(col("h") < col("rate"))
+          .select(col("doc_id"), col("tier"), round(col("q"), 6).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id,
+              |    greatest(0.0, least(1.0,
+              |      0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+              |      + 0.5 * (CAST(${hitsSql(Seq("the", "a", "of", "and", "is"))} AS DOUBLE)
+              |               / len(string_split(text, ' '))) * 5
+              |      - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+              |    )) AS q,
+              |    ${graft.dedup.Hashing.duckMd5Mod("CAST(doc_id AS VARCHAR)")} % 100 AS h
+              |  FROM documents),
+              |tiered AS (SELECT doc_id, q,
+              |    CASE WHEN q >= 0.55 THEN 'high' WHEN q >= 0.35 THEN 'mid' ELSE 'low' END AS tier,
+              |    CASE WHEN q >= 0.55 THEN 100 WHEN q >= 0.35 THEN 50 ELSE 20 END AS rate,
+              |    h
+              |  FROM scored)
+              |SELECT doc_id, tier, round(q, 6) AS quality
+              |FROM tiered WHERE h < rate ORDER BY doc_id""".stripMargin),
+      note = "tiered mixture sampling: 100%/50%/20% by quality, md5-hash keep rule")
   )
 }
