@@ -122,6 +122,12 @@ object Geometry {
   }
 
   /** Parse `POLYGON((x y, x y, ...))` (optionally with hole rings). */
+  /** Inverse of [[parseWkt]] (full double precision round-trips). */
+  def toWkt(p: Polygon): String =
+    p.rings.map(r =>
+      r.xs.indices.map(i => s"${r.xs(i)} ${r.ys(i)}").mkString("(", ", ", ")"))
+      .mkString("POLYGON (", ", ", ")")
+
   def parseWkt(wkt: String): Polygon = {
     val body = wkt.trim.stripPrefix("POLYGON").trim.stripPrefix("(").stripSuffix(")")
     val rings = body.split("\\)\\s*,\\s*\\(").map { ringStr =>

@@ -116,4 +116,15 @@ class GoldenZonalSpec extends AnyFunSuite {
     assert(retriedOk == rows.size, s"retried-all-touched agreement $retriedOk/${rows.size}")
     assert(fallbackOk == rows.size, s"used-fallback agreement $fallbackOk/${rows.size}")
   }
+
+  test("join-based membership (large-catalog path) is flag-identical to the broadcast build") {
+    import spark.implicits._
+    val zones = Shapefile.readZones(s"$RefRoot/inputs/Shapefiles/woredas.shp", "ADM3_PCODE")
+    val polys = zones.map { case (id, rings) => (id, Geometry.Polygon(rings)) }
+    val viaBroadcast = Zonal.membershipShapes(spark, polys, Grid.Reference)
+    val zonesDf = polys.map { case (id, p) => (id, Geometry.toWkt(p)) }.toDF("zone_id", "wkt")
+    val viaJoin = Zonal.membershipJoin(spark, zonesDf, Grid.Reference)
+    assert(viaJoin.count() == viaBroadcast.count())
+    assert(viaJoin.except(viaBroadcast).isEmpty && viaBroadcast.except(viaJoin).isEmpty)
+  }
 }
