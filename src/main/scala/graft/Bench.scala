@@ -55,22 +55,38 @@ object Bench {
       }
     }
     val results = registry.zipWithIndex.map { case (q, i) => q.name -> sampleTimes(i) }
-    // The driver keeps only a bounded tail of stdout; full-precision doubles
-    // made round 1's line overflow it and the head of the JSON was cut off.
-    // 1 ms resolution keeps the whole line inside the tail window; the
-    // full-precision record goes to a local file instead.
-    def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }
+    // The driver keeps only the last 2000 chars of stdout and parses the
+    // final line as JSON. A full 85-query map is ~2900 chars (1500 chars of
+    // query names alone), so rounds 1-3 all ended with "parsed": null — the
+    // head of the line fell outside the tail window. Emit the total plus as
+    // many per-query entries as fit (slowest first, 2-decimal secs) under a
+    // hard line budget; the fast remainder is summarized as omitted_total so
+    // the sum is still reconstructible. Full precision for every query is in
+    // BENCH_LOCAL.json (committed).
+    def r2(v: Double): String = (math.rint(v * 100) / 100).toString
+    val lineBudget = 1870
+    val head = s"""{"metric":"total","value":${r2(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","queries":{"""
+    val sorted = results.sortBy(-_._2)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = head.length + 60 // reserve for closing brace + omitted fields
+    var omitted = 0.0
+    var omittedN = 0
+    sorted.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + r2(v)
+      if (used + e.length + 1 <= lineBudget) { entries += e; used += e.length + 1 }
+      else { omitted += v; omittedN += 1 }
+    }
+    val line = head + entries.mkString(",") +
+      s"""},"omitted_n":$omittedN,"omitted_total":${r2(omitted)}}"""
     spark.stop()
     // single compact FINAL stdout line, after spark.stop() so no shutdown
     // logging can land after it
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(line)
   }
 }
