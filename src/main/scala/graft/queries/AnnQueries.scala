@@ -227,25 +227,33 @@ object AnnQueries {
     // pivot-to-wide is a second tiny groupBy. Scales to any corpus.
     Q("ann_pq_encode", Seq("similarity", "P4", "J2", "W6"),
       (s, dir) => {
-        val scaled = "CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)"
+        // Vectors stay as ARRAYS end-to-end: per-subspace distances are a
+        // map-side zip_with/aggregate fold against the broadcast 16-row
+        // codebook (a bounded nested-loop join, 16 rows — not a pair
+        // explosion), and the per-sub argmin is min(struct(d2, code_id)) —
+        // struct ordering compares d2 then code_id, exactly the old
+        // "ORDER BY d2s, code_id LIMIT 1" window. vs the exploded form this
+        // drops a |vecs|×64-row shuffle, a 16× join blow-up of it, and a
+        // window sort; the one wide exchange carries |vecs| rows of 2 longs.
+        val scaledArr = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
         val vecs = Tables.embeddings(s, dir)
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .select(col("vec_id"), col("pos"), expr(scaled).as("xs"))
+          .select(col("vec_id"), expr(scaledArr).as("xs"))
         val code = Tables.embeddings(s, dir)
           .where(col("vec_id") < 16)
-          .select(col("vec_id").as("code_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .select(col("code_id"), col("pos"), expr(scaled).as("cs"))
-        val dists = vecs.join(broadcast(code), "pos") // pos equality implies same subspace
-          .groupBy(col("vec_id"), expr("pos div 32").as("sub"), col("code_id"))
-          .agg(sum(expr("(xs - cs) * (xs - cs)")).as("d2s"))
-        val w = Window.partitionBy("vec_id", "sub").orderBy(col("d2s"), col("code_id"))
-        dists.withColumn("rk", row_number().over(w))
-          .where(col("rk") === 1)
+          .select(col("vec_id").as("code_id"), expr(scaledArr).as("cs"))
+        def d2(sub: Int) = {
+          val off = sub * 32 + 1 // slice() is 1-based
+          expr(s"aggregate(zip_with(slice(xs, $off, 32), slice(cs, $off, 32), " +
+               "(x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)")
+        }
+        vecs.crossJoin(broadcast(code)) // 16 codewords: bounded broadcast NL join
+          .select(col("vec_id"), col("code_id"), d2(0).as("d0"), d2(1).as("d1"))
           .groupBy("vec_id")
-          .agg(max(when(col("sub") === 0, col("code_id"))).as("code0"),
-               max(when(col("sub") === 1, col("code_id"))).as("code1"),
-               (sum("d2s").cast("double") / 1e14).as("err"))
-          .withColumn("err", round(col("err"), 6))
+          .agg(min(struct(col("d0"), col("code_id"))).as("b0"),
+               min(struct(col("d1"), col("code_id"))).as("b1"))
+          .select(col("vec_id"),
+                  col("b0.code_id").as("code0"), col("b1.code_id").as("code1"),
+                  round((col("b0.d0") + col("b1.d1")).cast("double") / lit(1e14), 6).as("err"))
           .orderBy("vec_id")
       },
       Some("""WITH comps AS (

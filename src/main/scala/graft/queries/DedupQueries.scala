@@ -254,16 +254,26 @@ object DedupQueries {
     // hamming ≤ 3, so the banded Spark plan equals the naive-pairs oracle).
     Q("dedup_simhash", Seq("dedup", "P2"),
       (s, dir) => {
-        val tokc = Tables.documents(s, dir)
+        // Count-weighting over DISTINCT tokens (sum(cnt * ±1)) is identical
+        // to summing ±1 over every token OCCURRENCE, so the (doc_id, tok)
+        // pre-aggregation — a full shuffle of the exploded-token table — is
+        // algebraically redundant. Aggregating occurrences directly lets the
+        // map-side combiner reduce each doc to 24 longs before any shuffle;
+        // the only wide exchange carries |docs| rows, not |distinct tokens|.
+        val toks = Tables.documents(s, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
           .withColumn("x", expr(Hashing.sparkMd5Mod("tok")))
         val sumCols = (0 until SimBits).map { j =>
-          sum(expr(s"cnt * (CASE WHEN (shiftright(x, $j) % 2) = 1 THEN 1 ELSE -1 END)")).as(s"s$j")
+          sum(expr(s"CASE WHEN (shiftright(x, $j) % 2) = 1 THEN 1 ELSE -1 END")).as(s"s$j")
         }
-        val bitSums = tokc.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+        val bitSums = toks.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+        // Cache the signatures: the banded self-join otherwise recomputes the
+        // whole token explode + 24-sum aggregation on its broadcast side
+        // (ReuseExchange can't match through a BroadcastExchange wrapper).
+        // n rows × 2 longs — same pattern as the minhash sig frame.
         val sim = bitSums.select(col("doc_id"),
           expr((0 until SimBits).map(j => s"CAST(s$j >= 0 AS BIGINT) * ${1L << j}").mkString(" + ")).as("simhash"))
+          .cache()
         val bands = sim.select(col("doc_id"), col("simhash"),
           explode(array((0 until SimBands).map { bnd =>
             struct(lit(bnd).as("band_idx"),
