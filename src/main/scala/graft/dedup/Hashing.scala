@@ -24,19 +24,26 @@ object Hashing {
     Seq.fill(n)((next(), next()))
   }
 
-  /** Spark SQL expression: md5 of `e`, first 12 hex chars, as BIGINT mod P. */
-  def sparkMd5Mod(e: String): String =
-    s"CAST(conv(substring(md5($e), 1, $HexChars), 16, 10) AS BIGINT) % $P"
+  /** Spark SQL expression: md5 of `e`, first 12 hex chars, as a raw 48-bit
+    * BIGINT (no modulus — uniform bits for bucket/rank sketches). */
+  def sparkMd5Raw(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, $HexChars), 16, 10) AS BIGINT)"
 
-  /** DuckDB expression computing the same value via nibble arithmetic
-    * (DuckDB has no base-16 conv). */
-  def duckMd5Mod(e: String): String = {
+  /** Spark SQL expression: md5 of `e`, first 12 hex chars, as BIGINT mod P. */
+  def sparkMd5Mod(e: String): String = s"${sparkMd5Raw(e)} % $P"
+
+  /** DuckDB expression computing the same raw 48-bit value via nibble
+    * arithmetic (DuckDB has no base-16 conv). */
+  def duckMd5Raw(e: String): String = {
     val terms = (1 to HexChars).map { i =>
       val mult = math.pow(16, HexChars - i).toLong
       s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1) * $mult"
     }
-    s"(${terms.mkString(" + ")}) % ${P}"
+    s"(${terms.mkString(" + ")})"
   }
+
+  /** DuckDB expression computing the same value as [[sparkMd5Mod]]. */
+  def duckMd5Mod(e: String): String = s"${duckMd5Raw(e)} % ${P}"
 
   /** Permutation expression (same string for both engines given an integer
     * subexpression `x` already reduced mod P). */

@@ -222,6 +222,52 @@ object AggQueries {
            |FROM ex JOIN est USING (event_type)
            |ORDER BY event_type""".stripMargin
       },
-      note = "mergeable k-min-values sketch (typed Aggregator) vs exact, same answer either merge order")
+      note = "mergeable k-min-values sketch (typed Aggregator) vs exact, same answer either merge order"),
+
+    // HLL-shaped register sketch (graft.agg.HllSketch): the FIXED-SIZE
+    // companion to KMV — 64 one-byte registers whatever the cardinality,
+    // merge = elementwise max. This is the one-pass distinct-count shape for
+    // a 100 TB corpus (O(executors × 64) merge traffic). 2^-M terms are
+    // exact powers of two and their ≤64-term sum is exact in any order;
+    // the small-range linear-counting correction's ln(64/V) has only 64
+    // possible inputs, verified bit-identical between JVM Math.log and
+    // DuckDB ln — so the oracle reproduces the estimate bit-for-bit.
+    Q("sketch_hll_distinct", Seq("A12", "§2.10", "sampling"),
+      (s, dir) => {
+        val hll = udaf(new graft.agg.HllSketch)
+        Tables.events(s, dir)
+          .select(col("event_type"),
+                  col("user_id"),
+                  expr(graft.dedup.Hashing.sparkMd5Raw("CAST(user_id AS STRING)")).as("h"))
+          .groupBy("event_type")
+          .agg(countDistinct("user_id").as("n_exact"),
+               round(hll(col("h")), 6).as("hll_est"))
+          .orderBy("event_type")
+      },
+      Some {
+        val x = graft.dedup.Hashing.duckMd5Raw("CAST(user_id AS VARCHAR)")
+        val rho = graft.agg.HllSketch.rhoSql("rest")
+        s"""WITH hx AS (SELECT event_type, $x AS x FROM events),
+           |hb AS (SELECT event_type, x % 64 AS bucket, x // 64 AS rest FROM hx),
+           |hr AS (SELECT event_type, bucket, max($rho) AS m FROM hb GROUP BY 1, 2),
+           |reg AS (SELECT event_type,
+           |    sum(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << m)) AS s_hit,
+           |    count(*) AS nb
+           |  FROM hr GROUP BY 1),
+           |est AS (SELECT event_type,
+           |    CAST(0.709 AS DOUBLE) * 4096.0 / (s_hit + (64 - nb) * CAST(1.0 AS DOUBLE)) AS raw,
+           |    64 - nb AS nzero
+           |  FROM reg),
+           |corr AS (SELECT event_type,
+           |    CASE WHEN raw <= 160.0 AND nzero > 0
+           |         THEN 64.0 * ln(CAST(64.0 AS DOUBLE) / nzero)
+           |         ELSE raw END AS e
+           |  FROM est),
+           |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+           |SELECT ex.event_type, ex.n_exact, round(corr.e, 6) AS hll_est
+           |FROM ex JOIN corr USING (event_type)
+           |ORDER BY event_type""".stripMargin
+      },
+      note = "fixed-size mergeable register sketch (typed Aggregator) with linear-counting small-range fix; oracle-exact")
   )
 }

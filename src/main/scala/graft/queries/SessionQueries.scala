@@ -146,6 +146,35 @@ object SessionQueries {
              |FROM m ORDER BY event_id""".stripMargin),
       note = "as-of with 1-hour tolerance: bounded lookback, stale quotes null out"),
 
+    // CDC / log-compaction: per (user_id, event_type) keep only the LATEST
+    // record — SCD-type-1 compaction, the shape every ingest pipeline runs
+    // over change streams. One groupBy with max(struct(ts, event_id, ...))
+    // — a single shuffle whose map-side combiner reduces each partition to
+    // one row per key BEFORE the exchange, vs the window-sort form that
+    // shuffles every version. struct ordering compares ts_us then event_id
+    // (unique), so ties are deterministic and `value` never drives the
+    // comparison. At 100 TB: shuffle volume = live keys, not history size.
+    Q("cdc_latest_by_key", Seq("A11", "W4", "F9", "cdc"),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+                  unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+          .groupBy("user_id", "event_type")
+          .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("m"),
+               count(lit(1)).as("n_versions"))
+          .select(col("user_id"), col("event_type"),
+                  col("m.ts_us").as("ts_us"), col("m.event_id").as("event_id"),
+                  col("m.value").as("value"), col("n_versions"))
+          .orderBy("user_id", "event_type"),
+      Some("""SELECT user_id, event_type, ts_us, event_id, value, n_versions FROM (
+             |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+             |    count(*) OVER (PARTITION BY user_id, event_type) AS n_versions,
+             |    row_number() OVER (PARTITION BY user_id, event_type
+             |                       ORDER BY ts DESC, event_id DESC) AS rk
+             |  FROM events) t
+             |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin),
+      note = "log-compaction via max(struct): combiner-friendly single shuffle, no window sort"),
+
     // Corpus term statistics: top-20 terms by frequency with doc frequency.
     Q("text_term_freq", Seq("A12", "A10", "W4"),
       (s, dir) =>

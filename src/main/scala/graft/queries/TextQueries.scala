@@ -156,6 +156,75 @@ object TextQueries {
               |  FROM scored)
               |SELECT doc_id, tier, round(q, 6) AS quality
               |FROM tiered WHERE h < rate ORDER BY doc_id""".stripMargin),
-      note = "tiered mixture sampling: 100%/50%/20% by quality, md5-hash keep rule")
+      note = "tiered mixture sampling: 100%/50%/20% by quality, md5-hash keep rule"),
+
+    // Intra-document repetition (the Gopher repetition filters): fraction of
+    // word-2-grams that are repeats and the mass of the single most frequent
+    // 2-gram. Pure per-doc counting — explode + two integer aggregations,
+    // ratios are single double divisions of integer counts, so both engines
+    // agree bit-for-bit. Map-side at any corpus size: state per doc is
+    // bounded by document length, the shuffle key is doc_id.
+    Q("text_repetition_ratio", Seq("text", "A12", "A9", "P12"),
+      (s, dir) => {
+        val grams = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .where(size(col("t")) >= 2)
+          .select(col("doc_id"),
+                  explode(expr("transform(sequence(1, size(t)-1), i -> concat_ws(' ', slice(t, i, 2)))")).as("g"))
+        grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n2"), count(lit(1)).as("d2"), max("c").as("maxc"))
+          .select(col("doc_id"), col("n2"), col("d2"),
+                  ((col("n2") - col("d2")).cast("double") / col("n2")).as("dup_frac"),
+                  (col("maxc").cast("double") / col("n2")).as("top_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |g AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+             |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+             |            FROM toks WHERE len(t) >= 2)),
+             |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+             |SELECT doc_id, sum(c) AS n2, count(*) AS d2,
+             |  CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup_frac,
+             |  CAST(max(c) AS DOUBLE) / sum(c) AS top_frac
+             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      note = "Gopher-style repetition signals: dup 2-gram fraction + top-2-gram mass"),
+
+    // Per-doc top-k salient terms by df-normalized term frequency — the
+    // TF-IDF shape with a RATIONAL weight (tf/df) instead of tf·ln(N/df):
+    // ln() differs in the last ulp across libms and tf/df induces the same
+    // per-doc ranking for fixed tf (monotone in df), so the oracle matches
+    // bit-for-bit. Plan: explode → (doc,term) counts → term df → join +
+    // window top-3. The df table is vocabulary-sized (broadcastable far
+    // beyond any natural-language vocab); the window partitions by doc.
+    Q("tfidf_top_terms", Seq("text", "W4", "A12", "J1"),
+      (s, dir) => {
+        val tf = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+        tf.join(df, "term")
+          .withColumn("score", col("tf").cast("double") / col("df"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select(col("doc_id"), col("rk").cast("int").as("rk"),
+                  col("term"), col("tf"), col("df"), col("score"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+             |  GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |    CAST(tf.tf AS DOUBLE) / df.df AS score
+             |  FROM tf JOIN df USING (term))
+             |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tf, df, score FROM (
+             |  SELECT doc_id, term, tf, df, score,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+             |  FROM scored) t
+             |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+      note = "salient-term extraction, rational tf/df weight (ln-free => engine-exact ranking)")
   )
 }
