@@ -209,6 +209,51 @@ object CoreQueries {
              |  count(DISTINCT c_custkey) AS n_cust, count(DISTINCT s_suppkey) AS n_supp
              |FROM customer JOIN supplier
              |  ON CAST(floor(c_acctbal / 100) AS BIGINT) = CAST(floor(s_acctbal / 100) AS BIGINT)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // P17 conditional augmentation (`gwr_model.py:44-59`): when a group's
+    // nonzero share falls below a threshold, add small uniform noise to 10%
+    // of its zero rows — distribution repair before the GWR fit. The
+    // reference is UNSEEDED (np.random.choice); our declared behavior makes
+    // both choices deterministic: the 10% pick is an md5-hash rule and the
+    // U(0.001, 0.01) draw is derived from the same hash — rerun-stable,
+    // engine-exact, and therefore oracle-checkable (first hash-checked P17
+    // carrier; OpsSpec covers the seeded CleanOps variant). The trigger
+    // compares integer counts (nz·20 < n·9 ⇔ share < 45%) so no float
+    // boundary can disagree. Plan: tiny per-group share table broadcasts
+    // back onto the fact scan — zero fact shuffles before the sort.
+    Q("p17_conditional_augment", Seq("P17", "A9", "sampling"),
+      (s, dir) => {
+        val h = graft.dedup.Hashing.sparkMd5Mod("CAST(event_id AS STRING)")
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"),
+                  expr("CASE WHEN value < 40 THEN CAST(0 AS DOUBLE) ELSE value - 40 END").as("preci"))
+        val share = e.groupBy("event_type")
+          .agg(sum(when(col("preci") =!= 0d, 1L).otherwise(0L)).as("nz"),
+               count(lit(1)).as("n"))
+        e.join(broadcast(share), "event_type")
+          .where(col("nz") * 20 < col("n") * 9 && col("preci") === 0d &&
+                 expr(s"$h % 10") === 0)
+          .select(col("event_id"), col("event_type"),
+                  expr(s"preci + CAST(0.001 AS DOUBLE) + ($h % 9000 + 1) * CAST(0.000001 AS DOUBLE)")
+                    .as("preci_after"))
+          .orderBy("event_id")
+      },
+      Some {
+        val h = graft.dedup.Hashing.duckMd5Mod("CAST(event_id AS VARCHAR)")
+        s"""WITH e AS (SELECT event_id, event_type,
+           |    CASE WHEN value < 40 THEN CAST(0 AS DOUBLE) ELSE value - 40 END AS preci,
+           |    $h AS h
+           |  FROM events),
+           |s AS (SELECT event_type,
+           |    sum(CASE WHEN preci <> 0 THEN 1 ELSE 0 END) AS nz, count(*) AS n
+           |  FROM e GROUP BY 1)
+           |SELECT e.event_id, e.event_type,
+           |  e.preci + CAST(0.001 AS DOUBLE) + (e.h % 9000 + 1) * CAST(0.000001 AS DOUBLE) AS preci_after
+           |FROM e JOIN s USING (event_type)
+           |WHERE s.nz * 20 < s.n * 9 AND e.preci = 0 AND e.h % 10 = 0
+           |ORDER BY event_id""".stripMargin
+      },
+      note = "P17 made deterministic: md5-hash pick + hash-derived U(0.001,0.01); integer-count trigger")
   )
 }

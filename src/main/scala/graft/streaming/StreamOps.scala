@@ -49,21 +49,27 @@ object StreamOps {
     * fast local state storage (NVMe/RocksDB), not a semantic change. */
   private def drain(spark: SparkSession, name: String,
                     writer: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
-    val ckptDir = new java.io.File(s"/dev/shm/graft_ckpt/$name")
-    withStreamPartitions(spark) {
+    // Unique per PROCESS, not just per session: the runCounter restarts at 1
+    // in every JVM, and a run that died before its cleanup leaves a stale
+    // checkpoint whose file-source offsets point at the OLD input dir — the
+    // next process would silently "resume" from it and fail (or worse, skip
+    // the new input). A drain-and-stop checkpoint is pure scratch; never
+    // reuse one across processes.
+    val ckptDir = new java.io.File(
+      s"/dev/shm/graft_ckpt/$name-${java.util.UUID.randomUUID().toString.take(8)}")
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(); ()
+    }
+    try withStreamPartitions(spark) {
       val q = writer
         .option("checkpointLocation", ckptDir.getAbsolutePath)
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    }
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(rm)
-      f.delete(); ()
-    }
-    rm(ckptDir)
+    } finally rm(ckptDir) // also on failure — scratch must not outlive the run
   }
 
   /** Run a tumbling-window streaming aggregation over the events parquet
