@@ -315,6 +315,60 @@ object DedupQueries {
            |ORDER BY a_id, b_id""".stripMargin
       }),
 
+    // Bloom-filter screening — INCREMENTAL dedup at corpus scale: new docs
+    // are checked against a filter built from the history partition without
+    // ever joining the history itself. The filter is k=3 md5-permutation bit
+    // positions in an m=32768 space, held as a DISTINCT bit-id relation
+    // (≤ m rows — broadcastable at any history size; the byte-array form a
+    // production system ships has identical semantics, this one is exactly
+    // reproducible in SQL). No false negatives by construction — the spec
+    // asserts every exact duplicate is flagged — and the output exposes the
+    // false-positive rate by carrying the exact-match flag next to the
+    // bloom verdict. All integer arithmetic: oracle matches bit-for-bit.
+    Q("dedup_bloom_screen", Seq("dedup", "J6", "A12", "sampling"),
+      (s, dir) => {
+        val BloomM = 32768
+        val x = Hashing.sparkMd5Mod("text")
+        val posCols = Hashing.coefficients(3).map { case (a, b) =>
+          expr(s"${Hashing.permute(s"($x)", a, b)} % $BloomM")
+        }
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), array(posCols: _*).as("pos"))
+        val hist = docs.where(col("doc_id") % 5 =!= 0)
+        val fresh = docs.where(col("doc_id") % 5 === 0)
+        val bits = hist.select(explode(col("pos")).as("bit")).distinct()
+        val exact = hist.select(col("text")).distinct().withColumn("is_exact", lit(1L))
+        fresh.select(col("doc_id"), col("text"), explode(col("pos")).as("bit"))
+          .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("bit"), "left")
+          .groupBy("doc_id", "text")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_bits_hit"))
+          .join(broadcast(exact), Seq("text"), "left")
+          .select(col("doc_id"), col("n_bits_hit"),
+                  (col("n_bits_hit") === 3).cast("int").as("bloom_hit"),
+                  coalesce(col("is_exact"), lit(0L)).as("exact_dup"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val x = Hashing.duckMd5Mod("text")
+        val posSelects = Hashing.coefficients(3).map { case (a, b) =>
+          s"SELECT doc_id, ${Hashing.permute(s"($x)", a, b)} % 32768 AS bit, text FROM documents"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH pos AS (
+           |  $posSelects),
+           |bits AS (SELECT DISTINCT bit FROM pos WHERE doc_id % 5 <> 0),
+           |exact AS (SELECT DISTINCT text FROM documents WHERE doc_id % 5 <> 0),
+           |hits AS (SELECT p.doc_id, p.text,
+           |    sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS n_bits_hit
+           |  FROM pos p LEFT JOIN bits b USING (bit)
+           |  WHERE p.doc_id % 5 = 0
+           |  GROUP BY 1, 2)
+           |SELECT h.doc_id, h.n_bits_hit, CAST(h.n_bits_hit = 3 AS INTEGER) AS bloom_hit,
+           |  CASE WHEN e.text IS NOT NULL THEN 1 ELSE 0 END AS exact_dup
+           |FROM hits h LEFT JOIN exact e USING (text)
+           |ORDER BY doc_id""".stripMargin
+      },
+      note = "k=3/m=32768 Bloom screen of new docs vs history; bit relation broadcasts, no history join"),
+
     // Embedding-cosine near-dup (the SemDeDup shape): within each coarse
     // cluster (label ≙ k-means cell), a doc is a near-dup if some LOWER-id
     // doc in its cluster sits within cosine ≥ τ; dropped docs report the

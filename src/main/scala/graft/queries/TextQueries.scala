@@ -225,6 +225,38 @@ object TextQueries {
              |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
              |  FROM scored) t
              |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
-      note = "salient-term extraction, rational tf/df weight (ln-free => engine-exact ranking)")
+      note = "salient-term extraction, rational tf/df weight (ln-free => engine-exact ranking)"),
+
+    // Corpus-frequency fluency scoring — the unigram-LM quality filter
+    // shape (a CCNet/KenLM-style screen without the log-space model): a
+    // doc's score is the mean corpus frequency of its token occurrences,
+    // plus its hapax share (tokens occurring once in the whole corpus —
+    // the OCR-garbage/gibberish signal). Integer sums with single double
+    // divisions: engine-exact. Plan: the corpus tf table is vocabulary-
+    // sized (broadcastable at any corpus size — natural-language vocab
+    // grows sublinearly), the per-doc aggregate combines map-side.
+    Q("text_corpus_fluency", Seq("text", "A12", "J1", "corpus"),
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = toks.groupBy("term").agg(count(lit(1)).as("ctf"))
+        toks.join(broadcast(tf), "term")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+               sum("ctf").as("sum_ctf"),
+               sum(when(col("ctf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+          .select(col("doc_id"), col("n_toks"),
+                  (col("sum_ctf").cast("double") / col("n_toks")).as("mean_ctf"),
+                  (col("n_hapax").cast("double") / col("n_toks")).as("hapax_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT term, count(*) AS ctf FROM toks GROUP BY 1)
+             |SELECT doc_id, count(*) AS n_toks,
+             |  CAST(sum(ctf) AS DOUBLE) / count(*) AS mean_ctf,
+             |  CAST(sum(CASE WHEN ctf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS hapax_frac
+             |FROM toks JOIN tf USING (term)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      note = "unigram-LM-shaped quality screen: mean corpus tf + hapax share, ln-free")
   )
 }

@@ -53,6 +53,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom screen has NO false negatives; hit counts are in range") {
+    val out = q("dedup_bloom_screen").cache()
+    // every exact duplicate must be bloom-flagged — the filter's contract
+    assert(out.where(col("exact_dup") === 1 && col("bloom_hit") === 0).isEmpty)
+    assert(out.where(col("n_bits_hit") < 0 || col("n_bits_hit") > 3).isEmpty)
+    // only new-partition docs are screened
+    assert(out.where(col("doc_id") % 5 =!= 0).isEmpty)
+  }
+
+  test("corpus fluency: hapax_frac and mean_ctf consistent with token counts") {
+    val out = q("text_corpus_fluency").collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val (n, mean, hap) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      n >= 1 && mean >= 1.0 && hap >= 0.0 && hap <= 1.0
+    })
+  }
+
   test("sketch_hll_distinct estimates within the m=64 band of the exact count") {
     val rows = q("sketch_hll_distinct").collect()
     assert(rows.nonEmpty)
