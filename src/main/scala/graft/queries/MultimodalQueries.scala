@@ -114,6 +114,83 @@ object MultimodalQueries {
              |SELECT doc_id, slot, CAST(hi - lo AS INTEGER) AS n_bytes,
              |  CAST(CAST(list_sum(list_transform(generate_series(lo + 1, hi), j -> unicode(text[j]))) AS BIGINT) AS DOUBLE) / (hi - lo) AS mean_code
              |FROM b ORDER BY doc_id, slot""".stripMargin),
-      note = "1-D average-pooling resize to a fixed 8-slot signature")
+      note = "1-D average-pooling resize to a fixed 8-slot signature"),
+
+    // Perceptual-hash near-dup for media payloads — aHash over the stubbed
+    // decode: pool the payload bytes into 48 chunks (chunk of byte i is
+    // i·48 div n), set bit j iff chunk j's sum is ≥ the mean (integer
+    // cross-multiplication 48·s_j ≥ total — no float boundary), giving a
+    // 48-bit fingerprint. Near-dups are found exactly like dedup_simhash:
+    // 4 bands × 12 bits, band-equality join, Hamming ≤ 3 verify (pigeonhole-
+    // complete: 3 flips can't touch all 4 bands). The hash runs inside the
+    // multimodal mapPartitions decode path — at scale each payload is
+    // decoded once, map-side, and only 8-byte hashes shuffle.
+    Q("mm_phash_dedup", Seq("multimodal", "dedup", "P2", "J2"),
+      (s, dir) => {
+        import s.implicits._
+        val hashed = Multimodal.withPayload(Tables.documents(s, dir))
+          .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) =>
+            val n = bytes.length
+            val sums = new Array[Long](48)
+            var total = 0L
+            var i = 0
+            while (i < n) {
+              val v = (bytes(i) & 0xff).toLong
+              sums((i.toLong * 48 / n).toInt) += v
+              total += v
+              i += 1
+            }
+            var ph = 0L
+            var j = 0
+            while (j < 48) { if (48L * sums(j) >= total) ph |= 1L << j; j += 1 }
+            (id, ph)
+          }).toDF("doc_id", "ph")
+          .cache() // both sides of the band self-join read it
+        val bands = hashed.select(col("doc_id"), col("ph"),
+          explode(array((0 until 4).map { b =>
+            struct(lit(b).as("band_idx"),
+                   expr(s"shiftright(ph, ${b * 12}) % 4096").as("band_val"))
+          }: _*)).as("band"))
+          .select(col("doc_id"), col("ph"), col("band.band_idx"), col("band.band_val"))
+        bands.as("a")
+          .join(bands.as("b"),
+                col("a.band_idx") === col("b.band_idx") &&
+                col("a.band_val") === col("b.band_val") &&
+                col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+                  col("a.ph").as("ph_a"), col("b.ph").as("ph_b"))
+          .distinct()
+          .withColumn("hamming", expr("CAST(bit_count(ph_a ^ ph_b) AS INTEGER)"))
+          .where(col("hamming") <= 3)
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+             |    unnest(generate_series(0, CAST(length(text) AS INTEGER) - 1)) AS i, text
+             |  FROM documents),
+             |ch AS (SELECT doc_id, (i * 48) // n AS j,
+             |    CAST(sum(unicode(text[CAST(i AS INTEGER) + 1])) AS BIGINT) AS s
+             |  FROM u GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS total FROM ch GROUP BY 1),
+             |ph AS (SELECT ch.doc_id,
+             |    CAST(sum(CASE WHEN 48 * ch.s >= t.total
+             |                  THEN CAST(1 AS BIGINT) << CAST(ch.j AS INTEGER)
+             |                  ELSE 0 END) AS BIGINT) AS ph
+             |  FROM ch JOIN tot t USING (doc_id) GROUP BY 1),
+             |bands AS (
+             |  SELECT doc_id, ph, b AS band_idx, (ph >> (b * 12)) % 4096 AS band_val
+             |  FROM ph, (SELECT unnest(generate_series(0, 3)) AS b)),
+             |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    a.ph AS ph_a, b.ph AS ph_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             |   AND a.doc_id < b.doc_id)
+             |SELECT a_id, b_id, ph_a, ph_b,
+             |  CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
+             |FROM cand
+             |WHERE bit_count(xor(ph_a, ph_b)) <= 3
+             |ORDER BY a_id, b_id""".stripMargin),
+      note = "aHash-style 48-bit payload fingerprint in the decode path; banded Hamming join, d<=3 complete")
   )
 }

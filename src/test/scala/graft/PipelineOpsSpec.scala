@@ -71,6 +71,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     })
   }
 
+  test("phash dedup finds every exact duplicate pair at hamming 0") {
+    val out = q("mm_phash_dedup").cache()
+    assert(out.where(col("hamming") < 0 || col("hamming") > 3).isEmpty)
+    // identical payloads hash identically -> every exact-dup pair appears
+    val docs = graft.core.Tables.documents(spark, dir)
+    val exactPairs = docs.as("a").join(docs.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    assert(exactPairs.except(out.select("a_id", "b_id")).isEmpty)
+    assert(out.where(col("ph_a") === col("ph_b") && col("hamming") =!= 0).isEmpty)
+  }
+
   test("sketch_hll_distinct estimates within the m=64 band of the exact count") {
     val rows = q("sketch_hll_distinct").collect()
     assert(rows.nonEmpty)
