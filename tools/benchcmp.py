@@ -8,7 +8,7 @@ state-of-the-art single-node engine, so "within small-factor of DuckDB on
 small data, while every plan is a distributed shuffle shape" is the
 single-node half of the 100 TB story.
 
-Usage: python3 tools/benchcmp.py <sfDir> <bench_json_file> [out_md]
+Usage: python3 tools/benchcmp.py <sfDir> <bench_json_file> [out_md] [oracle_json]
 """
 import json
 import sys
@@ -30,7 +30,8 @@ def main():
     spark_times = bench["queries"]
 
     # oracle SQL dumped by graft.Verify for the same SF family
-    oracle = json.load(open("/tmp/graft_verify_01/oracle_sql.json"))
+    oracle_path = sys.argv[4] if len(sys.argv) > 4 else "/tmp/graft_verify/oracle_sql.json"
+    oracle = json.load(open(oracle_path))
 
     con = duckdb.connect()
     for t in TABLES:
