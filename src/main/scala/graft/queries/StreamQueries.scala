@@ -93,6 +93,14 @@ object StreamQueries {
       Some("""SELECT user_id, count(*) AS n_events,
              |  min(CAST(ts AS DATE)) AS first_d, max(CAST(ts AS DATE)) AS last_d
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
-      note = "flatMapGroupsWithState custom per-key state, AvailableNow drain")
+      note = "flatMapGroupsWithState custom per-key state, AvailableNow drain"),
+
+    Q("stream_tws_user_stats", Seq("§2.9", "§2.10", "A12", "cdc"),
+      (s, dir) => StreamOps.transformWithStateUserStats(s, dir),
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  count(DISTINCT event_type) AS n_types,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      note = "transformWithState (Spark 4 API): named ValueState+MapState on RocksDB store")
   )
 }

@@ -226,6 +226,78 @@ object StreamOps {
     spark.table(name).select("fp", "keep_id", "n_copies").orderBy("fp")
   }
 
+  /** Spark 4's `transformWithState` — the successor API to
+    * flatMapGroupsWithState, with NAMED state variables on the RocksDB
+    * store (the production state backend; the other six stream queries
+    * exercise the HDFS-backed default). Per user: a ValueState holds
+    * (n_events, total_cents) and a MapState counts per-type occurrences —
+    * the composite-state shape (counters + a keyed sub-map) that
+    * flatMapGroups would have to pack into one tuple. Values fold as
+    * integer CENTS so the per-key result is iterator-order-free; the
+    * AvailableNow drain is a single data micro-batch, so the emitted
+    * per-key rows equal a batch GROUP BY — which is the oracle. */
+  private class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Long), (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ListState => _, _}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var agg: ValueState[(Long, Long)] = _
+    @transient private var types: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      agg = getHandle.getValueState("agg",
+        org.apache.spark.sql.Encoders.tuple(E.scalaLong, E.scalaLong), TTLConfig.NONE)
+      types = getHandle.getMapState("types", E.STRING, E.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String, Long)],
+                                 tv: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      var (n, cents) = if (agg.exists()) agg.get() else (0L, 0L)
+      rows.foreach { case (_, t, c) =>
+        n += 1
+        cents += c
+        types.updateValue(t, (if (types.containsKey(t)) types.getValue(t) else 0L) + 1L)
+      }
+      agg.update((n, cents))
+      var nTypes = 0L
+      val it = types.keys()
+      while (it.hasNext) { it.next(); nTypes += 1 }
+      Iterator.single((key, n, nTypes, cents))
+    }
+  }
+
+  /** Per-user event stats via `transformWithState` on the RocksDB state
+    * store; see [[UserStatsProcessor]]. Output: one row per user with
+    * (n_events, n_types, total_value). */
+  def transformWithStateUserStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    graft.core.Tables.events(spark, dir) // sets nanosAsLong
+    val name = s"graft_tws_${runCounter.incrementAndGet()}"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema(tableSchema(spark, s"$dir/events.parquet"))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("user_id"), col("event_type"),
+                expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        .as[(Long, String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new UserStatsProcessor, TimeMode.None(), OutputMode.Append())
+      drain(spark, name, stream.toDF("user_id", "n_events", "n_types", "total_cents")
+        .writeStream.outputMode("append").format("memory"))
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None    => spark.conf.unset(providerKey)
+    }
+    spark.table(name)
+      .select(col("user_id"), col("n_events"), col("n_types"),
+              (col("total_cents").cast("double") / 100.0).as("total_value"))
+      .orderBy("user_id")
+  }
+
   /** Custom streaming state via `flatMapGroupsWithState` (§2.9 high-watermark
     * semantics per key): for each user, fold the event stream into
     * (count, first-day, last-day) state and emit the final state when the
