@@ -224,18 +224,21 @@ object CoreQueries {
     // back onto the fact scan — zero fact shuffles before the sort.
     Q("p17_conditional_augment", Seq("P17", "A9", "sampling"),
       (s, dir) => {
-        val h = graft.dedup.Hashing.sparkMd5Mod("CAST(event_id AS STRING)")
+        // h is projected ONCE (mirroring the oracle's `e` CTE) — inlining
+        // the md5 expression into both the filter and the projection would
+        // compute it twice per row on the fact scan
         val e = Tables.events(s, dir)
           .select(col("event_id"), col("event_type"),
-                  expr("CASE WHEN value < 40 THEN CAST(0 AS DOUBLE) ELSE value - 40 END").as("preci"))
+                  expr("CASE WHEN value < 40 THEN CAST(0 AS DOUBLE) ELSE value - 40 END").as("preci"),
+                  expr(graft.dedup.Hashing.sparkMd5Mod("CAST(event_id AS STRING)")).as("h"))
         val share = e.groupBy("event_type")
           .agg(sum(when(col("preci") =!= 0d, 1L).otherwise(0L)).as("nz"),
                count(lit(1)).as("n"))
         e.join(broadcast(share), "event_type")
           .where(col("nz") * 20 < col("n") * 9 && col("preci") === 0d &&
-                 expr(s"$h % 10") === 0)
+                 col("h") % 10 === 0)
           .select(col("event_id"), col("event_type"),
-                  expr(s"preci + CAST(0.001 AS DOUBLE) + ($h % 9000 + 1) * CAST(0.000001 AS DOUBLE)")
+                  expr("preci + CAST(0.001 AS DOUBLE) + (h % 9000 + 1) * CAST(0.000001 AS DOUBLE)")
                     .as("preci_after"))
           .orderBy("event_id")
       },

@@ -277,23 +277,11 @@ object DedupQueries {
         val sim = bitSums.select(col("doc_id"),
           expr((0 until SimBits).map(j => s"CAST(s$j >= 0 AS BIGINT) * ${1L << j}").mkString(" + ")).as("simhash"))
           .cache()
-        val bands = sim.select(col("doc_id"), col("simhash"),
-          explode(array((0 until SimBands).map { bnd =>
-            struct(lit(bnd).as("band_idx"),
-                   expr(s"shiftright(simhash, ${bnd * 6}) % 64").as("band_val"))
-          }: _*)).as("band"))
-          .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_val"))
-        bands.as("a")
-          .join(bands.as("b"),
-                col("a.band_idx") === col("b.band_idx") &&
-                col("a.band_val") === col("b.band_val") &&
-                col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-                  col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-          .distinct()
-          .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS INTEGER)"))
-          .where(col("hamming") <= 3)
-          .select("a_id", "b_id", "sim_a", "sim_b", "hamming")
+        graft.dedup.Banding
+          .bandedHammingJoin(sim, "doc_id", "simhash",
+                             bits = SimBits, bands = SimBands, maxHamming = 3)
+          .select(col("a_id"), col("b_id"),
+                  col("sig_a").as("sim_a"), col("sig_b").as("sim_b"), col("hamming"))
           .orderBy("a_id", "b_id")
       },
       Some {
@@ -331,11 +319,14 @@ object DedupQueries {
     Q("dedup_bloom_screen", Seq("dedup", "J6", "A12", "sampling"),
       (s, dir) => {
         val BloomM = 32768
-        val x = Hashing.sparkMd5Mod("text")
+        // md5 is materialized ONCE as x; the k position exprs derive from it
+        // (inlining the hash into each array element would md5 every row 3×)
         val posCols = Hashing.coefficients(3).map { case (a, b) =>
-          expr(s"${Hashing.permute(s"($x)", a, b)} % $BloomM")
+          expr(s"${Hashing.permute("x", a, b)} % $BloomM")
         }
         val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+                  expr(Hashing.sparkMd5Mod("text")).as("x"))
           .select(col("doc_id"), col("text"), array(posCols: _*).as("pos"))
         val hist = docs.where(col("doc_id") % 5 =!= 0)
         val fresh = docs.where(col("doc_id") % 5 === 0)

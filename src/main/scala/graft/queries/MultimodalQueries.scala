@@ -128,7 +128,11 @@ object MultimodalQueries {
     Q("mm_phash_dedup", Seq("multimodal", "dedup", "P2", "J2"),
       (s, dir) => {
         import s.implicits._
+        // n = 0 guard keeps Spark aligned with the oracle: an empty payload
+        // would otherwise hash to all-ones here (0 >= 0 per bit) while the
+        // oracle's generate_series(0, -1) drops the row entirely.
         val hashed = Multimodal.withPayload(Tables.documents(s, dir))
+          .where(length(col("text")) > 0)
           .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
           .mapPartitions(_.map { case (id, bytes) =>
             val n = bytes.length
@@ -147,22 +151,11 @@ object MultimodalQueries {
             (id, ph)
           }).toDF("doc_id", "ph")
           .cache() // both sides of the band self-join read it
-        val bands = hashed.select(col("doc_id"), col("ph"),
-          explode(array((0 until 4).map { b =>
-            struct(lit(b).as("band_idx"),
-                   expr(s"shiftright(ph, ${b * 12}) % 4096").as("band_val"))
-          }: _*)).as("band"))
-          .select(col("doc_id"), col("ph"), col("band.band_idx"), col("band.band_val"))
-        bands.as("a")
-          .join(bands.as("b"),
-                col("a.band_idx") === col("b.band_idx") &&
-                col("a.band_val") === col("b.band_val") &&
-                col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-                  col("a.ph").as("ph_a"), col("b.ph").as("ph_b"))
-          .distinct()
-          .withColumn("hamming", expr("CAST(bit_count(ph_a ^ ph_b) AS INTEGER)"))
-          .where(col("hamming") <= 3)
+        graft.dedup.Banding
+          .bandedHammingJoin(hashed, "doc_id", "ph",
+                             bits = 48, bands = 4, maxHamming = 3)
+          .select(col("a_id"), col("b_id"),
+                  col("sig_a").as("ph_a"), col("sig_b").as("ph_b"), col("hamming"))
           .orderBy("a_id", "b_id")
       },
       Some("""WITH u AS (

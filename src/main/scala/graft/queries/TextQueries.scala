@@ -237,8 +237,12 @@ object TextQueries {
     // grows sublinearly), the per-doc aggregate combines map-side.
     Q("text_corpus_fluency", Seq("text", "A12", "J1", "corpus"),
       (s, dir) => {
+        // cached: tf is broadcast, and ReuseExchange cannot match through a
+        // BroadcastExchange wrapper — without the cache the probe side would
+        // re-scan and re-explode documents independently
         val toks = Tables.documents(s, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .cache()
         val tf = toks.groupBy("term").agg(count(lit(1)).as("ctf"))
         toks.join(broadcast(tf), "term")
           .groupBy("doc_id")

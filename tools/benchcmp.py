@@ -61,15 +61,28 @@ def main():
         "|---|---|---|---|",
     ]
     tot_sp = tot_dk = 0.0
+    missing = []
     for name, sp, dk in rows:
         if sp is None:
+            # the bench stdout line intentionally omits fast queries (tail
+            # budget); only BENCH_LOCAL.json has every query. Don't let a
+            # partial input masquerade as full coverage.
+            missing.append(name)
             continue
         tot_sp += sp
         tot_dk += dk
         lines.append(f"| `{name}` | {sp:.3f} | {dk:.3f} | {sp / dk:.1f}× |" if dk > 0
                      else f"| `{name}` | {sp:.3f} | {dk:.3f} | — |")
-    lines.append(f"| **total ({len(rows)} oracle queries)** | **{tot_sp:.1f}** | "
+    n_cmp = len(rows) - len(missing)
+    lines.append(f"| **total ({n_cmp} oracle queries)** | **{tot_sp:.1f}** | "
                  f"**{tot_dk:.1f}** | **{tot_sp / tot_dk:.1f}×** |")
+    if missing:
+        lines.append("")
+        lines.append(f"NOT in the bench input ({len(missing)} oracle queries "
+                     f"excluded from the totals): " +
+                     ", ".join(f"`{m}`" for m in missing))
+        print(f"WARNING: {len(missing)} oracle queries missing from bench input: "
+              f"{', '.join(missing)}", file=sys.stderr)
     open(out_md, "w").write("\n".join(lines) + "\n")
     print(f"spark {tot_sp:.1f}s vs duckdb {tot_dk:.1f}s over {len(rows)} queries -> {out_md}")
 
