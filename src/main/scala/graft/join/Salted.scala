@@ -30,4 +30,18 @@ object Salted {
       .agg(sum(col("_v")).as("_psum"), count(lit(1)).as("_pn"))
       .groupBy(col(key))
       .agg(sum(col("_psum")).as("total"), sum(col("_pn")).as("n"))
+
+  /** Salted equi-join for a skewed FACT key against a dim too big to
+    * broadcast: the fact side salts deterministically, the dim side is
+    * replicated once per salt, and the join key becomes (key, salt) — each
+    * hot key's rows spread over `salts` reducers instead of pinning one.
+    * Row-identical to the plain join (every fact row still meets its dim
+    * row, under exactly one salt). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 entropy: Column, salts: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("_salt", saltFrom(entropy, salts))
+    val replicated = dim.withColumn("_salt",
+      explode(array((0 until salts).map(lit(_)): _*)))
+    saltedFact.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
 }

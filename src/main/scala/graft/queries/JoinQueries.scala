@@ -187,6 +187,37 @@ object JoinQueries {
              |  min(d) AS first_day, max(d) AS last_day
              |FROM iv JOIN pts ON d >= lo AND d <= hi
              |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin),
-      note = "RangeJoinRule: BETWEEN join rewritten to bucketed equi-join (W=16)")
+      note = "RangeJoinRule: BETWEEN join rewritten to bucketed equi-join (W=16)"),
+
+    // Salted JOIN — the join-side companion to a_salted_two_phase: a skewed
+    // fact key (5 event types over 100k rows — every key is hot) joined to
+    // a per-key dim by salting the fact and replicating the dim per salt,
+    // so each hot key spreads over 16 reducers instead of pinning one.
+    // Row-identical to the plain join (each fact row meets its dim row
+    // under exactly one salt), which is what the oracle checks. Decimal
+    // subtraction before the sum keeps partition merge order irrelevant.
+    Q("j_salted_hotkey", Seq("J1", "skew", "A1"),
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val dim = e.groupBy("event_type").agg(min("value").as("tmin"))
+        // hint forces the shuffle join path (the tiny demo dim would
+        // broadcast, hiding the very skew-spread the salt exists for — at
+        // scale the dim side is too big to broadcast and this is the plan)
+        graft.join.Salted.saltedJoin(
+            e.select(col("event_type"), col("event_id"), col("value")).hint("merge"),
+            dim, "event_type", entropy = col("event_id"), salts = 16)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+               expr("CAST(sum(CAST(value AS DECIMAL(18,2)) - CAST(tmin AS DECIMAL(18,2))) AS DECIMAL(18,2))").as("dsum"))
+          .select(col("event_type"), col("n"),
+                  col("dsum").cast("double").as("sum_delta"))
+          .orderBy("event_type")
+      },
+      Some("""WITH dim AS (SELECT event_type, min(value) AS tmin FROM events GROUP BY 1)
+             |SELECT e.event_type, count(*) AS n,
+             |  CAST(CAST(sum(CAST(e.value AS DECIMAL(18,2)) - CAST(d.tmin AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_delta
+             |FROM events e JOIN dim d USING (event_type)
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "fact-salt + dim-replicate join: hot keys spread over 16 reducers; = plain join")
   )
 }

@@ -194,6 +194,44 @@ object WindowQueries {
              |      UNION ALL
              |      SELECT user_id, 'churned' AS status FROM (SELECT * FROM d1 EXCEPT SELECT * FROM d2))
              |SELECT user_id, status FROM r ORDER BY status, user_id""".stripMargin),
-      note = "INTERSECT/EXCEPT set ops (retained vs churned audiences)")
+      note = "INTERSECT/EXCEPT set ops (retained vs churned audiences)"),
+
+    // Time-weighted average — the billing/sensor semantics a plain avg gets
+    // wrong: each observation holds until the next one, so it weighs by its
+    // interval. lead() pairs each event with its successor (event_id
+    // tiebreak makes duplicate timestamps deterministic); the weighted sum
+    // folds as integer cents × integer microseconds (max ~5e15 per term —
+    // no overflow, no float-order drift), with ONE double division at the
+    // end. The last observation per user has no successor and is excluded
+    // (declared half-open semantics). One window sort + one groupBy, both
+    // keyed by user: the 100 TB shape.
+    Q("w_time_weighted_avg", Seq("W2", "A13", "F9", "session"),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+                  expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+          .withColumn("next_us", lead("ts_us", 1).over(w))
+          .where(col("next_us").isNotNull)
+          .groupBy("user_id")
+          .agg(sum(expr("cents * (next_us - ts_us)")).as("wsum"),
+               sum(expr("next_us - ts_us")).as("wtot"),
+               count(lit(1)).as("n_intervals"))
+          .select(col("user_id"), col("n_intervals"),
+                  expr("CAST(wsum AS DOUBLE) / (100.0 * CAST(wtot AS DOUBLE))").as("twa"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS ts_us,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+             |  FROM events)
+             |SELECT user_id, count(*) AS n_intervals,
+             |  CAST(sum(cents * (next_us - ts_us)) AS DOUBLE)
+             |    / (100.0 * CAST(sum(next_us - ts_us) AS DOUBLE)) AS twa
+             |FROM e WHERE next_us IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      note = "interval-weighted mean: integer cents x microseconds fold, one final division")
   )
 }
