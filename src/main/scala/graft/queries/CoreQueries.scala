@@ -257,6 +257,26 @@ object CoreQueries {
            |WHERE s.nz * 20 < s.n * 9 AND e.preci = 0 AND e.h % 10 = 0
            |ORDER BY event_id""".stripMargin
       },
-      note = "P17 made deterministic: md5-hash pick + hash-derived U(0.001,0.01); integer-count trigger")
+      note = "P17 made deterministic: md5-hash pick + hash-derived U(0.001,0.01); integer-count trigger"),
+
+    // P16 days-since-origin (`BiomassHindcasts.py:57` `(date − first).days`):
+    // the GP time feature, as a per-key window min + datediff. Integer day
+    // arithmetic — engine-exact. The m3/m4 forecasts consume the same
+    // feature inside their typed pipelines; this is its hash-checked carrier.
+    Q("p16_days_since_origin", Seq("P16", "A11", "W2"),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), to_date(col("ts")).as("d"))
+          .withColumn("origin", min("d").over(w))
+          .select(col("event_id"), col("user_id"),
+                  datediff(col("d"), col("origin")).as("days_since_origin"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(datediff('day', min(CAST(ts AS DATE)) OVER (PARTITION BY user_id),
+             |                 CAST(ts AS DATE)) AS INTEGER) AS days_since_origin
+             |FROM events ORDER BY event_id""".stripMargin),
+      note = "GP time feature (P16): per-key origin via window min, integer datediff")
   )
 }

@@ -78,4 +78,27 @@ object PropertiesCheck extends Properties("graft") {
       Prop(kmv.finish(merged) == kmv.finish(sequential)) :|
         s"n=${hashes.size} parts=$nParts"
     }
+
+  // ---- Banding: pigeonhole completeness of the banded-Hamming join -------
+
+  /** Signatures within maxHamming=bands-1 bit flips MUST collide in at
+    * least one band — the property that makes the banded equi-join a
+    * complete (no-false-negative) candidate generator. Mirrors the band
+    * extraction in graft.dedup.Banding (width w, value = (sig >> b·w) mod
+    * 2^w) for the two deployed configs: 24-bit/4 bands and 48-bit/4 bands. */
+  private def bandsOf(sig: Long, bits: Int, bands: Int): Seq[Long] = {
+    val w = bits / bands
+    (0 until bands).map(b => (sig >> (b * w)) % (1L << w))
+  }
+
+  property("banded-Hamming: any pair within maxHamming shares a band") =
+    forAll(Gen.choose(0L, (1L << 48) - 1), Gen.listOfN(3, Gen.choose(0, 47)),
+           Gen.oneOf((24, 4), (48, 4))) { case (sig0, flips, (bits, bands)) =>
+      val sig = sig0 % (1L << bits)
+      val flipped = flips.filter(_ < bits).distinct
+        .foldLeft(sig)((s, j) => s ^ (1L << j)) // hamming = |distinct flips| <= 3
+      val shared = bandsOf(sig, bits, bands).zip(bandsOf(flipped, bits, bands))
+        .exists { case (a, b) => a == b }
+      Prop(shared) :| s"sig=$sig flipped=$flipped bits=$bits"
+    }
 }
