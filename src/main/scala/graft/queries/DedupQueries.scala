@@ -128,17 +128,27 @@ object DedupQueries {
         // explode/regroup: candidate pairs join the two arrays by id and
         // `array_intersect` counts the shared shingles map-side (exact,
         // since shingles are distinct per doc).
-        val sh = shingles(s, dir)
-        val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        val docArr = sh.join(df, "shingle")
+        // df via a window count over the shingle partition — ONE shuffle by
+        // shingle, where the groupBy-then-join form paid that shuffle plus a
+        // second sort-merge pass of the full shingle table against it.
+        val wsh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+        val docArr = shingles(s, dir)
+          .withColumn("df", count(lit(1)).over(wsh))
           .groupBy("doc_id")
           .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ranked"))
           .select(col("doc_id"), col("ranked.shingle").as("shs"),
-                  size(col("ranked")).as("n_sh"))
+                  size(col("ranked")).as("n_sh"), col("ranked"))
           .withColumn("prefix",
-            expr("slice(shs, 1, cast(n_sh - ceil(n_sh * 0.5) + 1 AS int))"))
+            expr("slice(ranked, 1, cast(n_sh - ceil(n_sh * 0.5) + 1 AS int))"))
+          .drop("ranked")
           .cache()
-        val prefix = docArr.select(col("doc_id"), explode(col("prefix")).as("shingle"))
+        // prefix entries keep their df, so df=1 shingles — which can never
+        // form a pair (nothing to equi-join with) — are dropped BEFORE the
+        // self-join instead of being shuffled into it; on a mostly-unique
+        // corpus that is almost the entire prefix volume.
+        val prefix = docArr.select(col("doc_id"), explode(col("prefix")).as("p"))
+          .where(col("p.df") >= 2)
+          .select(col("doc_id"), col("p.shingle").as("shingle"))
         val cand = prefix.as("a")
           .join(prefix.as("b"),
                 col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
