@@ -112,11 +112,8 @@ object DedupQueries {
     // candidates only — its pair space stays bounded on duplicate-heavy
     // corpora where the direct join is O(pairs). The oracle is the
     // direct-join computation: equal output IS the completeness proof of
-    // the filter. (Measured comparable to the direct join at sf0.1 —
-    // roughly 1.3s steady-state vs 1.3s, with run-to-run swings up to ~3×
-    // from cached-vs-cold plan statistics flipping the verify joins'
-    // strategy; at duplicate-heavy scale the pruning, not the constant,
-    // is the point.)
+    // the filter. (Measures ~1.0s steady-state at sf0.1 vs ~1.3s for the
+    // direct join, after the window-df + df>=2-prefilter restructure.)
     Q("dedup_ngram_prefix", Seq("dedup", "J1", "A12", "skew"),
       (s, dir) => {
         // One pass builds everything per-doc: shingles ranked rarest-first
