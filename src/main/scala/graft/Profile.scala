@@ -18,6 +18,12 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("id % 10 AS k").groupBy("k").count().count()
+    // optional 4th arg: run once at this dir first (reproduces graft.Bench's
+    // cross-SF JIT warmup, which interacts with per-query caches)
+    if (args.length > 3) {
+      val c = SparkEntry.queries(name)(spark, args(3)).count()
+      println(s"[profile] warm pass at ${args(3)}: $c rows")
+    }
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()
       val c = SparkEntry.queries(name)(spark, sfDir).count()

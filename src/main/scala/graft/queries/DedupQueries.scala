@@ -39,6 +39,28 @@ object DedupQueries {
   private def duckEmbNorm(c: String) =
     s"list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
+  /** The prefix query's ranked per-doc array frame, memoized per
+    * (session, dir) — Zonal's weak-keyed pattern. Re-invoking the query
+    * lambda otherwise re-registers `.cache()` on a plan-identical frame,
+    * and CacheManager's plan matching proved unreliable here once a
+    * second SF's entry existed (observed: the bench's sf0.001 warmup made
+    * sf0.1 passes rebuild the 3s aggregation on most samples). Holding
+    * the one DataFrame instance sidesteps plan lookup entirely; the weak
+    * session key lets stopped sessions collect. */
+  private val docArrMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        scala.collection.concurrent.TrieMap[String, DataFrame]]())
+  private def memoizedDocArr(s: org.apache.spark.sql.SparkSession, dir: String)
+                            (build: => DataFrame): DataFrame = {
+    var m = docArrMemo.get(s)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+      docArrMemo.put(s, m)
+    }
+    m.getOrElseUpdate(dir, build)
+  }
+
   /** Spark-side distinct word-3-gram shingles: (doc_id, shingle). */
   private def shingles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -128,17 +150,19 @@ object DedupQueries {
         // df via a window count over the shingle partition — ONE shuffle by
         // shingle, where the groupBy-then-join form paid that shuffle plus a
         // second sort-merge pass of the full shingle table against it.
-        val wsh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-        val docArr = shingles(s, dir)
-          .withColumn("df", count(lit(1)).over(wsh))
-          .groupBy("doc_id")
-          .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ranked"))
-          .select(col("doc_id"), col("ranked.shingle").as("shs"),
-                  size(col("ranked")).as("n_sh"), col("ranked"))
-          .withColumn("prefix",
-            expr("slice(ranked, 1, cast(n_sh - ceil(n_sh * 0.5) + 1 AS int))"))
-          .drop("ranked")
-          .cache()
+        val docArr = memoizedDocArr(s, dir) {
+          val wsh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+          shingles(s, dir)
+            .withColumn("df", count(lit(1)).over(wsh))
+            .groupBy("doc_id")
+            .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ranked"))
+            .select(col("doc_id"), col("ranked.shingle").as("shs"),
+                    size(col("ranked")).as("n_sh"), col("ranked"))
+            .withColumn("prefix",
+              expr("slice(ranked, 1, cast(n_sh - ceil(n_sh * 0.5) + 1 AS int))"))
+            .drop("ranked")
+            .cache()
+        }
         // prefix entries keep their df, so df=1 shingles — which can never
         // form a pair (nothing to equi-join with) — are dropped BEFORE the
         // self-join instead of being shuffled into it; on a mostly-unique
