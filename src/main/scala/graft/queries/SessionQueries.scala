@@ -175,6 +175,73 @@ object SessionQueries {
              |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin),
       note = "log-compaction via max(struct): combiner-friendly single shuffle, no window sort"),
 
+    // Ordered funnel (view → click → purchase): the product-analytics
+    // sequence query. Stage k's entry time is the user's earliest stage-k
+    // event AFTER their stage-(k−1) entry — three layered conditional
+    // window minima over ONE user-partitioned shuffle (no joins, no
+    // per-stage aggregation rounds). Epoch-µs integers end to end.
+    Q("w_funnel_stages", Seq("session", "W2", "A11", "F1"),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+          .withColumn("t1", min(when(col("event_type") === "view", col("ts_us"))).over(w))
+          .withColumn("t2", min(when(col("event_type") === "click" &&
+                                     col("ts_us") > col("t1"), col("ts_us"))).over(w))
+          .withColumn("t3", min(when(col("event_type") === "purchase" &&
+                                     col("ts_us") > col("t2"), col("ts_us"))).over(w))
+          .where(col("t1").isNotNull)
+          .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+                  (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+                          + when(col("t3").isNotNull, 1).otherwise(0)).as("reached_stage"))
+          .distinct()
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+             |s1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts_us END) AS t1
+             |       FROM e GROUP BY 1),
+             |s2 AS (SELECT e.user_id,
+             |         min(CASE WHEN event_type = 'click' AND ts_us > t1 THEN ts_us END) AS t2
+             |       FROM e JOIN s1 USING (user_id) GROUP BY 1),
+             |s3 AS (SELECT e.user_id,
+             |         min(CASE WHEN event_type = 'purchase' AND ts_us > t2 THEN ts_us END) AS t3
+             |       FROM e JOIN s2 USING (user_id) GROUP BY 1)
+             |SELECT s1.user_id, t1, t2, t3,
+             |  1 + CAST(t2 IS NOT NULL AS INTEGER) + CAST(t3 IS NOT NULL AS INTEGER) AS reached_stage
+             |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+             |WHERE t1 IS NOT NULL ORDER BY user_id""".stripMargin),
+      note = "3-stage ordered funnel: layered conditional window minima, one shuffle"),
+
+    // Weekly cohort retention — the activation/retention matrix: users
+    // cohort by the Monday week of their FIRST event; each active week
+    // increments (cohort, offset). Distinct (user, offset) before the
+    // count so a user's many events in a week count once. The per-user
+    // origin is a window min (no join); integer week offsets.
+    Q("w_cohort_retention", Seq("session", "A10", "A12", "W5"),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+          .withColumn("first_d", min("d").over(w))
+          .select(col("user_id"),
+                  to_date(date_trunc("week", col("first_d"))).as("cohort_week"),
+                  expr("CAST(datediff(d, to_date(date_trunc('week', first_d))) div 7 AS INT)").as("week_offset"))
+          .distinct()
+          .groupBy("cohort_week", "week_offset")
+          .agg(countDistinct("user_id").as("n_active"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH f AS (SELECT user_id, CAST(ts AS DATE) AS d,
+             |    min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_d
+             |  FROM events),
+             |m AS (SELECT DISTINCT user_id,
+             |    date_trunc('week', first_d) AS cohort_week,
+             |    CAST(datediff('day', date_trunc('week', first_d), d) // 7 AS INTEGER) AS week_offset
+             |  FROM f)
+             |SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_active
+             |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      note = "weekly cohort x offset retention counts; window-min origin, no self-join"),
+
     // Corpus term statistics: top-20 terms by frequency with doc frequency.
     Q("text_term_freq", Seq("A12", "A10", "W4"),
       (s, dir) =>
