@@ -18,6 +18,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    calendar (W1) as O(1) arithmetic (graft.plans.ForagePeriod)
   *  - `vec_dot(arr, arr)` — codegen'd embedding dot product / norm kernel
   *    (graft.plans.VecExprs)
+  *  - `payload_phash(binary)` — 48-bit perceptual media fingerprint
+  *    (graft.plans.PhashExpr)
   *
   * The per-query `register(spark)` calls remain for sessions built without
   * the config (the harness path); both routes construct the same
@@ -35,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[graft.plans.VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => graft.plans.VecDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("payload_phash"),
+      new ExpressionInfo(classOf[graft.plans.PayloadPhash].getName, "payload_phash"),
+      (exprs: Seq[Expression]) => graft.plans.PayloadPhash(exprs.head)))
     // native as-of join planning (graft.plans.AsOfJoinPlan.AsOfJoin nodes)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinPlan.AsOfJoinStrategy)
     // interval-join bucketing rewrite (fires when

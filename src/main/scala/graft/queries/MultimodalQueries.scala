@@ -127,29 +127,16 @@ object MultimodalQueries {
     // decoded once, map-side, and only 8-byte hashes shuffle.
     Q("mm_phash_dedup", Seq("multimodal", "dedup", "P2", "J2"),
       (s, dir) => {
-        import s.implicits._
+        graft.plans.PhashExpr.register(s)
         // n = 0 guard keeps Spark aligned with the oracle: an empty payload
-        // would otherwise hash to all-ones here (0 >= 0 per bit) while the
-        // oracle's generate_series(0, -1) drops the row entirely.
+        // would otherwise hash to all-ones (0 >= 0 per bit) while the
+        // oracle's generate_series(0, -1) drops the row entirely. The hash
+        // itself is the codegen'd payload_phash Expression — a column op
+        // inside WholeStageCodegen on the scan, no Dataset encoder boundary
+        // (the mapPartitions decode path remains in mm_media_features).
         val hashed = Multimodal.withPayload(Tables.documents(s, dir))
           .where(length(col("text")) > 0)
-          .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
-          .mapPartitions(_.map { case (id, bytes) =>
-            val n = bytes.length
-            val sums = new Array[Long](48)
-            var total = 0L
-            var i = 0
-            while (i < n) {
-              val v = (bytes(i) & 0xff).toLong
-              sums((i.toLong * 48 / n).toInt) += v
-              total += v
-              i += 1
-            }
-            var ph = 0L
-            var j = 0
-            while (j < 48) { if (48L * sums(j) >= total) ph |= 1L << j; j += 1 }
-            (id, ph)
-          }).toDF("doc_id", "ph")
+          .select(col("doc_id"), expr("payload_phash(payload)").as("ph"))
           .cache() // both sides of the band self-join read it
         graft.dedup.Banding
           .bandedHammingJoin(hashed, "doc_id", "ph",

@@ -30,6 +30,10 @@ class ExtensionsSpec extends AnyFunSuite {
       val p = spark.sql(
         "SELECT CAST(forage_period_end(DATE '2024-01-20', DATE '2024-01-01') AS STRING) AS pe").head()
       assert(p.getString(0) == "2024-02-01") // second 16-day period: Jan 17 – Feb 1
+      // payload_phash: 48 identical bytes → every chunk equals the mean →
+      // all 48 bits set; string input implicitly casts to binary
+      val h = spark.sql(s"SELECT payload_phash(CAST('${"a" * 48}' AS BINARY)) AS h").head()
+      assert(h.getLong(0) == (1L << 48) - 1)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

@@ -71,6 +71,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     })
   }
 
+  test("payload_phash codegen expression matches the kernel on every doc") {
+    graft.plans.PhashExpr.register(spark)
+    import org.apache.spark.sql.functions.expr
+    val got = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("payload_phash(CAST(text AS BINARY))").as("ph"),
+              col("text"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val ref = graft.plans.PhashExpr.hash48(
+        r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert(r.getLong(1) == ref, s"doc ${r.getLong(0)}")
+      assert(r.getLong(1) >= 0 && r.getLong(1) < (1L << 48))
+    }
+  }
+
   test("phash dedup finds every exact duplicate pair at hamming 0") {
     val out = q("mm_phash_dedup").cache()
     assert(out.where(col("hamming") < 0 || col("hamming") > 3).isEmpty)
