@@ -75,4 +75,28 @@ class PlanRegressionSpec extends AnyFunSuite {
       assert(pure.collect().map(_.toSeq).toSet == expect)
     } finally spark.conf.set(graft.plans.RangeJoinRule.WidthConf, "0")
   }
+
+  test("salted hot-key join stays on the shuffle path it exists to spread") {
+    val p = plan("j_salted_hotkey")
+    assert(p.contains("SortMergeJoin"), p) // merge hint: the skew-spread demo plan
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("bloom screen broadcasts the bit relation and the exact list, never SMJ") {
+    val p = plan("dedup_bloom_screen")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("phash dedup hashes inside whole-stage codegen (no typed map boundary)") {
+    val p = plan("mm_phash_dedup")
+    assert(!p.contains("MapPartitions"), p) // the Expression replaced the typed path
+    assert(!p.contains("DeserializeToObject"), p)
+  }
+
+  test("CDC compaction is a single pre-sort shuffle, not a window sort") {
+    val p = plan("cdc_latest_by_key")
+    assert(!p.contains("Window"), p) // max(struct) combiner form
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p) // agg + orderBy
+  }
 }
