@@ -99,4 +99,26 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p) // max(struct) combiner form
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p) // agg + orderBy
   }
+
+  test("date-partitioned layout prunes partitions at the scan (K3/F5 at scale)") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      graft.core.Tables.events(spark, dir)
+        .select(to_date(col("ts")).as("d"), col("event_id"), col("value"))
+        .write.partitionBy("d").mode("overwrite").parquet(out)
+      val days = spark.read.parquet(out).select("d").distinct().count()
+      val one = spark.read.parquet(out).where(col("d") === "2024-01-03")
+      val p = one.queryExecution.executedPlan.toString
+      // the filter must land in PartitionFilters (directory pruning), not
+      // as a post-scan Filter over all partitions
+      assert(p.contains("PartitionFilters: [") && p.contains("isnotnull(d"), p)
+      assert(days > 1) // pruning is meaningful: >1 directory existed
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val k = f.listFiles(); if (k != null) k.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(out))
+    }
+  }
 }
