@@ -275,6 +275,95 @@ object AnnQueries {
              |  max(CASE WHEN sub = 1 THEN code_id END) AS code1,
              |  round(CAST(CAST(sum(d2s) AS BIGINT) AS DOUBLE) / 1e14, 6) AS err
              |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin),
-      note = "M=2 sub-quantizers, 16-codeword books from sampled vectors; exact integer distances")
+      note = "M=2 sub-quantizers, 16-codeword books from sampled vectors; exact integer distances"),
+
+    // IVF+PQ search — the composed shape of billion-vector ANN serving
+    // (coarse cell probe bounds the candidate set, then asymmetric-distance
+    // re-rank against the PQ codes, never touching the raw base vectors):
+    //  1. offline: PQ-encode every base vector (same M=2 / 16-codeword books
+    //     as ann_pq_encode) — at 100 TB this is the index build, stored
+    //     columnar alongside the coarse cell id;
+    //  2. per query: an ADC lookup table (query × codeword distance per
+    //     subspace, 8×16 rows) — tiny, broadcast;
+    //  3. probe: candidates = base rows in the query's coarse cell; their
+    //     ADC distance is two broadcast-hash lookups (code0, code1) + an
+    //     integer add — no per-candidate vector math, no fact shuffle beyond
+    //     the per-query top-k window.
+    // All distances are exact BIGINT sums over 1e7-scaled components, so the
+    // ranking (and the tie-break on bid) matches DuckDB bit-for-bit.
+    Q("ann_ivf_pq_search", Seq("similarity", "J2", "J4", "P4", "W4"),
+      (s, dir) => {
+        val scaledArr = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
+        val emb = Tables.embeddings(s, dir)
+        def d2(sub: Int, a: String, b: String) = {
+          val off = sub * 32 + 1 // slice() is 1-based
+          expr(s"aggregate(zip_with(slice($a, $off, 32), slice($b, $off, 32), " +
+               "(x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)")
+        }
+        val code = emb.where(col("vec_id") < 16)
+          .select(col("vec_id").as("code_id"), expr(scaledArr).as("cs"))
+        val base = emb.select(col("vec_id").as("bid"), col("label"), expr(scaledArr).as("xs"))
+          .crossJoin(broadcast(code))
+          .select(col("bid"), col("label"), col("code_id"),
+                  d2(0, "xs", "cs").as("d0"), d2(1, "xs", "cs").as("d1"))
+          .groupBy("bid", "label")
+          .agg(min(struct(col("d0"), col("code_id"))).as("b0"),
+               min(struct(col("d1"), col("code_id"))).as("b1"))
+          .select(col("bid"), col("label"),
+                  col("b0.code_id").as("code0"), col("b1.code_id").as("code1"))
+        val adc = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"), expr(scaledArr).as("qs"))
+          .crossJoin(broadcast(code))
+          .select(col("qid"), col("qlabel"), col("code_id"),
+                  d2(0, "qs", "cs").as("t0"), d2(1, "qs", "cs").as("t1"))
+        val t0 = adc.select(col("qid"), col("qlabel"), col("code_id").as("code0"), col("t0"))
+        val t1 = adc.select(col("qid"), col("code_id").as("code1"), col("t1"))
+        val cand = base.join(broadcast(t0), Seq("code0"))
+          .where(col("label") === col("qlabel") && col("qid") =!= col("bid"))
+          .join(broadcast(t1), Seq("qid", "code1"))
+          .withColumn("adc_i", col("t0") + col("t1"))
+        val w = Window.partitionBy("qid").orderBy(col("adc_i"), col("bid"))
+        cand.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("qid"), col("rank").cast("int").as("rank"), col("bid"),
+                  col("code0"), col("code1"),
+                  round(col("adc_i").cast("double") / lit(1e14), 6).as("adc_d2"))
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH comps AS (
+             |  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+             |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS xs
+             |  FROM embeddings),
+             |code AS (SELECT vec_id AS code_id, pos, xs AS cs FROM comps WHERE vec_id < 16),
+             |dists AS (
+             |  SELECT v.vec_id, v.label, v.pos // 32 AS sub, c.code_id,
+             |    CAST(sum((v.xs - c.cs) * (v.xs - c.cs)) AS BIGINT) AS d2s
+             |  FROM comps v JOIN code c USING (pos)
+             |  GROUP BY 1, 2, 3, 4),
+             |enc AS (
+             |  SELECT vec_id AS bid, label,
+             |    max(CASE WHEN sub = 0 THEN code_id END) AS code0,
+             |    max(CASE WHEN sub = 1 THEN code_id END) AS code1
+             |  FROM (SELECT vec_id, label, sub, code_id,
+             |          row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2s, code_id) AS rk
+             |        FROM dists) t
+             |  WHERE rk = 1 GROUP BY 1, 2),
+             |adc AS (SELECT vec_id AS qid, label AS qlabel, sub, code_id, d2s
+             |        FROM dists WHERE vec_id < 8),
+             |cand AS (
+             |  SELECT a0.qid, e.bid, e.code0, e.code1, a0.d2s + a1.d2s AS adc_i
+             |  FROM enc e
+             |  JOIN (SELECT qid, qlabel, code_id, d2s FROM adc WHERE sub = 0) a0
+             |    ON a0.code_id = e.code0 AND a0.qlabel = e.label
+             |  JOIN (SELECT qid, code_id, d2s FROM adc WHERE sub = 1) a1
+             |    ON a1.qid = a0.qid AND a1.code_id = e.code1
+             |  WHERE a0.qid <> e.bid)
+             |SELECT qid, CAST(rk AS INTEGER) AS rank, bid, code0, code1,
+             |  round(CAST(adc_i AS DOUBLE) / 1e14, 6) AS adc_d2
+             |FROM (SELECT qid, bid, code0, code1, adc_i,
+             |        row_number() OVER (PARTITION BY qid ORDER BY adc_i, bid) AS rk
+             |      FROM cand) t
+             |WHERE rk <= 5 ORDER BY qid, rank""".stripMargin),
+      note = "IVF cell probe + PQ asymmetric-distance re-rank; broadcast ADC tables, integer-exact ranking")
   )
 }

@@ -158,6 +158,40 @@ object CorpusQueries {
               |      OVER (PARTITION BY doc_id % $PackWorkers ORDER BY doc_id) AS BIGINT) AS cum
               |  FROM documents)
               |ORDER BY doc_id""".stripMargin),
-      note = s"hash-laned greedy packing, $PackBudget tokens/shard, $PackWorkers lanes")
+      note = s"hash-laned greedy packing, $PackBudget tokens/shard, $PackWorkers lanes"),
+
+    // Fixed-window chunking with overlap — the standard pretraining step
+    // that turns variable-length documents into model-context-sized pieces
+    // (window 160 chars, stride 120 → 40-char overlap keeps boundary
+    // context in two chunks). Pure map-side sequence+explode: no shuffle at
+    // all until the presentation sort, so at 100 TB it pipelines inside the
+    // scan stage and parallelism is input-split-bound. A chunk starts at
+    // every stride boundary < len, so the tail chunk may be short but is
+    // never empty; the 48-bit md5 chunk hash is the downstream dedup key
+    // (chunk-level exact dedup = groupBy(chunk_hash)).
+    Q("corpus_chunk_windows", Seq("corpus", "W9", "P13", "sampling"),
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+                  explode(expr("sequence(0, CAST(floor((length(text) - 1) / 120) AS INT))"))
+                    .as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+                  expr("substring(text, chunk_id * 120 + 1, 160)").as("chunk"))
+          .select(col("doc_id"), col("chunk_id"),
+                  length(col("chunk")).as("chunk_len"),
+                  expr(graft.dedup.Hashing.sparkMd5Mod("chunk")).as("chunk_hash"))
+          .orderBy("doc_id", "chunk_id"),
+      Some(s"""SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+              |  CAST(length(chunk) AS INTEGER) AS chunk_len,
+              |  ${graft.dedup.Hashing.duckMd5Mod("chunk")} AS chunk_hash
+              |FROM (
+              |  SELECT doc_id, chunk_id,
+              |    substr(text, CAST(chunk_id * 120 + 1 AS INTEGER), 160) AS chunk
+              |  FROM (
+              |    SELECT doc_id, text,
+              |      unnest(generate_series(0, (length(text) - 1) // 120)) AS chunk_id
+              |    FROM documents) t) u
+              |ORDER BY doc_id, chunk_id""".stripMargin),
+      note = "window 160 / stride 120 char chunking; map-side explode, no pre-sort shuffle")
   )
 }

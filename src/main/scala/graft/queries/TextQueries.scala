@@ -261,6 +261,68 @@ object TextQueries {
              |  CAST(sum(CASE WHEN ctf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS hapax_frac
              |FROM toks JOIN tf USING (term)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      note = "unigram-LM-shaped quality screen: mean corpus tf + hapax share, ln-free")
+      note = "unigram-LM-shaped quality screen: mean corpus tf + hapax share, ln-free"),
+
+    // PII detection + redaction — every production training-data pipeline
+    // scrubs emails/phones/IPs before anything else sees the text. The
+    // harness corpus is synthetic word-soup with no PII, so the query first
+    // injects deterministic doc_id-derived PII (same expression on both
+    // engines), then runs the real operator: per-class regexp counts and a
+    // chained regexp_replace redaction, verified via the 48-bit hash of the
+    // scrubbed text. The patterns stay in the portable RE2 ∩ java.util.regex
+    // subset (char classes, bounded repeats, escaped dots — no lookaround),
+    // so both engines match identically. Entirely map-side: at 100 TB this
+    // pipelines inside the scan with zero shuffles before the output sort.
+    Q("text_pii_scrub", Seq("text", "P13", "P15", "A12"),
+      (s, dir) => {
+        // Patterns stay on the DataFrame API (no expr()) so Spark SQL's
+        // backslash-escaping string literals never touch the `\.` escapes —
+        // the same Scala string reaches java.util.regex that the oracle's
+        // standard-SQL literal hands RE2.
+        val email = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+        val phone = "[0-9]{3}-[0-9]{4}"
+        val ip = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+ "
+        val id = col("doc_id").cast("string")
+        val pii = concat(
+          col("text"), lit(" contact user"), id, lit("@example.com"),
+          when(col("doc_id") % 3 === 0,
+               concat(lit(" cc backup."), id, lit("@mail.example.org"))).otherwise(lit("")),
+          lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          when(col("doc_id") % 5 === 0, lit(" or 555-0000")).otherwise(lit("")),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7 end"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), pii.as("pii"))
+          .select(col("doc_id"),
+                  regexp_count(col("pii"), lit(email)).cast("int").as("n_email"),
+                  regexp_count(col("pii"), lit(phone)).cast("int").as("n_phone"),
+                  regexp_count(col("pii"), lit(ip)).cast("int").as("n_ip"),
+                  regexp_replace(regexp_replace(regexp_replace(col("pii"),
+                    email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP> ").as("scrub"))
+          .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+                  expr(graft.dedup.Hashing.sparkMd5Mod("scrub")).as("scrub_hash"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val email = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+        val phone = "[0-9]{3}-[0-9]{4}"
+        val ip = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+ "
+        val injected =
+          "concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com', " +
+          "CASE WHEN doc_id % 3 = 0 THEN concat(' cc backup.', CAST(doc_id AS VARCHAR), '@mail.example.org') ELSE '' END, " +
+          "' call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), " +
+          "CASE WHEN doc_id % 5 = 0 THEN ' or 555-0000' ELSE '' END, " +
+          "' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7 end')"
+        val scrubbed =
+          s"regexp_replace(regexp_replace(regexp_replace(pii, '$email', '<EMAIL>', 'g'), " +
+          s"'$phone', '<PHONE>', 'g'), '$ip', '<IP> ', 'g')"
+        s"""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(pii, '$email')) AS INTEGER) AS n_email,
+           |  CAST(len(regexp_extract_all(pii, '$phone')) AS INTEGER) AS n_phone,
+           |  CAST(len(regexp_extract_all(pii, '$ip')) AS INTEGER) AS n_ip,
+           |  ${graft.dedup.Hashing.duckMd5Mod(scrubbed)} AS scrub_hash
+           |FROM (SELECT doc_id, $injected AS pii FROM documents) t
+           |ORDER BY doc_id""".stripMargin
+      },
+      note = "regex PII counts + chained redaction over injected doc_id-derived PII; map-side only")
   )
 }
