@@ -38,10 +38,35 @@ object VecExprs {
     java.lang.Double.valueOf(acc)
   }
 
-  /** SQL registration: `vec_dot(arrCol, arrCol)` over float/double arrays. */
-  def register(spark: SparkSession): Unit =
+  /** Left-fold Σ(a[i]−b[i])² over [off, off+len) in exact 64-bit integer
+    * arithmetic — the PQ subspace distance. Null on short arrays or null
+    * elements (mirrors the zip_with/aggregate fold it replaces). Static →
+    * callable from generated code. */
+  def sqDistLOrNull(a: ArrayData, b: ArrayData, off: Int, len: Int): java.lang.Long = {
+    val end = off + len
+    if (a.numElements() < end || b.numElements() < end) return null
+    var acc = 0L
+    var i = off
+    while (i < end) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  /** SQL registration: `vec_dot(arrCol, arrCol)` over float/double arrays,
+    * `vec_sqdist_l(arrCol, arrCol, off, len)` over bigint arrays (off/len
+    * foldable int literals — the PQ subspace window). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_sqdist_l", exprs => VecSqDistL(exprs.head, exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].intValue()), "scala_udf")
+  }
 }
 
 /** array<float|double> × array<float|double> → double.
@@ -87,5 +112,40 @@ case class VecDot(left: Expression, right: Expression)
     })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** array<bigint> × array<bigint> → bigint: exact Σ(a[i]−b[i])² over the
+  * [off, off+len) subspace window. Replaces the
+  * `aggregate(zip_with(slice(a,..), slice(b,..), ...))` fold in the PQ
+  * kernels — per-pair that fold pays two array slices, a materialized
+  * product array, and 2·len lambda dispatches; this is one virtual call
+  * into a JIT-friendly loop with identical integer semantics. */
+case class VecSqDistL(left: Expression, right: Expression, off: Int, len: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes =
+    org.apache.spark.sql.graftshim.GraftSqlBridge.longArrayInputTypes
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecExprs.sqDistLOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], off, len)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c1, c2) => {
+      val tmp = ctx.freshName("graftVecSqDistL")
+      s"""
+         |java.lang.Long $tmp = graft.plans.VecExprs.sqDistLOrNull($c1, $c2, $off, $len);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecSqDistL =
     copy(left = newLeft, right = newRight)
 }

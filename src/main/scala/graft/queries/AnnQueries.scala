@@ -228,24 +228,24 @@ object AnnQueries {
     Q("ann_pq_encode", Seq("similarity", "P4", "J2", "W6"),
       (s, dir) => {
         // Vectors stay as ARRAYS end-to-end: per-subspace distances are a
-        // map-side zip_with/aggregate fold against the broadcast 16-row
-        // codebook (a bounded nested-loop join, 16 rows — not a pair
-        // explosion), and the per-sub argmin is min(struct(d2, code_id)) —
-        // struct ordering compares d2 then code_id, exactly the old
+        // map-side native vec_sqdist_l (codegen Expression — exact BIGINT
+        // Σ(x−c)² over the subspace window, replacing the interpreted
+        // zip_with/aggregate fold) against the broadcast 16-row codebook
+        // (a bounded nested-loop join, 16 rows — not a pair explosion), and
+        // the per-sub argmin is min(struct(d2, code_id)) — struct ordering
+        // compares d2 then code_id, exactly the old
         // "ORDER BY d2s, code_id LIMIT 1" window. vs the exploded form this
         // drops a |vecs|×64-row shuffle, a 16× join blow-up of it, and a
         // window sort; the one wide exchange carries |vecs| rows of 2 longs.
+        graft.plans.VecExprs.register(s)
         val scaledArr = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
         val vecs = Tables.embeddings(s, dir)
           .select(col("vec_id"), expr(scaledArr).as("xs"))
         val code = Tables.embeddings(s, dir)
           .where(col("vec_id") < 16)
           .select(col("vec_id").as("code_id"), expr(scaledArr).as("cs"))
-        def d2(sub: Int) = {
-          val off = sub * 32 + 1 // slice() is 1-based
-          expr(s"aggregate(zip_with(slice(xs, $off, 32), slice(cs, $off, 32), " +
-               "(x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)")
-        }
+        def d2(sub: Int) =
+          expr(s"vec_sqdist_l(xs, cs, ${sub * 32}, 32)")
         vecs.crossJoin(broadcast(code)) // 16 codewords: bounded broadcast NL join
           .select(col("vec_id"), col("code_id"), d2(0).as("d0"), d2(1).as("d1"))
           .groupBy("vec_id")
@@ -293,13 +293,11 @@ object AnnQueries {
     // ranking (and the tie-break on bid) matches DuckDB bit-for-bit.
     Q("ann_ivf_pq_search", Seq("similarity", "J2", "J4", "P4", "W4"),
       (s, dir) => {
+        graft.plans.VecExprs.register(s)
         val scaledArr = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
         val emb = Tables.embeddings(s, dir)
-        def d2(sub: Int, a: String, b: String) = {
-          val off = sub * 32 + 1 // slice() is 1-based
-          expr(s"aggregate(zip_with(slice($a, $off, 32), slice($b, $off, 32), " +
-               "(x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)")
-        }
+        def d2(sub: Int, a: String, b: String) =
+          expr(s"vec_sqdist_l($a, $b, ${sub * 32}, 32)")
         val code = emb.where(col("vec_id") < 16)
           .select(col("vec_id").as("code_id"), expr(scaledArr).as("cs"))
         val base = emb.select(col("vec_id").as("bid"), col("label"), expr(scaledArr).as("xs"))
@@ -311,17 +309,21 @@ object AnnQueries {
                min(struct(col("d1"), col("code_id"))).as("b1"))
           .select(col("bid"), col("label"),
                   col("b0.code_id").as("code0"), col("b1.code_id").as("code1"))
+        // ADC tables pivoted to per-query arrays (code_id-ordered), so the
+        // probe is ONE broadcast join + two O(1) element_at lookups — not
+        // two separate broadcast builds each paying its own job round-trip.
         val adc = emb.where(col("vec_id") < 8)
           .select(col("vec_id").as("qid"), col("label").as("qlabel"), expr(scaledArr).as("qs"))
           .crossJoin(broadcast(code))
           .select(col("qid"), col("qlabel"), col("code_id"),
                   d2(0, "qs", "cs").as("t0"), d2(1, "qs", "cs").as("t1"))
-        val t0 = adc.select(col("qid"), col("qlabel"), col("code_id").as("code0"), col("t0"))
-        val t1 = adc.select(col("qid"), col("code_id").as("code1"), col("t1"))
-        val cand = base.join(broadcast(t0), Seq("code0"))
-          .where(col("label") === col("qlabel") && col("qid") =!= col("bid"))
-          .join(broadcast(t1), Seq("qid", "code1"))
-          .withColumn("adc_i", col("t0") + col("t1"))
+          .groupBy("qid", "qlabel")
+          .agg(expr("transform(array_sort(collect_list(struct(code_id, t0))), s -> s.t0)").as("t0s"),
+               expr("transform(array_sort(collect_list(struct(code_id, t1))), s -> s.t1)").as("t1s"))
+        val cand = base.join(broadcast(adc),
+            col("label") === col("qlabel") && col("qid") =!= col("bid"))
+          .withColumn("adc_i",
+            expr("element_at(t0s, CAST(code0 + 1 AS INT)) + element_at(t1s, CAST(code1 + 1 AS INT))"))
         val w = Window.partitionBy("qid").orderBy(col("adc_i"), col("bid"))
         cand.withColumn("rank", row_number().over(w))
           .where(col("rank") <= 5)

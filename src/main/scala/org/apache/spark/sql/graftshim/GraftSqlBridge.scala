@@ -22,4 +22,11 @@ object GraftSqlBridge {
     val arg = TypeCollection(ArrayType(DoubleType), ArrayType(FloatType))
     Seq(arg, arg)
   }
+
+  /** Input spec for vec_sqdist_l: two bigint arrays (scaled-integer
+    * embedding components); integer arrays implicitly widen to long. */
+  def longArrayInputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] = {
+    import org.apache.spark.sql.types._
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  }
 }

@@ -28,6 +28,27 @@ class VecDotSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_sqdist_l equals the sliced zip_with fold exactly (long arrays)") {
+    VecExprs.register(spark)
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(200)((Array.fill(64)(rnd.nextInt(20000001).toLong - 10000000L),
+                               Array.fill(64)(rnd.nextInt(20000001).toLong - 10000000L)))
+    val foldSub = (off: Int) =>
+      s"aggregate(zip_with(slice(a, ${off + 1}, 32), slice(b, ${off + 1}, 32), " +
+      "(x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)"
+    val rows = pairs.toDF("a", "b")
+      .select(expr("vec_sqdist_l(a, b, 0, 32)").as("f0"), expr(foldSub(0)).as("r0"),
+              expr("vec_sqdist_l(a, b, 32, 32)").as("f1"), expr(foldSub(32)).as("r1"))
+      .collect()
+    assert(rows.length == 200)
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) && r.getLong(2) == r.getLong(3))
+    }
+    // short array / null element → null, like the fold on malformed input
+    val n = spark.sql("SELECT vec_sqdist_l(array(1L, 2L), array(1L, 1L), 0, 32) AS d").head()
+    assert(n.isNullAt(0))
+  }
+
   test("vec_dot handles double-array planes and null elements") {
     VecExprs.register(spark)
     val r = spark.sql(
