@@ -25,7 +25,8 @@ object SparkEntry {
     _root_.graft.queries.MultimodalQueries.all ++
     _root_.graft.queries.SessionQueries.all ++
     _root_.graft.queries.AnalyticQueries.all ++
-    _root_.graft.queries.PipelineQueries.all
+    _root_.graft.queries.PipelineQueries.all ++
+    _root_.graft.queries.LayoutQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The stage-1 composite: 16-day period calendar with year reset (W1),

@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.Q
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: clustering keys for multi-dimensional file
+  * skipping.
+  *
+  * At 100 TB the dominant cost of any selective query is how many files its
+  * predicates can SKIP, not how fast it scans the rest. `partitionBy` prunes
+  * one dimension (the reference's per-date raster directory is exactly that,
+  * `rasterize.py:63` filename dates); parquet min/max row-group stats prune
+  * a second only if the write order makes per-file ranges tight. A Z-order
+  * (Morton) clustering key interleaves the bits of two quantized dimensions
+  * so that sorting by the single key keeps EVERY file's [min,max] box tight
+  * in BOTH — `WHERE part BETWEEN .. AND supp BETWEEN ..` then skips all but
+  * O(√files). The operator emits the key plus per-bucket min/max spans —
+  * the very statistics a file-skipping scan consults — and LayoutSpec
+  * asserts the tightness property against a linear sort of the same rows.
+  */
+object LayoutQueries {
+
+  private val Bits = 10 // 2 × 10-bit dims → 20-bit z codes
+  private val BucketShift = 10 // 1024 codes per bucket = one 32×32 tile
+
+  /** Bit interleave Σ_i ((a_i)«2i | (b_i)«(2i+1)) as plain integer
+    * arithmetic — shift/mask/multiply-by-power-of-two, expressed per engine
+    * but computing the identical BIGINT. */
+  private def zSpark(a: String, b: String): String =
+    (0 until Bits).map { i =>
+      s"(shiftright(CAST($a AS BIGINT), $i) & 1) * ${1L << (2 * i)}L" +
+        s" + (shiftright(CAST($b AS BIGINT), $i) & 1) * ${1L << (2 * i + 1)}L"
+    }.mkString(" + ")
+
+  private def zDuck(a: String, b: String): String =
+    (0 until Bits).map { i =>
+      s"((CAST($a AS BIGINT) >> $i) & 1) * ${1L << (2 * i)}" +
+        s" + ((CAST($b AS BIGINT) >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  def all: Seq[Q] = Seq(
+
+    // Z-order clustering key over (part, order) + the per-bucket min/max
+    // spans a file-skipping reader would consult. One shuffle (the stats
+    // groupBy); the key itself is pure map-side codegen arithmetic. At
+    // scale: sort-by-z before write, one bucket ≈ one file/row-group, and
+    // both d1 and d2 predicates prune on the stored min/max.
+    Q("zorder_cluster_key", Seq("P4", "F5", "A4", "skew", "§2.10"),
+      (s, dir) => {
+        val d1 = "l_partkey % 1024"
+        val d2 = "l_orderkey % 1024"
+        Tables.lineitem(s, dir)
+          .select(expr(d1).as("d1"), expr(d2).as("d2"))
+          .withColumn("z", expr(zSpark("d1", "d2")))
+          .withColumn("zbucket", expr(s"CAST(shiftright(z, $BucketShift) AS INT)"))
+          .groupBy("zbucket")
+          .agg(count(lit(1)).as("n"),
+               min("d1").as("min_d1"), max("d1").as("max_d1"),
+               min("d2").as("min_d2"), max("d2").as("max_d2"))
+          .withColumn("span_d1", col("max_d1") - col("min_d1"))
+          .withColumn("span_d2", col("max_d2") - col("min_d2"))
+          .orderBy("zbucket")
+      },
+      Some(s"""SELECT zbucket, count(*) AS n,
+              |  min(d1) AS min_d1, max(d1) AS max_d1,
+              |  min(d2) AS min_d2, max(d2) AS max_d2,
+              |  max(d1) - min(d1) AS span_d1,
+              |  max(d2) - min(d2) AS span_d2
+              |FROM (
+              |  SELECT d1, d2,
+              |    CAST((${zDuck("d1", "d2")}) >> $BucketShift AS INTEGER) AS zbucket
+              |  FROM (SELECT l_partkey % 1024 AS d1, l_orderkey % 1024 AS d2
+              |        FROM lineitem) t) u
+              |GROUP BY zbucket ORDER BY zbucket""".stripMargin),
+      note = "Morton-interleave clustering key + per-bucket min/max skip stats; map-side codegen arithmetic")
+  )
+}
