@@ -268,6 +268,49 @@ object AggQueries {
            |FROM ex JOIN corr USING (event_type)
            |ORDER BY event_type""".stripMargin
       },
-      note = "fixed-size mergeable register sketch (typed Aggregator) with linear-counting small-range fix; oracle-exact")
+      note = "fixed-size mergeable register sketch (typed Aggregator) with linear-counting small-range fix; oracle-exact"),
+
+    // Histogram-quantile sketch — the third mergeable sketch next to
+    // KMV/HLL, for the quantile contract: a fixed-width integer histogram
+    // (~105 bins over the price domain) is built with one map-side-combined
+    // groupBy (O(bins) state per partition, O(executors × bins) merge
+    // traffic — the one-pass 100 TB shape, vs a_exact_quantiles' full sort),
+    // then each quantile reads the first bin whose cumulative count reaches
+    // ⌈q·n⌉. Bin ids, counts, and rank thresholds are all integers, so the
+    // sketch — unlike t-digest/approx_percentile — is deterministic and the
+    // oracle reproduces it bit-for-bit. Resolution = bin width (1000).
+    Q("sketch_hist_quantiles", Seq("A9", "A12", "§2.10", "sampling"),
+      (s, dir) => {
+        import s.implicits._
+        val W = org.apache.spark.sql.expressions.Window
+        val hist = Tables.lineitem(s, dir)
+          .select(expr("CAST(floor(l_extendedprice / 1000) AS INT)").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("cnt"))
+        val cum = hist
+          .withColumn("cum", sum("cnt").over(
+            W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)))
+          .withColumn("tot", sum("cnt").over(
+            W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+        cum.crossJoin(Seq(0.25, 0.5, 0.9, 0.99).toDF("q"))
+          .where(col("cum") >= ceil(col("q") * col("tot")))
+          .groupBy("q")
+          .agg(min("bin").as("bin"), max("tot").as("n"))
+          .withColumn("est_lo", col("bin").cast("double") * 1000.0)
+          .orderBy("q")
+      },
+      Some("""WITH h AS (
+             |  SELECT CAST(floor(l_extendedprice / 1000) AS INTEGER) AS bin,
+             |    count(*) AS cnt
+             |  FROM lineitem GROUP BY 1),
+             |c AS (SELECT bin, cnt,
+             |    CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+             |    CAST(sum(cnt) OVER () AS BIGINT) AS tot
+             |  FROM h),
+             |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+             |SELECT q, min(bin) AS bin, max(tot) AS n,
+             |  CAST(min(bin) AS DOUBLE) * 1000.0 AS est_lo
+             |FROM qs JOIN c ON cum >= ceil(q * tot)
+             |GROUP BY q ORDER BY q""".stripMargin),
+      note = "fixed-width integer histogram quantiles: mergeable one-pass sketch, deterministic bins")
   )
 }

@@ -279,6 +279,56 @@ object SessionQueries {
              |    CAST(sum(CASE WHEN value >= 50 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
              |      / nullif(sum(CASE WHEN value >= 50 THEN 1 ELSE 0 END), 0),
              |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)) AS mean_value
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Snapshot diff — the other half of the CDC story next to
+    // cdc_latest_by_key (log → state): given two table SNAPSHOTS, classify
+    // every key as added/deleted/updated/unchanged and account the value
+    // drift. One full-outer sort-merge join on the key — at 100 TB both
+    // snapshots are bucketed on the key and the join runs co-located with
+    // zero re-shuffle; the classification and the cents-scaled drift sum
+    // are map-side. Snapshots are carved deterministically from orders
+    // (v1 misses keys ≡0 mod 10 = inserts; v2 drops ≡0 mod 13 = deletes;
+    // ≡0 mod 7 bumps the price = updates), so the oracle reproduces the
+    // exact same diff.
+    Q("cdc_snapshot_diff", Seq("cdc", "J1", "F1", "A12"),
+      (s, dir) => {
+        val v1 = Tables.orders(s, dir).where(col("o_orderkey") % 10 =!= 0)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p1"))
+        val v2 = Tables.orders(s, dir).where(col("o_orderkey") % 13 =!= 0)
+          .select(col("o_orderkey").as("k"),
+                  when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1)
+                    .otherwise(col("o_totalprice")).as("p2"))
+        v1.join(v2, Seq("k"), "full_outer")
+          .withColumn("change_type",
+            when(col("p1").isNull, "added")
+              .when(col("p2").isNull, "deleted")
+              .when(col("p1") =!= col("p2"), "updated")
+              .otherwise("unchanged"))
+          .groupBy("change_type")
+          .agg(count(lit(1)).as("n"),
+               sum(when(col("p1").isNotNull && col("p2").isNotNull,
+                   expr("CAST(round((p2 - p1) * 100) AS BIGINT)")).otherwise(0L))
+                 .as("delta_cents"))
+          .orderBy("change_type")
+      },
+      Some("""WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS p1
+             |            FROM orders WHERE o_orderkey % 10 <> 0),
+             |v2 AS (SELECT o_orderkey AS k,
+             |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+             |              ELSE o_totalprice END AS p2
+             |       FROM orders WHERE o_orderkey % 13 <> 0),
+             |d AS (SELECT coalesce(v1.k, v2.k) AS k, p1, p2,
+             |        CASE WHEN p1 IS NULL THEN 'added'
+             |             WHEN p2 IS NULL THEN 'deleted'
+             |             WHEN p1 <> p2 THEN 'updated'
+             |             ELSE 'unchanged' END AS change_type
+             |      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+             |SELECT change_type, count(*) AS n,
+             |  CAST(sum(CASE WHEN p1 IS NOT NULL AND p2 IS NOT NULL
+             |                THEN CAST(round((p2 - p1) * 100) AS BIGINT)
+             |                ELSE 0 END) AS BIGINT) AS delta_cents
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "full-outer snapshot diff with drift accounting; bucketed co-located join at scale")
   )
 }
