@@ -323,6 +323,51 @@ object TextQueries {
            |FROM (SELECT doc_id, $injected AS pii FROM documents) t
            |ORDER BY doc_id""".stripMargin
       },
-      note = "regex PII counts + chained redaction over injected doc_id-derived PII; map-side only")
+      note = "regex PII counts + chained redaction over injected doc_id-derived PII; map-side only"),
+
+    // BPE merge-pair statistics — the inner loop of tokenizer training:
+    // count adjacent symbol pairs across the corpus and surface the top
+    // merge candidates. Computed the way BPE trainers actually scale:
+    // compress the corpus to its DICTIONARY first (distinct word × count —
+    // one shuffle whose combiner collapses each partition's repeats), then
+    // explode the pair positions of each distinct word only once and weight
+    // by the word count. Pair work is O(|vocab| × word_len), not
+    // O(corpus tokens) — at 100 TB the vocab table is orders of magnitude
+    // smaller than the token stream. Integer counts end to end.
+    Q("text_bpe_pair_stats", Seq("text", "A12", "W4", "P13"),
+      (s, dir) => {
+        val words = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .where(length(col("word")) >= 2)
+          .groupBy("word").agg(count(lit(1)).as("wcnt"))
+        val pairs = words
+          .select(col("word"), col("wcnt"),
+                  explode(expr("transform(sequence(1, CAST(length(word) - 1 AS INT)), " +
+                               "i -> substring(word, i, 2))")).as("pair"))
+          .groupBy("pair")
+          .agg(sum("wcnt").as("total"), countDistinct("word").as("n_words"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("total").desc, col("pair"))
+        pairs.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 20)
+          .select(col("rank").cast("int").as("rank"), col("pair"),
+                  col("total"), col("n_words"))
+          .orderBy("rank")
+      },
+      Some("""WITH w AS (
+             |  SELECT word, count(*) AS wcnt FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+             |  WHERE length(word) >= 2 GROUP BY 1),
+             |p AS (SELECT word, wcnt,
+             |        unnest(generate_series(1, length(word) - 1)) AS i
+             |      FROM w),
+             |a AS (SELECT substr(word, CAST(i AS INTEGER), 2) AS pair,
+             |        CAST(sum(wcnt) AS BIGINT) AS total,
+             |        count(DISTINCT word) AS n_words
+             |      FROM p GROUP BY 1)
+             |SELECT CAST(row_number() OVER (ORDER BY total DESC, pair) AS INTEGER) AS rank,
+             |  pair, total, n_words
+             |FROM a ORDER BY total DESC, pair LIMIT 20""".stripMargin),
+      note = "BPE pair counting over the compressed dictionary: O(vocab), not O(tokens)")
   )
 }
