@@ -104,8 +104,12 @@ object MlQueries {
             col("l_quantity").as("f1"),
             col("l_discount").as("f2"),
             (col("l_extendedprice") / 1000).as("y"))
-        // deterministic calibration sample: every 37th key
-        val calib = pts.where(col("id") % 37 === 0)
+        // Deterministic calibration sample: every 149th key (~4k obs at
+        // sf0.1). The fit cost is cells × calib; with bw=10 over a 50×50
+        // cell grid a 4k sample still puts hundreds of points inside every
+        // kernel bandwidth, and the cap is what keeps the broadcast —
+        // and the per-cell WLS — bounded however large the fact table is.
+        val calib = pts.where(col("id") % 149 === 0)
           .as[(Long, Double, Double, Double, Double, Double)].collect()
           .map(r => GWR.Obs(r._2, r._3, Array(r._4, r._5), r._6))
         val bcast = s.sparkContext.broadcast(calib)
