@@ -512,6 +512,94 @@ object DedupQueries {
               |SELECT src AS doc_id, min(node) AS cluster_id,
               |  src = min(node) AS is_kept
               |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
-      note = "pair graph → connected components by min-label propagation; oracle = recursive-CTE closure")
+      note = "pair graph → connected components by min-label propagation; oracle = recursive-CTE closure"),
+
+    // LSH recall audit — the observability op a production dedup pipeline
+    // runs before trusting its banding: on a deterministic sample (doc_id
+    // parity here; ~0.1% at corpus scale) compute BOTH the exact-Jaccard
+    // truth pairs and the MinHash-LSH candidate pairs, then report recall
+    // per similarity bucket. The exact side's shingle-pair join is only
+    // affordable ON the sample — which is exactly the point: the audit
+    // bounds the expensive ground truth while the banding it validates
+    // runs on everything. Shares the 32-perm / 8×4 banding constants with
+    // dedup_minhash_lsh, so the buckets grade the production setting.
+    Q("dedup_lsh_recall_audit", Seq("dedup", "sampling", "A9", "J2"),
+      (s, dir) => {
+        val shd = shingles(s, dir).where(col("doc_id") % 2 === 0).cache()
+        val counts = shd.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val shared = shd.select(col("doc_id").as("a_id"), col("shingle"))
+          .join(shd.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
+          .where(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+        val truth = shared
+          .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
+          .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+          .withColumn("jaccard", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+          .where(col("jaccard") >= 0.5)
+        val sh = shd.withColumn("x", expr(Hashing.sparkMd5Mod("shingle")))
+        val minCols = coefs.zipWithIndex.map { case ((a, b), j) =>
+          min(expr(Hashing.permute("x", a, b))).as(s"h$j")
+        }
+        val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+        val bands = sig.select(col("doc_id"),
+          explode(array((0 until NumBands).map { bnd =>
+            struct(lit(bnd).as("band_idx"),
+                   concat_ws("_", (0 until 4).map(r => col(s"h${bnd * 4 + r}")): _*).as("band_key"))
+          }: _*)).as("band"))
+          .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+                col("a.band_idx") === col("b.band_idx") &&
+                col("a.band_key") === col("b.band_key") &&
+                col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+          .withColumn("caught", lit(1L))
+        truth.join(cand, Seq("a_id", "b_id"), "left")
+          .withColumn("bucket", least(floor(col("jaccard") * 10), lit(9L)).cast("int"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_true"),
+               sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+          .withColumn("recall", col("n_caught").cast("double") / col("n_true"))
+          .orderBy("bucket")
+      },
+      Some {
+        val x = Hashing.duckMd5Mod("shingle")
+        val minExprs = coefs.zipWithIndex.map { case ((a, b), j) =>
+          s"min(${Hashing.permute("x", a, b)}) AS h$j"
+        }.mkString(",\n    ")
+        val bandArms = (0 until NumBands).map { bnd =>
+          val key = (0 until 4).map(r => s"CAST(h${bnd * 4 + r} AS VARCHAR)").mkString(", '_', ")
+          s"SELECT doc_id, $bnd AS band_idx, concat($key) AS band_key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH $duckShingles,
+           |shs AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+           |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shs GROUP BY 1),
+           |shr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+           |        FROM shs a JOIN shs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |        GROUP BY 1, 2),
+           |truth AS (SELECT a_id, b_id,
+           |    CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) AS jaccard
+           |  FROM shr JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+           |  WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5),
+           |shx AS (SELECT doc_id, shingle, $x AS x FROM shs),
+           |sig AS (SELECT doc_id,
+           |    $minExprs
+           |  FROM shx GROUP BY doc_id),
+           |bands AS (
+           |  $bandArms),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |         FROM bands a JOIN bands b
+           |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |          AND a.doc_id < b.doc_id)
+           |SELECT CAST(least(floor(jaccard * 10), 9) AS INTEGER) AS bucket,
+           |  count(*) AS n_true,
+           |  CAST(sum(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+           |  CAST(CAST(sum(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+           |    / count(*) AS recall
+           |FROM truth t LEFT JOIN cand c ON t.a_id = c.a_id AND t.b_id = c.b_id
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      },
+      note = "per-bucket LSH recall vs exact truth on a parity sample; grades the production banding")
   )
 }
