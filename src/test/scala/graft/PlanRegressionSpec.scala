@@ -100,6 +100,38 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p) // agg + orderBy
   }
 
+  test("IVF+PQ search probes on broadcasts only — no shuffle join anywhere") {
+    val p = plan("ann_ivf_pq_search")
+    assert(p.contains("BroadcastHashJoin"), p) // the single ADC-array probe
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("histogram-quantile sketch is one combiner groupBy, no row-level sort") {
+    val p = plan("sketch_hist_quantiles")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1, p)
+    assert(!p.contains("SortMergeJoin"), p) // quantile read joins the tiny q list
+  }
+
+  test("snapshot diff keeps the co-partitionable sort-merge join on the key") {
+    val p = plan("cdc_snapshot_diff")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p) // bucketed co-location at scale
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("z-order key is map-side arithmetic: no join, one agg exchange + sort") {
+    val p = plan("zorder_cluster_key")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("BPE pair counting aggregates the dictionary, not the token stream") {
+    val p = plan("text_bpe_pair_stats")
+    // two aggregation exchanges (word dictionary, pair totals) + top-k sort;
+    // no join of the raw token explosion against anything
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3, p)
+  }
+
   test("date-partitioned layout prunes partitions at the scan (K3/F5 at scale)") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
