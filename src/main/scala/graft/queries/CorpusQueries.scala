@@ -192,6 +192,52 @@ object CorpusQueries {
               |      unnest(generate_series(0, (length(text) - 1) // 120)) AS chunk_id
               |    FROM documents) t) u
               |ORDER BY doc_id, chunk_id""".stripMargin),
-      note = "window 160 / stride 120 char chunking; map-side explode, no pre-sort shuffle")
+      note = "window 160 / stride 120 char chunking; map-side explode, no pre-sort shuffle"),
+
+    // Temperature-balanced source mixing — the corpus-rebalancing step of
+    // large-scale pretraining (sample domain s with probability ∝ n_s^α,
+    // α=0.5 here): big domains are down-sampled toward √n so small domains
+    // aren't drowned. The harness corpus has uniform sources, so the skew
+    // is constructed deterministically first (domain d_k = ⌊√doc_id⌋ has
+    // ~2k+1 docs — linearly growing sizes). Keep rule: md5(text) mod 2²⁴ <
+    // ⌊√(n_max/n_s)·2²⁴⌋ — IEEE division/sqrt/floor are correctly rounded
+    // in both engines, so the kept set is bit-reproducible. Plan: domain
+    // counts are a combiner groupBy; the rate table broadcasts; the keep
+    // filter is map-side — one fact-table pass, as it must be at 100 TB.
+    Q("corpus_temperature_mix", Seq("corpus", "sampling", "A9", "skew"),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("domain", expr("CAST(floor(sqrt(doc_id)) AS INT)"))
+        val counts = docs.groupBy("domain").agg(count(lit(1)).as("n_docs"))
+        val rates = counts
+          .crossJoin(counts.agg(max("n_docs").as("n_max")))
+          .withColumn("q", least(lit(1.0),
+            sqrt(col("n_max").cast("double") / col("n_docs").cast("double"))))
+        docs.join(broadcast(rates), "domain")
+          .withColumn("kept",
+            (expr(graft.dedup.Hashing.sparkMd5Raw("text")) % 16777216L <
+             expr("CAST(floor(q * 16777216.0) AS BIGINT)")).cast("long"))
+          .groupBy("domain")
+          .agg(max("n_docs").as("n_docs"), sum("kept").as("n_kept"),
+               round(max("q"), 6).as("keep_rate"))
+          .orderBy("domain")
+      },
+      Some {
+        val x = graft.dedup.Hashing.duckMd5Raw("text")
+        s"""WITH d AS (SELECT CAST(floor(sqrt(doc_id)) AS INTEGER) AS domain, text
+           |           FROM documents),
+           |c AS (SELECT domain, count(*) AS n_docs FROM d GROUP BY 1),
+           |r AS (SELECT domain, n_docs,
+           |        least(1.0, sqrt(CAST((SELECT max(n_docs) FROM c) AS DOUBLE)
+           |                        / CAST(n_docs AS DOUBLE))) AS q
+           |      FROM c)
+           |SELECT d.domain, max(r.n_docs) AS n_docs,
+           |  CAST(sum(CASE WHEN ($x) % 16777216 < CAST(floor(q * 16777216.0) AS BIGINT)
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  round(max(q), 6) AS keep_rate
+           |FROM d JOIN r USING (domain)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      },
+      note = "α=0.5 temperature rebalance over constructed domain skew; broadcast rates, one fact pass")
   )
 }
