@@ -208,9 +208,15 @@ object CorpusQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .withColumn("domain", expr("CAST(floor(sqrt(doc_id)) AS INT)"))
-        val counts = docs.groupBy("domain").agg(count(lit(1)).as("n_docs"))
-        val rates = counts
-          .crossJoin(counts.agg(max("n_docs").as("n_max")))
+        // n_max via an unbounded window over the ~√N-row count table (one
+        // plan branch) rather than crossJoin(agg(max)) — the latter plans a
+        // second scan + aggregation subtree and a nested-loop broadcast,
+        // three extra jobs before the rate table can even build.
+        val rates = docs.groupBy("domain").agg(count(lit(1)).as("n_docs"))
+          .withColumn("n_max", max("n_docs").over(
+            org.apache.spark.sql.expressions.Window.orderBy("domain")
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                           org.apache.spark.sql.expressions.Window.unboundedFollowing)))
           .withColumn("q", least(lit(1.0),
             sqrt(col("n_max").cast("double") / col("n_docs").cast("double"))))
         docs.join(broadcast(rates), "domain")
