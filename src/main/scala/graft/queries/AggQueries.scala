@@ -311,6 +311,71 @@ object AggQueries {
              |  CAST(min(bin) AS DOUBLE) * 1000.0 AS est_lo
              |FROM qs JOIN c ON cum >= ceil(q * tot)
              |GROUP BY q ORDER BY q""".stripMargin),
-      note = "fixed-width integer histogram quantiles: mergeable one-pass sketch, deterministic bins")
+      note = "fixed-width integer histogram quantiles: mergeable one-pass sketch, deterministic bins"),
+
+    // Count-min heavy hitters — the third mergeable sketch (distinct →
+    // KMV/HLL, quantiles → histogram, frequent items → this): a 3×64
+    // integer count matrix, cell (j, h_j(x) mod 64) += tf(x), merge =
+    // elementwise add. The estimate min_j cm[j][h_j(x)] upper-bounds the
+    // true count (never under), and because the hash rows are the md5
+    // permutation family the whole sketch — collisions included — is
+    // reproduced bit-for-bit by the oracle. Shape: terms dictionary-
+    // compressed first (combiner groupBy), the 192-cell matrix broadcasts,
+    // and the audit joins the exact top-20 against their estimates.
+    Q("sketch_cm_topk_freq", Seq("A12", "W4", "§2.10", "sampling"),
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val cmCoefs = graft.dedup.Hashing.coefficients(3)
+        val tf = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("term"))
+          .where(length(col("term")) >= 1)
+          .groupBy("term").agg(count(lit(1)).as("tf"))
+          .withColumn("x", expr(graft.dedup.Hashing.sparkMd5Mod("term")))
+        val rows = cmCoefs.zipWithIndex.map { case ((a, b), j) =>
+          tf.select(lit(j).as("j"),
+                    expr(s"${graft.dedup.Hashing.permute("x", a, b)} % 64").as("bucket"),
+                    col("tf"))
+        }.reduce(_ unionByName _)
+        val cm = rows.groupBy("j", "bucket").agg(sum("tf").as("cell"))
+        val top = tf
+          .withColumn("rank", row_number().over(W.orderBy(col("tf").desc, col("term"))))
+          .where(col("rank") <= 20)
+        val probes = cmCoefs.zipWithIndex.map { case ((a, b), j) =>
+          top.select(col("term"), col("tf"), col("rank"), lit(j).as("j"),
+                     expr(s"${graft.dedup.Hashing.permute("x", a, b)} % 64").as("bucket"))
+        }.reduce(_ unionByName _)
+        probes.join(broadcast(cm), Seq("j", "bucket"))
+          .groupBy("term")
+          .agg(max("rank").as("rank"), max("tf").as("tf"), min("cell").as("cm_est"))
+          .select(col("rank").cast("int").as("rank"), col("term"), col("tf"),
+                  col("cm_est"), (col("cm_est") - col("tf")).as("overcount"))
+          .orderBy("rank")
+      },
+      Some {
+        val cmCoefs = graft.dedup.Hashing.coefficients(3)
+        val x = graft.dedup.Hashing.duckMd5Mod("term")
+        val rowArms = cmCoefs.zipWithIndex.map { case ((a, b), j) =>
+          s"SELECT $j AS j, ${graft.dedup.Hashing.permute("x", a, b)} % 64 AS bucket, tf FROM tf"
+        }.mkString("\n  UNION ALL ")
+        val probeArms = cmCoefs.zipWithIndex.map { case ((a, b), j) =>
+          s"SELECT term, tf, rank, $j AS j, ${graft.dedup.Hashing.permute("x", a, b)} % 64 AS bucket FROM top"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+           |tf0 AS (SELECT term, count(*) AS tf FROM t WHERE length(term) >= 1 GROUP BY 1),
+           |tf AS (SELECT term, tf, $x AS x FROM tf0),
+           |rows AS (
+           |  $rowArms),
+           |cm AS (SELECT j, bucket, CAST(sum(tf) AS BIGINT) AS cell FROM rows GROUP BY 1, 2),
+           |top AS (SELECT term, tf, x, row_number() OVER (ORDER BY tf DESC, term) AS rank
+           |        FROM tf QUALIFY rank <= 20),
+           |probes AS (
+           |  $probeArms)
+           |SELECT CAST(max(rank) AS INTEGER) AS rank, term, CAST(max(tf) AS BIGINT) AS tf,
+           |  CAST(min(cell) AS BIGINT) AS cm_est,
+           |  CAST(min(cell) - max(tf) AS BIGINT) AS overcount
+           |FROM probes JOIN cm USING (j, bucket)
+           |GROUP BY term ORDER BY rank""".stripMargin
+      },
+      note = "3x64 count-min matrix over the term dictionary; broadcast cells, exact top-20 audit")
   )
 }
