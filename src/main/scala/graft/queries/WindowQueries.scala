@@ -232,6 +232,48 @@ object WindowQueries {
              |    / (100.0 * CAST(sum(next_us - ts_us) AS DOUBLE)) AS twa
              |FROM e WHERE next_us IS NOT NULL
              |GROUP BY user_id ORDER BY user_id""".stripMargin),
-      note = "interval-weighted mean: integer cents x microseconds fold, one final division")
+      note = "interval-weighted mean: integer cents x microseconds fold, one final division"),
+
+    // Trailing exponential smoothing (EMA) — the online filter every
+    // monitoring/forecasting stack runs over its series (the reference's
+    // stage-5 forecasts consume exactly such per-zone series). The α=1/2
+    // kernel is truncated at 10 taps and computed as Σ 2^(9-k)·cents_{t-k}
+    // — the dyadic weights make the numerator an exact BIGINT at every
+    // parallelism, normalized once by (2¹⁰−1)·100. One user-partitioned
+    // window shuffle, 10 lag taps inside a single WindowExec — no
+    // self-joins, no per-tap passes.
+    Q("w_ema_trailing", Seq("W2", "W3", "A13", "session"),
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+        val base = Tables.events(s, dir)
+          .select(col("event_type"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+                  expr("CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)").as("cents"))
+        val num = (0 until 10).map { k =>
+          lag(col("cents"), k).over(w) * lit(1L << (9 - k))
+        }.reduce(_ + _)
+        base
+          .withColumn("num", num)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") >= 10)
+          .select(col("event_type"), col("ts_us"), col("event_id"),
+                  (col("num").cast("double") / 102300.0).as("ema"))
+          .orderBy("event_type", "ts_us", "event_id")
+      },
+      Some {
+        val taps = (0 until 10).map { k =>
+          s"lag(cents, $k) OVER w * ${1L << (9 - k)}"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+           |    CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+           |  FROM events),
+           |l AS (SELECT event_type, ts_us, event_id,
+           |    $taps AS num,
+           |    row_number() OVER w AS rn
+           |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id))
+           |SELECT event_type, ts_us, event_id,
+           |  CAST(num AS DOUBLE) / 102300.0 AS ema
+           |FROM l WHERE rn >= 10 ORDER BY 1, 2, 3""".stripMargin
+      },
+      note = "10-tap dyadic-weight EMA: exact integer numerator, single window pass")
   )
 }
