@@ -25,7 +25,7 @@ object CoreQueries {
 
   def all: Seq[Q] = Seq(
 
-    Q("p12_project_filter", Seq("F1", "P12", "P15", "S2"),
+    Q("p12_project_filter", Seq("F1", "F3", "P12", "P15", "S2"),
       (s, dir) =>
         Tables.lineitem(s, dir)
           // F1: half-open [start, end) range, like ee.Filter.date

@@ -37,4 +37,59 @@ class LayoutSpec extends AnyFunSuite {
     assert(ls1 < zs1, s"linear is tighter on its own sort dim ($ls1)")
     assert(ls2 > 4 * zs2, s"linear d2 span $ls2 should dwarf z's $zs2")
   }
+
+  test("z-sorted parquet skips row groups on a 2-D box predicate; unsorted can't") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+    val sf = "/root/testdata/sf0.01"
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select((col("l_partkey") % 1024).as("d1"), (col("l_orderkey") % 1024).as("d2"))
+    val zed = rows.withColumn("z",
+      (0 until 10).map { i =>
+        (shiftright(col("d1"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(col("d2"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+      }.reduce(_ + _))
+
+    def write(df: org.apache.spark.sql.DataFrame, sortCol: Option[String]): String = {
+      val out = java.nio.file.Files.createTempDirectory("graft_zskip").toString
+      val sorted = sortCol.fold(df)(c => df.repartition(1).sortWithinPartitions(c))
+      sorted.drop("z").write.mode("overwrite")
+        .option("maxRecordsPerFile", 2048)
+        .option("parquet.block.size", 64 * 1024) // small row groups → many prune units
+        .parquet(out)
+      out
+    }
+
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .where(col("d1").between(100, 160) && col("d2").between(200, 260))
+      df.collect() // executes df's OWN queryExecution (count() would plan a new one)
+      def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case s if s.children.isEmpty  => Seq(s)
+        case s                        => s.children.flatMap(leaves)
+      }
+      val scans = leaves(df.queryExecution.executedPlan)
+        .filter(_.metrics.contains("numOutputRows"))
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+
+    val zPath = write(zed, Some("z"))
+    val uPath = write(zed, None)
+    try {
+      val total = rows.count()
+      val zScanned = scanRows(zPath)
+      val uScanned = scanRows(uPath)
+      // the unsorted layout's row groups all intersect the box → ~full scan;
+      // the z-sorted layout prunes most groups on (d1, d2) min/max together
+      assert(uScanned > total / 2, s"unsorted scanned $uScanned of $total")
+      assert(zScanned < uScanned / 2, s"z-sorted scanned $zScanned vs unsorted $uScanned")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val k = f.listFiles(); if (k != null) k.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(zPath)); rm(new java.io.File(uPath))
+    }
+  }
 }
