@@ -376,6 +376,55 @@ object AggQueries {
            |FROM probes JOIN cm USING (j, bucket)
            |GROUP BY term ORDER BY rank""".stripMargin
       },
-      note = "3x64 count-min matrix over the term dictionary; broadcast cells, exact top-20 audit")
+      note = "3x64 count-min matrix over the term dictionary; broadcast cells, exact top-20 audit"),
+
+    // Robust outlier screen — median/MAD, the data-cleaning gate that mean/
+    // stddev can't provide (one wild value drags a z-score threshold; the
+    // median absolute deviation shrugs it off). Both centers use the same
+    // rank-based exact-quantile contract as a_exact_quantiles (smallest
+    // value whose rank reaches ⌈n/2⌉ — no interpolation, engine-exact), so
+    // the flag |x − med| > 3·MAD is bit-deterministic. Two window passes
+    // over the SAME event_type partitioning — the second sort reuses the
+    // first's shuffle (one exchange in the plan). At 100 TB both passes
+    // sketch down to approx_percentile without changing the contract.
+    Q("w_anomaly_mad", Seq("A9", "A13", "P10", "W9"),
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val byType = W.partitionBy("event_type")
+        val v = Tables.events(s, dir)
+          .select(col("event_type"), col("value").cast("double").as("v"))
+          .withColumn("rn", row_number().over(byType.orderBy("v")))
+          .withColumn("n", count(lit(1)).over(byType))
+          .withColumn("med", min(when(col("rn") >= ceil(col("n") * 0.5), col("v")))
+            .over(byType))
+          .withColumn("dev", abs(col("v") - col("med")))
+          .withColumn("drn", row_number().over(byType.orderBy("dev")))
+          .withColumn("mad", min(when(col("drn") >= ceil(col("n") * 0.5), col("dev")))
+            .over(byType))
+        v.groupBy("event_type")
+          .agg(max("n").as("n"), max("med").as("med"), max("mad").as("mad"),
+               sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH r AS (
+             |  SELECT event_type, CAST(value AS DOUBLE) AS v,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY CAST(value AS DOUBLE)) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events),
+             |m AS (SELECT event_type, v, n,
+             |    min(CASE WHEN rn >= ceil(n * 0.5) THEN v END)
+             |      OVER (PARTITION BY event_type) AS med
+             |  FROM r),
+             |d AS (SELECT event_type, v, n, med, abs(v - med) AS dev,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY abs(v - med)) AS drn
+             |  FROM m),
+             |x AS (SELECT event_type, v, n, med, dev,
+             |    min(CASE WHEN drn >= ceil(n * 0.5) THEN dev END)
+             |      OVER (PARTITION BY event_type) AS mad
+             |  FROM d)
+             |SELECT event_type, max(n) AS n, max(med) AS med, max(mad) AS mad,
+             |  CAST(sum(CASE WHEN dev > mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM x GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "rank-exact median/MAD outlier gate; one partition shuffle, two in-partition sorts")
   )
 }
