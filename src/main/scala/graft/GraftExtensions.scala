@@ -20,6 +20,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    (graft.plans.VecExprs)
   *  - `payload_phash(binary)` — 48-bit perceptual media fingerprint
   *    (graft.plans.PhashExpr)
+  *  - `vec_sqdist_l(arr, arr, off, len)` — exact BIGINT subspace squared
+  *    distance, the PQ kernel (graft.plans.VecExprs)
   *
   * The per-query `register(spark)` calls remain for sessions built without
   * the config (the harness path); both routes construct the same
@@ -41,6 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("payload_phash"),
       new ExpressionInfo(classOf[graft.plans.PayloadPhash].getName, "payload_phash"),
       (exprs: Seq[Expression]) => graft.plans.PayloadPhash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sqdist_l"),
+      new ExpressionInfo(classOf[graft.plans.VecSqDistL].getName, "vec_sqdist_l"),
+      (exprs: Seq[Expression]) => graft.plans.VecSqDistL(exprs.head, exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].intValue())))
     // native as-of join planning (graft.plans.AsOfJoinPlan.AsOfJoin nodes)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinPlan.AsOfJoinStrategy)
     // interval-join bucketing rewrite (fires when

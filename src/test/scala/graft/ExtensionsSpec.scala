@@ -34,6 +34,10 @@ class ExtensionsSpec extends AnyFunSuite {
       // all 48 bits set; string input implicitly casts to binary
       val h = spark.sql(s"SELECT payload_phash(CAST('${"a" * 48}' AS BINARY)) AS h").head()
       assert(h.getLong(0) == (1L << 48) - 1)
+      // vec_sqdist_l over the [1,2) window: (4-2)² = 4
+      val sq = spark.sql(
+        "SELECT vec_sqdist_l(array(1L, 4L), array(1L, 2L), 1, 1) AS d").head()
+      assert(sq.getLong(0) == 4L)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
