@@ -274,6 +274,33 @@ object WindowQueries {
            |  CAST(num AS DOUBLE) / 102300.0 AS ema
            |FROM l WHERE rn >= 10 ORDER BY 1, 2, 3""".stripMargin
       },
-      note = "10-tap dyadic-weight EMA: exact integer numerator, single window pass")
+      note = "10-tap dyadic-weight EMA: exact integer numerator, single window pass"),
+
+    // Bounded top-k per group (graft.agg.TopKAgg, typed Aggregator) — W4's
+    // scale form. The row_number() window the oracle uses sorts every
+    // group's FULL history inside the shuffle; the aggregator holds ≤ k
+    // rows of state, so the map-side combine sends O(groups × k) rows into
+    // the exchange however large the input. Same deterministic
+    // (value DESC, event_id ASC) order, bit-identical result.
+    Q("w_topk_bounded", Seq("W4", "F9", "A11", "§2.10"),
+      (s, dir) => {
+        val topk = udaf(new graft.agg.TopKAgg(3),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+        Tables.events(s, dir)
+          .select(col("event_type"), col("value").cast("double").as("v"), col("event_id"))
+          .groupBy("event_type")
+          .agg(topk(col("v"), col("event_id")).as("top"))
+          .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+                  col("t._1").as("v"), col("t._2").as("event_id"))
+          .orderBy("event_type", "rank")
+      },
+      Some("""SELECT event_type, CAST(rank AS INTEGER) AS rank, v, event_id FROM (
+             |  SELECT event_type, CAST(value AS DOUBLE) AS v, event_id,
+             |    row_number() OVER (PARTITION BY event_type
+             |                       ORDER BY CAST(value AS DOUBLE) DESC, event_id) AS rank
+             |  FROM events) t
+             |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin),
+      note = "typed bounded top-k Aggregator: O(groups x k) shuffle vs the window's full sort")
   )
 }
