@@ -326,24 +326,29 @@ object AggQueries {
       (s, dir) => {
         val W = org.apache.spark.sql.expressions.Window
         val cmCoefs = graft.dedup.Hashing.coefficients(3)
+        // the 3 row-hashes live as an array column and posexplode into
+        // (j, bucket) — ONE dictionary aggregation feeds both the matrix
+        // and the probe side (cached; a union of per-row branches would
+        // recompute the term groupBy once per hash row)
+        val buckets = array(cmCoefs.map { case (a, b) =>
+          expr(s"${graft.dedup.Hashing.permute("x", a, b)} % 64")
+        }: _*)
         val tf = Tables.documents(s, dir)
           .select(explode(split(col("text"), " ")).as("term"))
           .where(length(col("term")) >= 1)
           .groupBy("term").agg(count(lit(1)).as("tf"))
           .withColumn("x", expr(graft.dedup.Hashing.sparkMd5Mod("term")))
-        val rows = cmCoefs.zipWithIndex.map { case ((a, b), j) =>
-          tf.select(lit(j).as("j"),
-                    expr(s"${graft.dedup.Hashing.permute("x", a, b)} % 64").as("bucket"),
-                    col("tf"))
-        }.reduce(_ unionByName _)
-        val cm = rows.groupBy("j", "bucket").agg(sum("tf").as("cell"))
+          .withColumn("buckets", buckets)
+          .cache()
+        val cm = tf
+          .select(col("tf"), posexplode(col("buckets")).as(Seq("j", "bucket")))
+          .groupBy("j", "bucket").agg(sum("tf").as("cell"))
         val top = tf
           .withColumn("rank", row_number().over(W.orderBy(col("tf").desc, col("term"))))
           .where(col("rank") <= 20)
-        val probes = cmCoefs.zipWithIndex.map { case ((a, b), j) =>
-          top.select(col("term"), col("tf"), col("rank"), lit(j).as("j"),
-                     expr(s"${graft.dedup.Hashing.permute("x", a, b)} % 64").as("bucket"))
-        }.reduce(_ unionByName _)
+        val probes = top
+          .select(col("term"), col("tf"), col("rank"),
+                  posexplode(col("buckets")).as(Seq("j", "bucket")))
         probes.join(broadcast(cm), Seq("j", "bucket"))
           .groupBy("term")
           .agg(max("rank").as("rank"), max("tf").as("tf"), min("cell").as("cm_est"))
