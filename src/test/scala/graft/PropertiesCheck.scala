@@ -101,4 +101,26 @@ object PropertiesCheck extends Properties("graft") {
         .exists { case (a, b) => a == b }
       Prop(shared) :| s"sig=$sig flipped=$flipped bits=$bits"
     }
+
+  // ---- Z-order clustering key (zorder_cluster_key's interleave model) ----
+
+  private def zEncode(a: Long, b: Long): Long =
+    (0 until 10).map(i => ((((a >> i) & 1) << (2 * i)) |
+                           (((b >> i) & 1) << (2 * i + 1)))).sum
+
+  property("z-order interleave is a bijection on 10-bit pairs") =
+    forAll(Gen.choose(0L, 1023L), Gen.choose(0L, 1023L)) { (a, b) =>
+      val z = zEncode(a, b)
+      val da = (0 until 10).map(i => ((z >> (2 * i)) & 1) << i).sum
+      val db = (0 until 10).map(i => ((z >> (2 * i + 1)) & 1) << i).sum
+      Prop(da == a && db == b && z >= 0 && z < (1L << 20)) :| s"a=$a b=$b z=$z"
+    }
+
+  property("same 1024-code z bucket implies both dims within a 32-wide tile") =
+    forAll(Gen.choose(0L, 1023L), Gen.choose(0L, 1023L),
+           Gen.choose(0L, 1023L), Gen.choose(0L, 1023L)) { (a1, b1, a2, b2) =>
+      val sameBucket = (zEncode(a1, b1) >> 10) == (zEncode(a2, b2) >> 10)
+      // bucket = 10 high bits = the 5 high bits of each dim → a 32×32 tile
+      !sameBucket || (math.abs(a1 - a2) < 32 && math.abs(b1 - b2) < 32)
+    }
 }
