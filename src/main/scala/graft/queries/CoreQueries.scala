@@ -277,6 +277,47 @@ object CoreQueries {
              |  CAST(datediff('day', min(CAST(ts AS DATE)) OVER (PARTITION BY user_id),
              |                 CAST(ts AS DATE)) AS INTEGER) AS days_since_origin
              |FROM events ORDER BY event_id""".stripMargin),
-      note = "GP time feature (P16): per-key origin via window min, integer datediff")
+      note = "GP time feature (P16): per-key origin via window min, integer datediff"),
+
+    // K1 CSV sink, driver-verified: write a projection through the CSV sink
+    // (header, explicit column order) and read it back with an explicit
+    // schema — the reference's every inter-stage hop is exactly this
+    // write/reread contract (`gwr_model.py:29-37` re-asserting dtypes on
+    // `outputs/combined.csv`). Doubles round-trip because Spark writes the
+    // shortest representation that parses back to the same IEEE value; the
+    // oracle never sees the files, so a lossy sink (or a schema drift on
+    // re-read) fails the hash. Distributed shape: the write is one task per
+    // partition straight from the scan; no shuffle until the output sort.
+    Q("k1_csv_roundtrip", Seq("K1", "S2", "P15", "F1"),
+      (s, dir) => {
+        // sweep previous invocations' outputs (queries run sequentially in
+        // the harness, so no live reader can still need them)
+        val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+        def rm(f: java.io.File): Unit = {
+          val k = f.listFiles(); if (k != null) k.foreach(rm); f.delete(); ()
+        }
+        val old = tmp.listFiles()
+        if (old != null) old.filter(_.getName.startsWith("graft_k1_")).foreach(rm)
+        val out = new java.io.File(tmp,
+          s"graft_k1_${java.util.UUID.randomUUID().toString.take(8)}").getAbsolutePath
+        val sub = Tables.lineitem(s, dir)
+          .where(col("l_orderkey") % 97 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+                  col("l_quantity").cast("double").as("qty"),
+                  col("l_extendedprice").cast("double").as("price"),
+                  col("l_returnflag").as("rf"))
+        sub.write.mode("overwrite").option("header", "true").csv(out)
+        val schema = "l_orderkey BIGINT, l_linenumber BIGINT, qty DOUBLE, price DOUBLE, rf STRING"
+        val back = s.read.schema(schema).option("header", "true").csv(out)
+          .orderBy("l_orderkey", "l_linenumber", "qty", "price", "rf")
+        back
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(l_quantity AS DOUBLE) AS qty,
+             |  CAST(l_extendedprice AS DOUBLE) AS price,
+             |  l_returnflag AS rf
+             |FROM lineitem WHERE l_orderkey % 97 = 0
+             |ORDER BY l_orderkey, l_linenumber, qty, price, rf""".stripMargin),
+      note = "write-through-CSV-sink round trip vs the source-of-truth oracle; lossy sink = hash fail")
   )
 }
