@@ -318,6 +318,41 @@ object CoreQueries {
              |  l_returnflag AS rf
              |FROM lineitem WHERE l_orderkey % 97 = 0
              |ORDER BY l_orderkey, l_linenumber, qty, price, rf""".stripMargin),
-      note = "write-through-CSV-sink round trip vs the source-of-truth oracle; lossy sink = hash fail")
+      note = "write-through-CSV-sink round trip vs the source-of-truth oracle; lossy sink = hash fail"),
+
+    // K3 partitioned-parquet sink, driver-verified: write date-partitioned
+    // parquet (the engine's canonical at-rest layout — the reference's
+    // per-date raster directory, SURVEY §1.1) and read it back through a
+    // date filter that must prune to directories. The oracle aggregates the
+    // source directly, so partition-value encoding drift (date→path→date),
+    // a lossy sink, or pruning that drops a live partition all fail the
+    // hash. PlanRegressionSpec separately asserts the filter lands in
+    // PartitionFilters, not post-scan.
+    Q("k3_partitioned_roundtrip", Seq("K3", "F5", "S6", "P18"),
+      (s, dir) => {
+        val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+        def rm(f: java.io.File): Unit = {
+          val k = f.listFiles(); if (k != null) k.foreach(rm); f.delete(); ()
+        }
+        val old = tmp.listFiles()
+        if (old != null) old.filter(_.getName.startsWith("graft_k3_")).foreach(rm)
+        val out = new java.io.File(tmp,
+          s"graft_k3_${java.util.UUID.randomUUID().toString.take(8)}").getAbsolutePath
+        Tables.events(s, dir)
+          .select(to_date(col("ts")).as("d"), col("event_type"),
+                  expr("CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)").as("cents"))
+          .write.mode("overwrite").partitionBy("d").parquet(out)
+        s.read.parquet(out)
+          .where(col("d") >= lit("2024-01-03") && col("d") < lit("2024-01-06"))
+          .groupBy("d", "event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .orderBy("d", "event_type")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n,
+             |  CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events
+             |WHERE CAST(ts AS DATE) >= DATE '2024-01-03' AND CAST(ts AS DATE) < DATE '2024-01-06'
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      note = "date-partitioned sink + pruned re-read vs source-of-truth oracle")
   )
 }
