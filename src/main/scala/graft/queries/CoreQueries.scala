@@ -353,6 +353,57 @@ object CoreQueries {
              |FROM events
              |WHERE CAST(ts AS DATE) >= DATE '2024-01-03' AND CAST(ts AS DATE) < DATE '2024-01-06'
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      note = "date-partitioned sink + pruned re-read vs source-of-truth oracle")
+      note = "date-partitioned sink + pruned re-read vs source-of-truth oracle"),
+
+    // K2 GeoTIFF sink, driver-verified: burn one day's events to a 30×40
+    // grid, encode it with our single-strip float32 TIFF writer, decode
+    // with our reader (the one golden-tested against the reference's
+    // committed rasters), and aggregate the decoded cells. The oracle
+    // aggregates the source directly — any byte-level defect in either
+    // codec shifts the sums and fails the hash. Cell values are integer
+    // cents < 2²⁴, so the float32 band is lossless. The dense collect is
+    // the sanctioned driver-side sink boundary (one 260×300-scale raster
+    // per date, SURVEY §1.1), exactly the reference's per-date write.
+    Q("k2_geotiff_roundtrip", Seq("K2", "S8", "W8", "P11"),
+      (s, dir) => {
+        import s.implicits._
+        val (w, h) = (40, 30)
+        val cells = Tables.events(s, dir)
+          .where(to_date(col("ts")) === lit("2024-01-05"))
+          .select(expr("user_id % 30").as("r"), expr("(user_id div 30) % 40").as("c"),
+                  expr("CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)").as("cents"),
+                  col("event_id"))
+          .groupBy("r", "c").agg(expr("min_by(cents, event_id)").as("v"))
+        val nodata = -99999f
+        val arr = Array.fill(w * h)(nodata)
+        cells.collect().foreach { row =>
+          arr(row.getLong(0).toInt * w + row.getLong(1).toInt) = row.getLong(2).toFloat
+        }
+        val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+        val old = tmp.listFiles()
+        if (old != null) old.filter(_.getName.startsWith("graft_k2_")).foreach(_.delete())
+        val path = new java.io.File(tmp,
+          s"graft_k2_${java.util.UUID.randomUUID().toString.take(8)}.tif").getAbsolutePath
+        graft.sources.GeoTiff.write(path, w, h, arr, Some(-99999d))
+        val rast = graft.sources.GeoTiff.read(path)
+        val nd = rast.nodata.map(_.toFloat).getOrElse(Float.NaN)
+        val back = for {
+          r <- 0 until rast.height
+          c <- 0 until rast.width
+          v = rast.value(r, c) if v != nd
+        } yield (r.toLong, c.toLong, v.toLong)
+        back.toDF("r", "c", "v")
+          .groupBy("r")
+          .agg(count(lit(1)).as("n_cells"), sum("v").as("sum_v"))
+          .orderBy("r")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id % 30 AS r, (user_id // 30) % 40 AS c,
+             |    min_by(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT), event_id) AS v
+             |  FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+             |  GROUP BY 1, 2)
+             |SELECT r, count(*) AS n_cells, CAST(sum(v) AS BIGINT) AS sum_v
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "burn -> own TIFF encoder -> own decoder -> agg vs source oracle; codec defects fail the hash")
   )
 }
