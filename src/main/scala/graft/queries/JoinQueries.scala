@@ -218,6 +218,63 @@ object JoinQueries {
              |  CAST(CAST(sum(CAST(e.value AS DECIMAL(18,2)) - CAST(d.tmin AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_delta
              |FROM events e JOIN dim d USING (event_type)
              |GROUP BY 1 ORDER BY 1""".stripMargin),
-      note = "fact-salt + dim-replicate join: hot keys spread over 16 reducers; = plain join")
+      note = "fact-salt + dim-replicate join: hot keys spread over 16 reducers; = plain join"),
+
+    // Bounded-radius k-NN join — the scalable spatial join (J2's
+    // grid-snap generalized from "same cell" to "true nearest within R").
+    // Cell size = R, so every point within distance R of a query sits in
+    // the query's 3×3 cell neighborhood: explode 9 cell offsets on the
+    // (small) query side, equi-join on the cell key, exact-distance
+    // re-rank. The pair space is O(queries × density·R²), never O(n²),
+    // and the cell key is the shuffle key — the same plan at any scale.
+    // Coordinates/distances are identical double expressions on both
+    // engines; ties rank by neighbor id.
+    Q("j_knn_radius", Seq("J2", "J3", "P4", "W4"),
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val pts = Tables.events(s, dir)
+          .select(col("event_id"),
+                  ((col("event_id") % 1000).cast("double") / 10.0).as("x"),
+                  ((col("user_id") % 1000).cast("double") / 10.0).as("y"))
+          .groupBy("event_id").agg(min("x").as("x"), min("y").as("y")) // unique ids
+        val q = pts.where(col("event_id") % 101 === 0)
+          .select(col("event_id").as("qid"), col("x").as("qx"), col("y").as("qy"))
+          .withColumn("off", explode(array((-1 to 1).flatMap(dx =>
+            (-1 to 1).map(dy => struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)))
+          .select(col("qid"), col("qx"), col("qy"),
+                  (floor(col("qx") / 2.0) + col("off.dx")).as("cx"),
+                  (floor(col("qy") / 2.0) + col("off.dy")).as("cy"))
+        val b = pts
+          .select(col("event_id").as("bid"), col("x").as("bx"), col("y").as("by"),
+                  floor(col("x") / 2.0).as("cx"), floor(col("y") / 2.0).as("cy"))
+        val cand = q.join(b, Seq("cx", "cy"))
+          .where(col("qid") =!= col("bid"))
+          .withColumn("d2", (col("qx") - col("bx")) * (col("qx") - col("bx")) +
+                            (col("qy") - col("by")) * (col("qy") - col("by")))
+          .where(col("d2") <= 4.0)
+        cand.withColumn("rank", row_number().over(
+            W.partitionBy("qid").orderBy(col("d2"), col("bid"))))
+          .where(col("rank") <= 3)
+          .select(col("qid"), col("rank").cast("int").as("rank"), col("bid"),
+                  round(col("d2"), 6).as("d2"))
+          .orderBy("qid", "rank")
+      },
+      Some("""WITH pts AS (
+             |  SELECT event_id,
+             |    min(CAST(event_id % 1000 AS DOUBLE) / 10.0) AS x,
+             |    min(CAST(user_id % 1000 AS DOUBLE) / 10.0) AS y
+             |  FROM events GROUP BY 1),
+             |q AS (SELECT event_id AS qid, x AS qx, y AS qy FROM pts WHERE event_id % 101 = 0),
+             |cand AS (
+             |  SELECT qid, event_id AS bid,
+             |    (qx - x) * (qx - x) + (qy - y) * (qy - y) AS d2
+             |  FROM q JOIN pts ON qid <> event_id
+             |  WHERE (qx - x) * (qx - x) + (qy - y) * (qy - y) <= 4.0)
+             |SELECT qid, CAST(rank AS INTEGER) AS rank, bid, round(d2, 6) AS d2 FROM (
+             |  SELECT qid, bid, d2,
+             |    row_number() OVER (PARTITION BY qid ORDER BY d2, bid) AS rank
+             |  FROM cand) t
+             |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+      note = "grid-cell bounded-radius kNN: 3x3 neighborhood equi-join + exact re-rank; O(q x density R^2) pairs")
   )
 }
