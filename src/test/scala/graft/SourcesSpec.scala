@@ -82,4 +82,41 @@ class SourcesSpec extends AnyFunSuite {
     val df = graft.sources.Xlsx.toDF(spark, "/root/reference/src/inputs/grid_points.xlsx")
     assert(df.columns.toSeq == Seq("X", "Y") && df.count() == 19129)
   }
+
+  test("K2: TIFF encoder round-trips arbitrary float32 rasters bit-exactly") {
+    val rnd = new scala.util.Random(5)
+    val (w, h) = (37, 23) // odd sizes exercise the even-offset padding
+    val data = Array.fill(w * h)(rnd.nextFloat() * 2000f - 1000f)
+    val path = java.nio.file.Files.createTempFile("graft_tiff", ".tif").toString
+    try {
+      graft.sources.GeoTiff.write(path, w, h, data, Some(-99999.0))
+      val r = graft.sources.GeoTiff.read(path)
+      assert(r.width == w && r.height == h && r.nodata.contains(-99999.0))
+      var i = 0
+      while (i < data.length) {
+        assert(java.lang.Float.floatToIntBits(r.data(i)) ==
+               java.lang.Float.floatToIntBits(data(i)), s"cell $i")
+        i += 1
+      }
+      // and without a nodata tag
+      graft.sources.GeoTiff.write(path, 2, 2, Array(1f, 2f, 3f, 4f), None)
+      assert(graft.sources.GeoTiff.read(path).nodata.isEmpty)
+    } finally java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+  }
+
+  test("S8: reader rejects big-endian and non-TIFF bytes loudly") {
+    val path = java.nio.file.Files.createTempFile("graft_tiff_bad", ".tif").toString
+    try {
+      graft.sources.GeoTiff.write(path, 2, 2, Array(1f, 2f, 3f, 4f), None)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      bytes(0) = 'M'.toByte; bytes(1) = 'M'.toByte // big-endian marker
+      java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+      val e1 = intercept[IllegalArgumentException](graft.sources.GeoTiff.read(path))
+      assert(e1.getMessage.contains("little-endian"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        "not a tiff at all".getBytes("US-ASCII"))
+      intercept[Exception](graft.sources.GeoTiff.read(path))
+      ()
+    } finally java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+  }
 }
