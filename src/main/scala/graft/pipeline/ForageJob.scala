@@ -56,6 +56,34 @@ object ForageJob {
     cells.write.mode("overwrite").partitionBy("date").parquet(cellsPath) // ≙ raster mosaic
     out += "cells" -> cellsPath
 
+    // K2 + K7: the reference's physical stage-3 contract — one float32
+    // GeoTIFF per date named biomass_YYYYMMDD.tif (the date regex IS the
+    // mosaic's time index, `timeregex.properties`), plus the new-files
+    // manifest the importer consumes (`import_biomass.py:38-42`). The
+    // dense collect per date is the sanctioned sink boundary (§1.1: one
+    // 300×260 raster). Filenames sort chronologically by construction.
+    val layersDir = s"${cfg.outputDir}/layers"
+    new java.io.File(layersDir).mkdirs()
+    val fmt = java.time.format.DateTimeFormatter.BASIC_ISO_DATE
+    val dates = cells.select("date").distinct().orderBy("date")
+      .collect().map(_.getDate(0))
+    val names = dates.map { d =>
+      val dense = graft.grid.Grid.toDense(
+        cells.where(col("date") === d), graft.grid.Grid.Reference)
+      val flat = new Array[Float](dense.length * dense(0).length)
+      var i = 0
+      dense.foreach(_.foreach { v => flat(i) = v.toFloat; i += 1 })
+      val name = s"biomass_${d.toLocalDate.format(fmt)}.tif"
+      graft.sources.GeoTiff.write(s"$layersDir/$name",
+        graft.grid.Grid.Reference.nCols, graft.grid.Grid.Reference.nRows,
+        flat, Some(graft.grid.Grid.Nodata))
+      name
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$layersDir/new_files.txt"),
+      names.mkString("\n").getBytes("UTF-8"))
+    out += "layers" -> layersDir
+
     if (cfg.zones.nonEmpty) {
       val zonal = Forage.stage4Zonal(spark, cells, cfg.zones)
       val trendsPath = s"${cfg.outputDir}/trends"
@@ -86,7 +114,11 @@ object ForageJob {
     spark.sparkContext.setLogLevel("WARN")
     val paths = runOnHarness(spark, sfDir, outputDir)
     paths.toSeq.sortBy(_._1).foreach { case (k, p) =>
-      println(s"[forage-job] $k -> $p (${spark.read.parquet(p).count()} rows)")
+      if (k == "layers") {
+        val n = Option(new java.io.File(p).list()).map(_.count(_.endsWith(".tif"))).getOrElse(0)
+        println(s"[forage-job] $k -> $p ($n rasters)")
+      } else
+        println(s"[forage-job] $k -> $p (${spark.read.parquet(p).count()} rows)")
     }
     spark.stop()
   }

@@ -13,7 +13,7 @@ class ForageJobSpec extends AnyFunSuite {
   test("ForageJob runs stages 1-5 and writes partitioned outputs") {
     val out = Files.createTempDirectory("graft_job").toFile.getAbsolutePath
     val paths = ForageJob.runOnHarness(spark, "/root/testdata/sf0.001", out)
-    assert(paths.keySet == Set("combined", "cells", "trends", "forecasts"))
+    assert(paths.keySet == Set("combined", "cells", "layers", "trends", "forecasts"))
 
     val combined = spark.read.parquet(paths("combined"))
     assert(combined.count() > 0)
@@ -24,6 +24,18 @@ class ForageJobSpec extends AnyFunSuite {
     // K3 shape: the cell mosaic and zone trends are date-partitioned
     assert(new java.io.File(paths("cells")).listFiles().exists(_.getName.startsWith("date=")))
     assert(new java.io.File(paths("trends")).listFiles().exists(_.getName.startsWith("date=")))
+
+    // K2 + K7: one biomass_YYYYMMDD.tif per processed date plus the
+    // new-files manifest, decodable by our own reader at reference shape
+    val layers = new java.io.File(paths("layers"))
+    val tifs = layers.list().filter(_.endsWith(".tif")).sorted
+    assert(tifs.toSeq == Seq("biomass_20240116.tif"))
+    val rast = graft.sources.GeoTiff.read(s"${paths("layers")}/biomass_20240116.tif")
+    assert(rast.width == 260 && rast.height == 300 && rast.nodata.contains(-99999.0))
+    assert(rast.data.exists(v => v != -99999.0f)) // real values burned
+    val manifest = new String(Files.readAllBytes(
+      new java.io.File(layers, "new_files.txt").toPath), "UTF-8")
+    assert(manifest.trim == "biomass_20240116.tif")
 
     // K5 payload: 3 forecast horizons per zone, 4dp means
     val fc = spark.read.parquet(paths("forecasts"))
