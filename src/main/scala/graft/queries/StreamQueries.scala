@@ -47,6 +47,15 @@ object StreamQueries {
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       note = "custom forage_period_end Expression inside a streaming aggregation"),
 
+    Q("stream_static_enrich", Seq("§2.9", "J1", "A1", "cdc"),
+      (s, dir) => StreamOps.streamStaticEnrich(s, dir),
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events e
+             |JOIN customer c ON c.c_custkey = e.user_id % (SELECT count(*) FROM customer) + 1
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "stream-static broadcast enrichment join: stateless, dim re-broadcast per batch"),
+
     Q("stream_stream_interval_join", Seq("§2.9", "J2", "F1", "F8"),
       (s, dir) => StreamOps.streamStreamIntervalJoin(s, dir),
       Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type FROM events),

@@ -100,6 +100,31 @@ object StreamOps {
       .orderBy("d", "event_type")
   }
 
+  /** Stream–static enrichment: the most common production streaming join —
+    * each micro-batch hash-joins against a broadcast batch dimension (no
+    * state store, no watermark bookkeeping on the dim side; at scale the
+    * dim broadcasts once per batch and the join is map-side). Events map to
+    * customers by a deterministic key, aggregate per market segment. */
+  def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.events(spark, dir) // sets nanosAsLong
+    val name = s"graft_enrich_${runCounter.incrementAndGet()}"
+    val nCust = graft.core.Tables.customer(spark, dir).count()
+    val dim = graft.core.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = spark.readStream
+      .schema(tableSchema(spark, s"$dir/events.parquet"))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("value"),
+              (col("user_id") % nCust + 1).as("c_custkey"))
+      .join(org.apache.spark.sql.functions.broadcast(dim), "c_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+           expr("CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)").as("sum_cents"))
+    drain(spark, name, stream.writeStream.outputMode("complete").format("memory"))
+    spark.table(name).orderBy("c_mktsegment")
+  }
+
   /** F6 as true streaming semantics: APPEND mode + watermark — a window is
     * emitted only once the event-time watermark (max event time − 1 day)
     * passes its end, so incomplete trailing windows are withheld, exactly
