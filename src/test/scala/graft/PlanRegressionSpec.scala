@@ -132,6 +132,12 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3, p)
   }
 
+  test("kNN join pairs through the cell equi-join, never a cartesian") {
+    val p = plan("j_knn_radius")
+    assert(p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("date-partitioned layout prunes partitions at the scan (K3/F5 at scale)") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
