@@ -430,6 +430,34 @@ object AggQueries {
              |SELECT event_type, max(n) AS n, max(med) AS med, max(mad) AS mad,
              |  CAST(sum(CASE WHEN dev > mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
              |FROM x GROUP BY 1 ORDER BY 1""".stripMargin),
-      note = "rank-exact median/MAD outlier gate; one partition shuffle, two in-partition sorts")
+      note = "rank-exact median/MAD outlier gate; one partition shuffle, two in-partition sorts"),
+
+    // Exact per-group mode — the categorical companion to the quantile
+    // family. Two combiner-friendly aggregations (value histogram, then
+    // argmax via max(struct)): no window sort, and the (count, −value)
+    // struct ordering makes ties resolve to the SMALLEST modal value
+    // deterministically. Values are cents-scaled integers.
+    Q("a_mode_exact", Seq("A1", "A12", "W4"),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_type"),
+                  expr("CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)").as("cents"))
+          .groupBy("event_type", "cents").agg(count(lit(1)).as("n"))
+          .groupBy("event_type")
+          .agg(max(struct(col("n"), (-col("cents")).as("neg"))).as("m"),
+               sum("n").as("n_rows"))
+          .select(col("event_type"), (-col("m.neg")).as("mode_cents"),
+                  col("m.n").as("n_mode"), col("n_rows"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, mode_cents, n_mode, n_rows FROM (
+             |  SELECT event_type, cents AS mode_cents, n AS n_mode,
+             |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_rows,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY n DESC, cents) AS rk
+             |  FROM (SELECT event_type,
+             |          CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents,
+             |          count(*) AS n
+             |        FROM events GROUP BY 1, 2) h) t
+             |WHERE rk = 1 ORDER BY event_type""".stripMargin),
+      note = "mode via two combiner aggs + max(struct) argmax; smallest-value tie rule")
   )
 }

@@ -368,6 +368,44 @@ object TextQueries {
              |SELECT CAST(row_number() OVER (ORDER BY total DESC, pair) AS INTEGER) AS rank,
              |  pair, total, n_words
              |FROM a ORDER BY total DESC, pair LIMIT 20""".stripMargin),
-      note = "BPE pair counting over the compressed dictionary: O(vocab), not O(tokens)")
+      note = "BPE pair counting over the compressed dictionary: O(vocab), not O(tokens)"),
+
+    // Vocabulary coverage curve — the tokenizer-sizing question ("how much
+    // of the token stream do the top-k types cover?") answered exactly:
+    // rank the term dictionary by frequency and accumulate mass at
+    // k ∈ {10, 100, 1000}. Integer token counts with one final division,
+    // so the curve is engine-exact. Same dictionary-compression shape as
+    // the BPE pair counter: the ranked vocab is tiny next to the stream.
+    Q("text_vocab_coverage", Seq("text", "A9", "A12", "W4"),
+      (s, dir) => {
+        import s.implicits._
+        val W = org.apache.spark.sql.expressions.Window
+        val ranked = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("term"))
+          .where(length(col("term")) >= 1)
+          .groupBy("term").agg(count(lit(1)).as("tf"))
+          .withColumn("rank", row_number().over(W.orderBy(col("tf").desc, col("term"))))
+        Seq(10, 100, 1000).toDF("k")
+          .crossJoin(ranked)
+          .groupBy("k")
+          .agg(sum(when(col("rank") <= col("k"), col("tf")).otherwise(0L)).as("covered_tokens"),
+               sum("tf").as("total_tokens"),
+               sum(when(col("rank") <= col("k"), 1L).otherwise(0L)).as("n_terms"))
+          .withColumn("coverage",
+            col("covered_tokens").cast("double") / col("total_tokens"))
+          .orderBy("k")
+      },
+      Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT term, count(*) AS tf FROM t WHERE length(term) >= 1 GROUP BY 1),
+             |r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS rank FROM tf),
+             |qs AS (SELECT CAST(unnest([10, 100, 1000]) AS INTEGER) AS k)
+             |SELECT k,
+             |  CAST(sum(CASE WHEN rank <= k THEN tf ELSE 0 END) AS BIGINT) AS covered_tokens,
+             |  CAST(sum(tf) AS BIGINT) AS total_tokens,
+             |  CAST(sum(CASE WHEN rank <= k THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
+             |  CAST(CAST(sum(CASE WHEN rank <= k THEN tf ELSE 0 END) AS BIGINT) AS DOUBLE)
+             |    / CAST(sum(tf) AS BIGINT) AS coverage
+             |FROM qs, r GROUP BY k ORDER BY k""".stripMargin),
+      note = "top-k vocabulary mass curve over the ranked dictionary; integer-exact")
   )
 }
