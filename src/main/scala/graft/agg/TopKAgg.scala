@@ -17,9 +17,16 @@ import org.apache.spark.sql.expressions.Aggregator
   * aggregation, AQE coalescing) yields the same state.
   */
 class TopKAgg(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  require(k > 0, s"k must be positive, got $k")
 
-  private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2) // "better" ranks first
+  // "better" ranks first. java.lang.Double.compare is a TOTAL order (NaN
+  // sorts greatest, matching SQL's ORDER BY v DESC NaN placement) — a
+  // partial-order `>` would make NaN tie with everything and the kept set
+  // depend on arrival/merge order, breaking the invariance guarantee.
+  private def lt(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def insert(b: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
     if (b.size < k) (b :+ x).sortWith(lt)

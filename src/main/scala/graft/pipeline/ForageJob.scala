@@ -63,13 +63,24 @@ object ForageJob {
     // dense collect per date is the sanctioned sink boundary (§1.1: one
     // 300×260 raster). Filenames sort chronologically by construction.
     val layersDir = s"${cfg.outputDir}/layers"
-    new java.io.File(layersDir).mkdirs()
+    val layersFile = new java.io.File(layersDir)
+    layersFile.mkdirs()
+    // rerun hygiene: the parquet sinks overwrite; the raster directory must
+    // too, or a date dropped from the processable set leaves a stale .tif
+    // that the filename-date mosaic index would still serve
+    val stale = layersFile.listFiles()
+    if (stale != null) stale.filter(f => f.getName.startsWith("biomass_") &&
+      f.getName.endsWith(".tif")).foreach(_.delete())
     val fmt = java.time.format.DateTimeFormatter.BASIC_ISO_DATE
-    val dates = cells.select("date").distinct().orderBy("date")
+    // read the just-written date-partitioned parquet back, NOT the cells
+    // lineage: each per-date filter then prunes to one partition directory
+    // instead of re-running stages 1-3 once per date
+    val cellsBack = spark.read.parquet(cellsPath)
+    val dates = cellsBack.select("date").distinct().orderBy("date")
       .collect().map(_.getDate(0))
     val names = dates.map { d =>
       val dense = graft.grid.Grid.toDense(
-        cells.where(col("date") === d), graft.grid.Grid.Reference)
+        cellsBack.where(col("date") === d), graft.grid.Grid.Reference)
       val flat = new Array[Float](dense.length * dense(0).length)
       var i = 0
       dense.foreach(_.foreach { v => flat(i) = v.toFloat; i += 1 })

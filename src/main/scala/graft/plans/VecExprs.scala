@@ -43,6 +43,7 @@ object VecExprs {
     * elements (mirrors the zip_with/aggregate fold it replaces). Static →
     * callable from generated code. */
   def sqDistLOrNull(a: ArrayData, b: ArrayData, off: Int, len: Int): java.lang.Long = {
+    if (off < 0 || len < 0) return null // out-of-domain window, never OOB reads
     val end = off + len
     if (a.numElements() < end || b.numElements() < end) return null
     var acc = 0L
@@ -63,9 +64,15 @@ object VecExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_sqdist_l", exprs => VecSqDistL(exprs.head, exprs(1),
-        exprs(2).eval().asInstanceOf[Number].intValue(),
-        exprs(3).eval().asInstanceOf[Number].intValue()), "scala_udf")
+      "vec_sqdist_l", { exprs =>
+        require(exprs.length == 4,
+          s"vec_sqdist_l(arr, arr, off, len) takes 4 arguments, got ${exprs.length}")
+        require(exprs(2).foldable && exprs(3).foldable,
+          "vec_sqdist_l: off and len must be integer literals")
+        VecSqDistL(exprs.head, exprs(1),
+          exprs(2).eval().asInstanceOf[Number].intValue(),
+          exprs(3).eval().asInstanceOf[Number].intValue())
+      }, "scala_udf")
   }
 }
 

@@ -290,16 +290,7 @@ object CoreQueries {
     // partition straight from the scan; no shuffle until the output sort.
     Q("k1_csv_roundtrip", Seq("K1", "S2", "P15", "F1"),
       (s, dir) => {
-        // sweep previous invocations' outputs (queries run sequentially in
-        // the harness, so no live reader can still need them)
-        val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-        def rm(f: java.io.File): Unit = {
-          val k = f.listFiles(); if (k != null) k.foreach(rm); f.delete(); ()
-        }
-        val old = tmp.listFiles()
-        if (old != null) old.filter(_.getName.startsWith("graft_k1_")).foreach(rm)
-        val out = new java.io.File(tmp,
-          s"graft_k1_${java.util.UUID.randomUUID().toString.take(8)}").getAbsolutePath
+        val out = graft.util.Scratch.fresh("k1")
         val sub = Tables.lineitem(s, dir)
           .where(col("l_orderkey") % 97 === 0)
           .select(col("l_orderkey"), col("l_linenumber"),
@@ -330,14 +321,7 @@ object CoreQueries {
     // PartitionFilters, not post-scan.
     Q("k3_partitioned_roundtrip", Seq("K3", "F5", "S6", "P18"),
       (s, dir) => {
-        val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-        def rm(f: java.io.File): Unit = {
-          val k = f.listFiles(); if (k != null) k.foreach(rm); f.delete(); ()
-        }
-        val old = tmp.listFiles()
-        if (old != null) old.filter(_.getName.startsWith("graft_k3_")).foreach(rm)
-        val out = new java.io.File(tmp,
-          s"graft_k3_${java.util.UUID.randomUUID().toString.take(8)}").getAbsolutePath
+        val out = graft.util.Scratch.fresh("k3")
         Tables.events(s, dir)
           .select(to_date(col("ts")).as("d"), col("event_type"),
                   expr("CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)").as("cents"))
@@ -379,11 +363,7 @@ object CoreQueries {
         cells.collect().foreach { row =>
           arr(row.getLong(0).toInt * w + row.getLong(1).toInt) = row.getLong(2).toFloat
         }
-        val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-        val old = tmp.listFiles()
-        if (old != null) old.filter(_.getName.startsWith("graft_k2_")).foreach(_.delete())
-        val path = new java.io.File(tmp,
-          s"graft_k2_${java.util.UUID.randomUUID().toString.take(8)}.tif").getAbsolutePath
+        val path = graft.util.Scratch.fresh("k2", ".tif")
         graft.sources.GeoTiff.write(path, w, h, arr, Some(-99999d))
         val rast = graft.sources.GeoTiff.read(path)
         val nd = rast.nodata.map(_.toFloat).getOrElse(Float.NaN)

@@ -172,6 +172,10 @@ object CorpusQueries {
     Q("corpus_chunk_windows", Seq("corpus", "W9", "P13", "sampling"),
       (s, dir) =>
         Tables.documents(s, dir)
+          // empty docs chunk to nothing on both engines (Spark's
+          // sequence(0, -1) would otherwise emit a DESCENDING [0, -1]
+          // while DuckDB's generate_series(0, -1) is empty)
+          .where(length(col("text")) > 0)
           .select(col("doc_id"), col("text"),
                   explode(expr("sequence(0, CAST(floor((length(text) - 1) / 120) AS INT))"))
                     .as("chunk_id"))
@@ -190,7 +194,7 @@ object CorpusQueries {
               |  FROM (
               |    SELECT doc_id, text,
               |      unnest(generate_series(0, (length(text) - 1) // 120)) AS chunk_id
-              |    FROM documents) t) u
+              |    FROM documents WHERE length(text) > 0) t) u
               |ORDER BY doc_id, chunk_id""".stripMargin),
       note = "window 160 / stride 120 char chunking; map-side explode, no pre-sort shuffle"),
 
