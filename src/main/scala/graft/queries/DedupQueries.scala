@@ -203,12 +203,21 @@ object DedupQueries {
     // exact Jaccard. The full pipeline is replicated in the oracle.
     Q("dedup_minhash_lsh", Seq("dedup", "J2", "W6"),
       (s, dir) => {
-        val shd = shingles(s, dir).cache() // reused: signature build + verify
-        val sh = shd.withColumn("x", expr(Hashing.sparkMd5Mod("shingle")))
+        val sh = shingles(s, dir).withColumn("x", expr(Hashing.sparkMd5Mod("shingle")))
         val minCols = coefs.zipWithIndex.map { case ((a, b), j) =>
           min(expr(Hashing.permute("x", a, b))).as(s"h$j")
         }
-        val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*).cache()
+        // ONE groupBy builds the whole per-doc state: the 32 min-hash
+        // lanes AND the (distinct) shingle set. Carrying the set here lets
+        // the exact-Jaccard verify below be a pure column expression over
+        // the candidate join instead of two more shingle re-joins + a
+        // groupBy + two count joins — the whole query is one candidate-
+        // generation exchange plus the two doc_id-keyed signature joins.
+        // The per-doc set is bounded by document length, so the extra
+        // shuffle payload stays O(doc) at any corpus size.
+        val sig = sh.groupBy("doc_id")
+          .agg(minCols.head, (minCols.tail :+ collect_set(col("shingle")).as("shset")): _*)
+          .cache() // reused: band keys + both sides of the verify join
         val bands = sig.select(col("doc_id"),
           explode(array((0 until NumBands).map { bnd =>
             struct(lit(bnd).as("band_idx"),
@@ -222,26 +231,19 @@ object DedupQueries {
                 col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .distinct()
-        val sigA = sig.select(col("doc_id").as("a_id") +: (0 until NumPerms).map(j => col(s"h$j").as(s"ah$j")): _*)
-        val sigB = sig.select(col("doc_id").as("b_id") +: (0 until NumPerms).map(j => col(s"h$j").as(s"bh$j")): _*)
-        val est = cand.join(sigA, "a_id").join(sigB, "b_id")
+        val sigA = sig.select(col("doc_id").as("a_id"),
+          array((0 until NumPerms).map(j => col(s"h$j")): _*).as("ah"), col("shset").as("ash"))
+        val sigB = sig.select(col("doc_id").as("b_id"),
+          array((0 until NumPerms).map(j => col(s"h$j")): _*).as("bh"), col("shset").as("bsh"))
+        cand.join(sigA, "a_id").join(sigB, "b_id")
           .withColumn("matches",
-            expr((0 until NumPerms).map(j => s"CAST(ah$j = bh$j AS INT)").mkString(" + ")))
+            expr("aggregate(zip_with(ah, bh, (x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v)"))
+          .withColumn("shared", size(array_intersect(col("ash"), col("bsh"))).cast("long"))
           .select(col("a_id"), col("b_id"), col("matches"),
-                  (col("matches").cast("double") / NumPerms).as("est_sim"))
-        // exact-Jaccard verify on candidates only (cached shingles reused)
-        val counts = shd.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        val shared = est.select("a_id", "b_id")
-          .join(shd.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
-          .join(shd.select(col("doc_id").as("b_id"), col("shingle").as("shingle2")), "b_id")
-          .where(col("shingle") === col("shingle2"))
-          .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
-        est.join(shared, Seq("a_id", "b_id"), "left")
-          .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
-          .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
-          .withColumn("shared", coalesce(col("shared"), lit(0L)))
-          .withColumn("jaccard", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-          .select("a_id", "b_id", "matches", "est_sim", "shared", "jaccard")
+                  (col("matches").cast("double") / NumPerms).as("est_sim"),
+                  col("shared"),
+                  (col("shared").cast("double") /
+                    (size(col("ash")) + size(col("bsh")) - col("shared"))).as("jaccard"))
           .orderBy("a_id", "b_id")
       },
       Some {
@@ -383,12 +385,12 @@ object DedupQueries {
            |bits AS (SELECT DISTINCT bit FROM pos WHERE doc_id % 5 <> 0),
            |exact AS (SELECT DISTINCT text FROM documents WHERE doc_id % 5 <> 0),
            |hits AS (SELECT p.doc_id, p.text,
-           |    sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS n_bits_hit
+           |    CAST(sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bits_hit
            |  FROM pos p LEFT JOIN bits b USING (bit)
            |  WHERE p.doc_id % 5 = 0
            |  GROUP BY 1, 2)
            |SELECT h.doc_id, h.n_bits_hit, CAST(h.n_bits_hit = 3 AS INTEGER) AS bloom_hit,
-           |  CASE WHEN e.text IS NOT NULL THEN 1 ELSE 0 END AS exact_dup
+           |  CAST(CASE WHEN e.text IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_dup
            |FROM hits h LEFT JOIN exact e USING (text)
            |ORDER BY doc_id""".stripMargin
       },

@@ -104,12 +104,24 @@ object MlQueries {
             col("l_quantity").as("f1"),
             col("l_discount").as("f2"),
             (col("l_extendedprice") / 1000).as("y"))
-        // Deterministic calibration sample: every 149th key (~4k obs at
-        // sf0.1). The fit cost is cells × calib; with bw=10 over a 50×50
-        // cell grid a 4k sample still puts hundreds of points inside every
-        // kernel bandwidth, and the cap is what keeps the broadcast —
-        // and the per-cell WLS — bounded however large the fact table is.
-        val calib = pts.where(col("id") % 149 === 0)
+        // Deterministic calibration sample, CAPPED (same shape as
+        // Forage.stage2Score): if the fact table is small keep it all,
+        // otherwise keep every m-th row by stable key hash with m sized so
+        // the sample is ≤ calibCap however large the table grows. The cap
+        // is what bounds the driver collect + broadcast AND the per-cell
+        // WLS cost (cells × calib) at any SF — a fixed fraction would make
+        // the broadcast grow linearly with the data. ~4k obs at sf0.1
+        // still puts hundreds of points inside every bw=10 kernel over the
+        // 50×50 cell grid.
+        val calibCap = 4000L
+        val nRows = pts.count()
+        val calibSrc =
+          if (nRows <= calibCap) pts
+          else {
+            val m = (nRows + calibCap - 1) / calibCap
+            pts.where(pmod(xxhash64(col("id")), lit(m)) === 0)
+          }
+        val calib = calibSrc
           .as[(Long, Double, Double, Double, Double, Double)].collect()
           .map(r => GWR.Obs(r._2, r._3, Array(r._4, r._5), r._6))
         val bcast = s.sparkContext.broadcast(calib)

@@ -184,7 +184,7 @@ object TextQueries {
              |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
              |            FROM toks WHERE len(t) >= 2)),
              |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
-             |SELECT doc_id, sum(c) AS n2, count(*) AS d2,
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2, count(*) AS d2,
              |  CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup_frac,
              |  CAST(max(c) AS DOUBLE) / sum(c) AS top_frac
              |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin),

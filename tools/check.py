@@ -73,6 +73,29 @@ def main():
             n_fail += 1
             continue
 
+        # the driver's hash is typed at the Python-value level: int32 vs
+        # int64 both hash as int (r4 evidence: those pass), but a DuckDB
+        # HUGEINT sum arrives as decimal128 -> Decimal and fails even when
+        # every cell matches. Flag category drift (decimal vs int vs float),
+        # not width drift.
+        def cat(t):
+            import pyarrow.types as pt
+            if pt.is_integer(t):
+                return "int"
+            if pt.is_floating(t):
+                return "float"
+            if pt.is_decimal(t):
+                return "decimal"
+            return str(t)
+        dtype_diff = [
+            (c, str(spark_tbl.schema.field(c).type), str(duck.schema.field(c).type))
+            for c in s_cols
+            if cat(spark_tbl.schema.field(c).type) != cat(duck.schema.field(c).type)]
+        if dtype_diff:
+            print(f"FAIL {name}: dtype mismatch {dtype_diff}")
+            n_fail += 1
+            continue
+
         srows = [tuple(norm(spark_tbl.column(c)[i].as_py()) for c in s_cols)
                  for i in range(spark_tbl.num_rows)]
         drows = [tuple(norm(duck.column(c)[i].as_py()) for c in d_cols)
