@@ -339,6 +339,59 @@ object CoreQueries {
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       note = "date-partitioned sink + pruned re-read vs source-of-truth oracle"),
 
+    // S5 idempotent dated-URL ingest (data_extraction_v2.py:184-217),
+    // exercised end-to-end against a deterministic fake transport and
+    // in-memory file state so the whole skip/404/failure decision tree is
+    // oracle-checked. Model: the remote catalog publishes one daily file
+    // per date that has ≥1 purchase event, sized as that day's purchase
+    // count; the local disk already holds (non-empty) files for
+    // day-of-month % 3 == 0; the server 500s on day-of-month == 13; the
+    // calendar runs 5 days past the last event (the reference's
+    // "yesterday's file isn't up yet" 404 path). Everything is driver-side
+    // calendar-sized by construction — the collect is one (date, n) pair
+    // per day in the range, bounded at any SF.
+    Q("s5_fetch_log", Seq("S5", "S10", "K7"),
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir).select(to_date(col("ts")).as("d"), col("event_type"))
+        val catalog = ev.where(col("event_type") === "purchase")
+          .groupBy("d").agg(count(lit(1)).as("n"))
+          .as[(java.sql.Date, Long)].collect()
+          .map { case (d, n) => d.toLocalDate -> n }.toMap
+        val (lo, hi) = {
+          val r = ev.agg(min("d"), max("d")).as[(java.sql.Date, java.sql.Date)].head()
+          (r._1.toLocalDate, r._2.toLocalDate.plusDays(5))
+        }
+        val dates = graft.sources.Fetch.dateRange(lo, hi)
+        val store = scala.collection.mutable.Map[String, Long]() ++
+          dates.filter(_.getDayOfMonth % 3 == 0)
+            .map(d => graft.sources.Fetch.pathFor(d) -> 1L)
+        val log = graft.sources.Fetch.run[Long](
+          dates,
+          existingSize = p => store.getOrElse(p, 0L),
+          transport = d =>
+            if (d.getDayOfMonth == 13) Left(500)
+            else catalog.get(d).toRight(404),
+          sizeOf = identity,
+          save = (p, b) => store(p) = b)
+        s.createDataFrame(log).select("date", "path", "action", "bytes").orderBy("date")
+      },
+      Some("""WITH ed AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+             |cat AS (SELECT d, count(*) AS n FROM ed WHERE event_type = 'purchase' GROUP BY 1),
+             |span AS (SELECT min(d) AS lo, max(d) + INTERVAL 5 DAY AS hi FROM ed),
+             |cal AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM span)
+             |SELECT cal.d AS date,
+             |  'rfe' || strftime(cal.d, '%Y_%m_%d') || '.nc' AS path,
+             |  CASE WHEN day(cal.d) % 3 = 0 THEN 'skip_exists'
+             |       WHEN day(cal.d) = 13 THEN 'failed'
+             |       WHEN cat.n IS NULL THEN 'skip_404'
+             |       ELSE 'download' END AS action,
+             |  CAST(CASE WHEN day(cal.d) % 3 = 0 OR day(cal.d) = 13 OR cat.n IS NULL
+             |            THEN 0 ELSE cat.n END AS BIGINT) AS bytes
+             |FROM cal LEFT JOIN cat ON cal.d = cat.d
+             |ORDER BY date""".stripMargin),
+      note = "S5 download loop vs fake transport: skip-if-exists / 404-tolerance / record-and-continue, oracle-checked"),
+
     // K2 GeoTIFF sink, driver-verified: burn one day's events to a 30×40
     // grid, encode it with our single-strip float32 TIFF writer, decode
     // with our reader (the one golden-tested against the reference's
