@@ -37,6 +37,7 @@ object Bench {
     }
     registry.foreach { q =>
       try q.run(spark, warmDir).count() catch { case _: Throwable => () }
+      finally spark.catalog.clearCache() // warm pass must not leave sf0.001 caches behind
     }
     // registry order (stable) rather than Map iteration order. Best-of-3
     // per query, but INTERLEAVED: host interference comes in multi-second
@@ -52,6 +53,9 @@ object Bench {
         try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         if (dt < sampleTimes(i)) sampleTimes(i) = dt
+        // each query pays for (and then releases) its own caches: no
+        // cross-query cache reuse, no LRU pressure building over 120 queries
+        spark.catalog.clearCache()
       }
     }
     val results = registry.zipWithIndex.map { case (q, i) => q.name -> sampleTimes(i) }

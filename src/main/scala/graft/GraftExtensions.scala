@@ -46,15 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("vec_sqdist_l"),
       new ExpressionInfo(classOf[graft.plans.VecSqDistL].getName, "vec_sqdist_l"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 4,
-          s"vec_sqdist_l(arr, arr, off, len) takes 4 arguments, got ${exprs.length}")
-        require(exprs(2).foldable && exprs(3).foldable,
-          "vec_sqdist_l: off and len must be integer literals")
-        graft.plans.VecSqDistL(exprs.head, exprs(1),
-          exprs(2).eval().asInstanceOf[Number].intValue(),
-          exprs(3).eval().asInstanceOf[Number].intValue())
-      }))
+      (exprs: Seq[Expression]) => graft.plans.VecExprs.sqDistBuilder(exprs)))
     // native as-of join planning (graft.plans.AsOfJoinPlan.AsOfJoin nodes)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinPlan.AsOfJoinStrategy)
     // interval-join bucketing rewrite (fires when

@@ -33,7 +33,7 @@ object PlanAudit {
         println(s"| `${q.name}` | $shuffles | ${if (joins.isEmpty) "-" else joins} | $pushed |")
       } catch {
         case e: Throwable => println(s"| `${q.name}` | plan error: ${e.getMessage.take(40)} | | | |")
-      }
+      } finally spark.catalog.clearCache() // .cache() registers at plan time
     }
     spark.stop()
   }

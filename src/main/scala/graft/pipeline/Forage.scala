@@ -95,6 +95,18 @@ object Forage {
       .drop("b0", "b1", "b2")
   }
 
+  /** Stage 2 variant: score with FIXED coefficients — a pre-fitted global
+    * WLS model applied as a pure column expression. Same impute + scoring +
+    * biomass path as `stage2Score` with the per-cell fit factored out, so
+    * the whole stage is SQL-expressible and the pipeline prefix can be
+    * hash-checked THROUGH scoring (the fit itself is golden-tested against
+    * the reference's committed results). No collect, no broadcast, no
+    * shuffle — survives any scale trivially. */
+  def stage2ScoreFixed(combined: DataFrame, b0: Double, b1: Double, b2: Double): DataFrame =
+    combined.na.fill(0.0, Seq("ndvi", "sm", "preci")) // P8
+      .withColumn("pred", lit(b0) + lit(b1) * col("sm") + lit(b2) * col("preci"))
+      .withColumn("biom", (col("pred") * 6480.2 - 958.6) / 1000.0) // P6
+
   /** Stage 3 (rasterize): abs(round(biom,2)) (P7), burn points to the grid
     * per date (W8), non-positive → nodata (P11). */
   def stage3Rasterize(results: DataFrame, affine: Affine = Grid.Reference): DataFrame = {

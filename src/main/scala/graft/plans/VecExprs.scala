@@ -57,6 +57,26 @@ object VecExprs {
     java.lang.Long.valueOf(acc)
   }
 
+  /** Shared `vec_sqdist_l` builder (used by both the temp-function
+    * registration below and `GraftExtensions`' injectFunction): validates
+    * arity and that off/len fold to non-null integral literals — a
+    * foldable-but-null (`CAST(NULL AS INT)`) or non-numeric ('3') argument
+    * is an argument error, not an NPE/ClassCastException. */
+  def sqDistBuilder(exprs: Seq[Expression]): VecSqDistL = {
+    require(exprs.length == 4,
+      s"vec_sqdist_l(arr, arr, off, len) takes 4 arguments, got ${exprs.length}")
+    def intArg(e: Expression, name: String): Int = {
+      require(e.foldable, s"vec_sqdist_l: $name must be an integer literal")
+      e.eval() match {
+        case n: java.lang.Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"vec_sqdist_l: $name must fold to a non-null integer, got " +
+            (if (other == null) "NULL" else s"$other: ${e.dataType.simpleString}"))
+      }
+    }
+    VecSqDistL(exprs.head, exprs(1), intArg(exprs(2), "off"), intArg(exprs(3), "len"))
+  }
+
   /** SQL registration: `vec_dot(arrCol, arrCol)` over float/double arrays,
     * `vec_sqdist_l(arrCol, arrCol, off, len)` over bigint arrays (off/len
     * foldable int literals — the PQ subspace window). */
@@ -64,15 +84,7 @@ object VecExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_sqdist_l", { exprs =>
-        require(exprs.length == 4,
-          s"vec_sqdist_l(arr, arr, off, len) takes 4 arguments, got ${exprs.length}")
-        require(exprs(2).foldable && exprs(3).foldable,
-          "vec_sqdist_l: off and len must be integer literals")
-        VecSqDistL(exprs.head, exprs(1),
-          exprs(2).eval().asInstanceOf[Number].intValue(),
-          exprs(3).eval().asInstanceOf[Number].intValue())
-      }, "scala_udf")
+      "vec_sqdist_l", sqDistBuilder, "scala_udf")
   }
 }
 

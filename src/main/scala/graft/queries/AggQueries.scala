@@ -187,6 +187,40 @@ object AggQueries {
              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
       note = "rank-based exact quantiles (sketchable via approx_percentile at scale)"),
 
+    // The HIGH-cardinality face of the exact quantile/MAD contract:
+    // per-order median and MAD over ~n/4 groups (15k at sf0.01, millions at
+    // scale). Where a_exact_quantiles / w_anomaly_mad sort full low-
+    // cardinality partitions (exact baselines, skew-prone by construction
+    // — the sketch is their scale path), this variant is the shape that IS
+    // the scale path when the key is fine-grained: groupBy + collect_list
+    // partial-aggregates map-side, per-group state is the group's own rows
+    // (bounded: ≤7 lines/order in TPC-H-shaped data), and the shuffle
+    // balances across any executor count because no reducer sees more than
+    // one group's rows at once. Lower-median by integer rank on the sorted
+    // array; MAD = median of |v − median| via the same rank — all integer
+    // indexing + exact double compares, bit-identical across engines.
+    Q("a_exact_median_mad_highcard", Seq("A9", "A13", "A12", "§2.10"),
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_extendedprice").cast("double").as("v"))
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_list(col("v"))).as("vs"), count(lit(1)).as("n"))
+          .select(
+            col("l_orderkey"), col("n"),
+            expr("element_at(vs, CAST((n + 1) DIV 2 AS INT))").as("med"),
+            expr("element_at(sort_array(transform(vs, x -> abs(x - element_at(vs, CAST((n + 1) DIV 2 AS INT))))), CAST((n + 1) DIV 2 AS INT))").as("mad"))
+          .orderBy("l_orderkey"),
+      Some("""WITH g AS (
+             |  SELECT l_orderkey,
+             |    list_sort(list(CAST(l_extendedprice AS DOUBLE))) AS vs,
+             |    count(*) AS n
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_orderkey, n,
+             |  vs[CAST((n + 1) // 2 AS INTEGER)] AS med,
+             |  list_sort(list_transform(vs, x -> abs(x - vs[CAST((n + 1) // 2 AS INTEGER)])))[CAST((n + 1) // 2 AS INTEGER)] AS mad
+             |FROM g ORDER BY l_orderkey""".stripMargin),
+      note = "exact per-group median+MAD at high key cardinality: partial-aggregating, skew-free — the exact path's scale shape"),
+
     // KMV distinct sketch (graft.agg.KmvSketch, typed Aggregator): the
     // mergeable estimator next to the exact countDistinct. Because the
     // hash is md5-derived, the oracle reproduces the same k-min set and

@@ -83,9 +83,54 @@ object PipelineQueries {
           .withColumn("mean_value", col("mean_value") / 100.0)
           .orderBy("zone_id", "date")
       },
-      Some(prefixOracle),
-      note = "hash-checked stages 1+3+4 (cut before GWR); exact integer-scaled zonal means")
+      Some(prefixOracle("ndvi")),
+      note = "hash-checked stages 1+3+4 (cut before GWR); exact integer-scaled zonal means"),
+
+    // The prefix pushed THROUGH scoring: stage 2 as a fixed-coefficient WLS
+    // score (stage2ScoreFixed — the impute + pred + P6 path with the
+    // per-cell fit factored out), so stages 1→2→3→4 are all hash-checked
+    // and the rows-only surface shrinks to the GWR fit + GP alone. The
+    // pred expression is written with identical association order on both
+    // sides ((b0 + b1·sm) + b2·preci); each term is one correctly-rounded
+    // double op over identical inputs, so the engines agree bit-for-bit.
+    Q("forage_pipeline_sql_scored",
+      Seq("§3", "J1", "A1", "A3", "W1", "F6", "P4", "P6", "P7", "P8", "W8", "P11", "J4", "A4", "A5", "A8", "M2"),
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(
+            (lit(36.0) + (col("user_id") % 15).cast("double") * 0.1).as("lon"),
+            (lit(15.0) - floor(col("user_id") / 15).cast("double") * 0.1).as("lat"),
+            to_date(col("ts")).as("d"), col("event_type"), col("value"))
+        def src(et: String) =
+          e.where(col("event_type") === et)
+            .select(col("lon"), col("lat"), col("d"), round(col("value"), 0).as("v"))
+        val combined = Forage.stage1Combined(
+          ndvi = src("view"), sm = src("click"), preci = src("purchase"),
+          anchor = PrefixAnchor, watermark = PrefixWatermark)
+        val scored = Forage.stage2ScoreFixed(combined, ScoreB0, ScoreB1, ScoreB2)
+        val pts = scored.select(
+          graft.core.DateOps.fromYyyymmdd(col("date")).as("date"),
+          col("lon"), col("lat"),
+          abs(round(col("biom"), 2)).as("value"), // P7
+          expr("CAST(round(lon * 1000) AS BIGINT) * 1000000 + CAST(round(lat * 1000) AS BIGINT)").as("tie"))
+        val cells = graft.grid.Grid.burn(pts, graft.grid.Grid.Reference)
+        val cents = cells.withColumn("value",
+          when(col("value") === graft.grid.Grid.Nodata, col("value"))
+            .otherwise(round(col("value") * 100, 0)))
+        Forage.stage4Zonal(s, cents, PrefixZones)
+          .withColumn("mean_value", col("mean_value") / 100.0)
+          .orderBy("zone_id", "date")
+      },
+      Some(prefixOracle(
+        s"CAST($ScoreB0 AS DOUBLE) + CAST($ScoreB1 AS DOUBLE) * sm + CAST($ScoreB2 AS DOUBLE) * preci")),
+      note = "hash-checked stages 1+2(fixed-coefficient WLS)+3+4; only the GWR fit + GP stay rows-only")
   )
+
+  // fixed scoring coefficients for the hash-checked stage-2 variant —
+  // plausible magnitudes for an ndvi-scale pred from (sm, preci) features
+  private val ScoreB0 = 0.08
+  private val ScoreB1 = 0.012
+  private val ScoreB2 = 0.0005
 
   private val PrefixAnchor = LocalDate.parse("2023-12-20")
   private val PrefixWatermark = LocalDate.parse("2024-01-31")
@@ -97,10 +142,13 @@ object PipelineQueries {
     "Z_WEST" -> "POLYGON((36.012 15.012, 36.743 15.012, 36.743 13.914, 36.012 13.914, 36.012 15.012))",
     "Z_EAST" -> "POLYGON((36.743 15.012, 37.446 15.012, 37.446 13.914, 36.743 13.914, 36.743 15.012))")
 
-  /** DuckDB replica of the prefix. Zone bboxes and centroid cells are
-    * computed here with the SAME parsing/affine code the Spark side uses
-    * (Geometry.parseWkt + Affine floors), then inlined as literals. */
-  private lazy val prefixOracle: String = {
+  /** DuckDB replica of the prefix, parametrized by the stage-2 pred
+    * expression over the composite columns (ndvi, sm, preci): `"ndvi"` cuts
+    * before scoring; a fixed-coefficient linear form scores through it.
+    * Zone bboxes and centroid cells are computed here with the SAME
+    * parsing/affine code the Spark side uses (Geometry.parseWkt + Affine
+    * floors), then inlined as literals. */
+  private def prefixOracle(predSql: String): String = {
     val affine = graft.grid.Grid.Reference
     val zoneRows = PrefixZones.map { case (id, wkt) =>
       val p = graft.grid.Geometry.parseWkt(wkt)
@@ -124,12 +172,12 @@ object PipelineQueries {
        |       WHERE event_type = 'click' GROUP BY 1, 2, 3),
        |pr AS (SELECT x, y, p_end, coalesce(sum(v), 0.0) AS preci FROM pts JOIN period_days pd ON pts.d = pd.d
        |       WHERE event_type = 'purchase' GROUP BY 1, 2, 3),
-       |comb AS (SELECT x, y, p_end, ndvi
+       |comb AS (SELECT x, y, p_end, ndvi, sm_v AS sm, preci
        |         FROM n JOIN sm USING (x, y, p_end) JOIN pr USING (x, y, p_end)),
        |b AS (SELECT p_end AS date,
        |        CAST(floor((15.0 - y) / 0.05) AS INTEGER) AS row,
        |        CAST(floor((x - 36.0) / 0.05) AS INTEGER) AS col,
-       |        abs(round((ndvi * 6480.2 - 958.6) / 1000.0, 2)) AS val,
+       |        abs(round((($predSql) * 6480.2 - 958.6) / 1000.0, 2)) AS val,
        |        CAST(round(x * 1000) AS BIGINT) * 1000000 + CAST(round(y * 1000) AS BIGINT) AS tie
        |      FROM comb),
        |burn AS (SELECT date, row, col,

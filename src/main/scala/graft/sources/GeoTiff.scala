@@ -117,22 +117,32 @@ object GeoTiff {
   def write(path: String, width: Int, height: Int, data: Array[Float],
             nodata: Option[Double] = None): Unit = {
     require(data.length == width * height, s"data ${data.length} != $width x $height")
-    val ndStr = nodata.map(v =>
-      (if (v == v.toLong.toDouble) v.toLong.toString else v.toString) + "\u0000") // NUL-terminated: TIFF ASCII count includes the terminator
+    // dims are emitted as SHORT (type 3) tags; larger rasters would silently
+    // truncate through the reader's getShort & 0xffff round trip
+    require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff,
+      s"dims $width x $height exceed SHORT-tag range (65535)")
+    val ndBytes = nodata.map { v =>
+      ((if (v == v.toLong.toDouble) v.toLong.toString else v.toString) + "\u0000") // NUL-terminated: TIFF ASCII count includes the terminator
+        .getBytes("US-ASCII")
+    }
+    // TIFF spec: tag values of <= 4 bytes live INSIDE the tag's value field,
+    // not out-of-line (and [[read]] decodes them inline) — only reserve the
+    // out-of-line region for longer nodata strings
+    val ndInline = ndBytes.exists(_.length <= 4)
     val dataOff = 8
     val dataLen = width * height * 4
     var ndOff = dataOff + dataLen
     if (ndOff % 2 == 1) ndOff += 1
-    val ndLen = ndStr.map(_.length).getOrElse(0)
+    val ndLen = if (ndInline) 0 else ndBytes.map(_.length).getOrElse(0)
     var ifdOff = ndOff + ndLen
     if (ifdOff % 2 == 1) ifdOff += 1
-    val nTags = 9 + (if (ndStr.isDefined) 1 else 0)
+    val nTags = 9 + (if (ndBytes.isDefined) 1 else 0)
     val total = ifdOff + 2 + nTags * 12 + 4
     val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
     bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
     data.foreach(bb.putFloat)
     bb.position(ndOff)
-    ndStr.foreach(s => bb.put(s.getBytes("US-ASCII")))
+    if (!ndInline) ndBytes.foreach(bb.put)
     bb.position(ifdOff)
     bb.putShort(nTags.toShort)
     def tag(id: Int, typ: Int, count: Int, value: Int): Unit = {
@@ -148,7 +158,11 @@ object GeoTiff {
     tag(278, 3, 1, height)           // RowsPerStrip
     tag(279, 4, 1, dataLen)          // StripByteCounts
     tag(339, 3, 1, 3)                // SampleFormat: IEEE float
-    ndStr.foreach(s => tag(42113, 2, s.length, ndOff)) // GDAL_NODATA
+    ndBytes.foreach { b => // GDAL_NODATA: inline when it fits the value field
+      val value = if (ndInline) b.zipWithIndex.map { case (x, i) => (x & 0xff) << (8 * i) }.sum
+                  else ndOff
+      tag(42113, 2, b.length, value)
+    }
     bb.putInt(0) // no next IFD
     Files.write(Paths.get(path), bb.array())
     ()

@@ -20,7 +20,15 @@ object Scratch {
   }
 
   /** Sweep this process's previous `family` outputs, then return a fresh
-    * unique path (not created) under java.io.tmpdir. */
+    * unique path (not created) under java.io.tmpdir.
+    *
+    * CONSTRAINT: the sweep deletes the files behind any EARLIER DataFrame
+    * of the same family that hasn't been fully consumed yet (DataFrames
+    * read their sink lazily). Callers must construct-then-consume one
+    * instance of a family at a time — which is how the sequential
+    * Verify/Bench/PlanAudit harnesses run — and must not hold a prior
+    * unconsumed k1/k2/k3 result across a re-construction of the same
+    * query. */
   def fresh(family: String, suffix: String = ""): String = {
     val tmp = new File(System.getProperty("java.io.tmpdir"))
     val prefix = s"graft_${family}_${pid}_"

@@ -84,4 +84,45 @@ class MlSpec extends AnyFunSuite {
   test("GWR: biomass formula P6") {
     assert(math.abs(GWR.biomass(0.5) - (6480.2 * 0.5 - 958.6) / 1000.0) < 1e-12)
   }
+
+  // a smooth spatially-varying surface: slope drifts across x, so a local
+  // (small-k) fit beats the global one and AICc has an interior optimum
+  private def syntheticSurface(n: Int, noise: Double, seed: Int): Array[GWR.Obs] = {
+    val rnd = new scala.util.Random(seed)
+    Array.tabulate(n) { _ =>
+      val px = rnd.nextDouble() * 10
+      val py = rnd.nextDouble() * 10
+      val f1 = rnd.nextDouble() * 5
+      val slope = 1.0 + 0.4 * px // coefficient varies over space
+      GWR.Obs(px, py, Array(f1), 2.0 + slope * f1 + noise * rnd.nextGaussian())
+    }
+  }
+
+  test("M1: golden-section converges to the AICc minimizer on a synthetic surface") {
+    val calib = syntheticSurface(n = 120, noise = 0.05, seed = 7)
+    val lo = 10
+    val hi = calib.length
+    val chosen = GWR.bandwidthAdaptiveAicc(calib, kMin = lo, kMax = hi)
+    val exhaustive = (lo to hi).map(k => k -> GWR.aiccAdaptive(calib, k))
+    val globalMin = exhaustive.minBy(_._2)
+    // golden section assumes unimodality (as mgwr does); on this smooth
+    // surface it must land on (or tie, within noise ulps) the global min
+    val chosenScore = GWR.aiccAdaptive(calib, chosen)
+    assert(chosenScore <= globalMin._2 + 1e-9,
+      s"chosen k=$chosen (AICc=$chosenScore) vs global k=${globalMin._1} (AICc=${globalMin._2})")
+  }
+
+  test("M1: a smaller-than-global bandwidth wins when coefficients vary in space") {
+    val calib = syntheticSurface(n = 120, noise = 0.05, seed = 11)
+    val chosen = GWR.bandwidthAdaptiveAicc(calib, kMin = 10, kMax = calib.length)
+    assert(chosen < calib.length) // local structure → interior optimum
+  }
+
+  test("M1: AICc rejects the saturated end (denominator guard)") {
+    // tiny calibration: large tr(S) can push n-2-tr(S) <= 0 — must be +inf,
+    // never a negative 'best' score
+    val calib = syntheticSurface(n = 8, noise = 0.01, seed = 3)
+    val scores = (2 to 8).map(k => GWR.aiccAdaptive(calib, k))
+    assert(scores.forall(s => !s.isNaN))
+  }
 }

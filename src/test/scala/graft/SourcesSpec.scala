@@ -101,6 +101,21 @@ class SourcesSpec extends AnyFunSuite {
       // and without a nodata tag
       graft.sources.GeoTiff.write(path, 2, 2, Array(1f, 2f, 3f, 4f), None)
       assert(graft.sources.GeoTiff.read(path).nodata.isEmpty)
+      // short nodata strings (<= 4 bytes incl. NUL) must round-trip via the
+      // TIFF inline value field — "0\0" is 2 bytes
+      graft.sources.GeoTiff.write(path, 2, 2, Array(1f, 2f, 3f, 4f), Some(0.0))
+      assert(graft.sources.GeoTiff.read(path).nodata.contains(0.0))
+      graft.sources.GeoTiff.write(path, 2, 2, Array(1f, 2f, 3f, 4f), Some(-99.0))
+      assert(graft.sources.GeoTiff.read(path).nodata.contains(-99.0))
+    } finally java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+  }
+
+  test("S8/K2: writer rejects dims beyond the SHORT tag range") {
+    val path = java.nio.file.Files.createTempFile("graft_tiff_dim", ".tif").toString
+    try {
+      val e = intercept[IllegalArgumentException](
+        graft.sources.GeoTiff.write(path, 65536, 1, new Array[Float](65536), None))
+      assert(e.getMessage.contains("65535"))
     } finally java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
   }
 
