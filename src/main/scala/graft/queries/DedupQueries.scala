@@ -58,7 +58,12 @@ object DedupQueries {
       m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
       docArrMemo.put(s, m)
     }
-    m.getOrElseUpdate(dir, build)
+    val df = m.getOrElseUpdate(dir, build)
+    // a harness-level clearCache() (Verify/PlanAudit run one between
+    // queries) unpersists the memoized frame without dropping the memo —
+    // re-register so later uses inside one plan still share one scan
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
+    df
   }
 
   /** Spark-side distinct word-3-gram shingles: (doc_id, shingle). */
