@@ -437,6 +437,58 @@ object CoreQueries {
              |  GROUP BY 1, 2)
              |SELECT r, count(*) AS n_cells, CAST(sum(v) AS BIGINT) AS sum_v
              |FROM g GROUP BY 1 ORDER BY 1""".stripMargin),
-      note = "burn -> own TIFF encoder -> own decoder -> agg vs source oracle; codec defects fail the hash")
+      note = "burn -> own TIFF encoder -> own decoder -> agg vs source oracle; codec defects fail the hash"),
+
+    // S4 NetCDF scan, driver-verified the same way as k2: burn one day's
+    // events to a 30×40 grid, encode it as a classic NetCDF-3 file with our
+    // writer (TAMSAT shape: rfe(time,lat,lon) float + coordinate vars +
+    // CF _FillValue), then read it back through the DISTRIBUTED scan path —
+    // Spark's binaryFile source with the per-file decode running in the
+    // task — and aggregate the decoded cells. The oracle aggregates the
+    // source directly, so any header-layout, record-interleave, or CF-decode
+    // defect in either codec shifts the sums and fails the hash. Values are
+    // integer cents < 2²⁴ (float32-lossless); the dense collect is the same
+    // sanctioned per-date raster boundary as k2.
+    Q("s4_netcdf_roundtrip", Seq("S4", "W8", "P11", "P8"),
+      (s, dir) => {
+        val (w, h) = (40, 30)
+        val cells = Tables.events(s, dir)
+          .where(to_date(col("ts")) === lit("2024-01-07"))
+          .select(expr("user_id % 30").as("r"), expr("(user_id div 30) % 40").as("c"),
+                  expr("CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)").as("cents"),
+                  col("event_id"))
+          .groupBy("r", "c").agg(expr("min_by(cents, event_id)").as("v"))
+        val fill = -99999.0
+        val arr = Array.fill(h * w)(fill)
+        cells.collect().foreach { row =>
+          arr(row.getLong(0).toInt * w + row.getLong(1).toInt) = row.getLong(2).toDouble
+        }
+        val outDir = graft.util.Scratch.fresh("s4")
+        new java.io.File(outDir).mkdirs()
+        import graft.sources.NetCdf
+        NetCdf.write(s"$outDir/rfe2024_01_07.nc",
+          dims = Seq("time" -> -1, "lat" -> h, "lon" -> w),
+          vars = Seq(
+            NetCdf.VarSpec("time", Seq("time"), 6,
+              Seq("units" -> Left("days since 2024-01-07")), Array(0.0)),
+            NetCdf.VarSpec("lat", Seq("lat"), 6, Nil, Array.tabulate(h)(_.toDouble)),
+            NetCdf.VarSpec("lon", Seq("lon"), 6, Nil, Array.tabulate(w)(_.toDouble)),
+            NetCdf.VarSpec("rfe", Seq("time", "lat", "lon"), 5,
+              Seq("_FillValue" -> Right(Array(fill))), arr)))
+        NetCdf.scanCells(s, s"$outDir/rfe2024_01_07.nc")
+          .where(col("value").isNotNull)
+          .select(col("date"), col("lat").cast("long").as("r"), col("value").cast("long").as("v"))
+          .groupBy("date", "r")
+          .agg(count(lit(1)).as("n_cells"), sum("v").as("sum_v"))
+          .orderBy("r")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id % 30 AS r, (user_id // 30) % 40 AS c,
+             |    min_by(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT), event_id) AS v
+             |  FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-07'
+             |  GROUP BY 1, 2)
+             |SELECT DATE '2024-01-07' AS date, r, count(*) AS n_cells, CAST(sum(v) AS BIGINT) AS sum_v
+             |FROM g GROUP BY 2 ORDER BY 2""".stripMargin),
+      note = "burn -> own NetCDF-3 encoder -> distributed binaryFile decode -> agg vs source oracle")
   )
 }
