@@ -31,6 +31,17 @@ object Forage {
     * ndvi & sm aggregate with a null-skipping mean (A1/A2); preci with a
     * skipna sum where an all-null group yields 0.0 (A3, xarray semantics).
     */
+  /** Stage 1's output schema — the downstream handoff shape, needed by the
+    * K8 truncate path even when stage 1 itself failed. */
+  val combinedSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("lon", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("lat", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("date", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ndvi", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("sm", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("preci", org.apache.spark.sql.types.DoubleType)))
+
   def stage1Combined(ndvi: DataFrame, sm: DataFrame, preci: DataFrame,
                      anchor: LocalDate, watermark: LocalDate): DataFrame = {
     def keyed(df: DataFrame) = Periods.assign(

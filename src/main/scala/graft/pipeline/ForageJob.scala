@@ -38,8 +38,36 @@ object ForageJob {
   def watermark(cfg: ForageConfig): LocalDate =
     cfg.currentDate.minusDays(cfg.dataLatencyDays.toLong)
 
-  /** Run stages 1–5; returns the written output paths by stage name. */
+  /** Run stages 1–5; returns the written output paths by stage name.
+    *
+    * K8 failure contract (`data_extraction_v2.py:58-64`): any stage failure
+    * truncates the combined handoff (so a scheduled downstream consumer
+    * no-ops, `funcs.py:13-18`), drops the templated failure notice at
+    * `<outputDir>/notification.eml`, and rethrows — the engine does not
+    * emulate the reference's `sys.exit(0)` swallow. K9 (`BiomassAggregate
+    * .py:161-164`): every-20th-date markers land in `<outputDir>/
+    * Output_check` during the raster loop; a clean finish resets the
+    * directory (`ForecastMain.py:123-127`), so surviving markers mean an
+    * interrupted run and feed [[Progress.resume]]. */
   def run(spark: SparkSession, cfg: ForageConfig): Map[String, String] = {
+    val combinedPath = s"${cfg.outputDir}/combined"
+    try runStages(spark, cfg, combinedPath)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          Forage.combinedSchema)
+        Sinks.truncateDownstream(empty, combinedPath)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"${cfg.outputDir}/notification.eml"),
+          Notify.failureEmail("Biomass not updated", String.valueOf(e.getMessage),
+            Notify.defaultTemplate, "forage-etl", Nil).getBytes("UTF-8"))
+        throw e
+    }
+  }
+
+  private def runStages(spark: SparkSession, cfg: ForageConfig,
+                        combinedPath: String): Map[String, String] = {
     def src(path: String) = spark.read.parquet(path)
     val combined = Forage.stage1Combined(
       ndvi = src(cfg.ndviPath), sm = src(cfg.smPath), preci = src(cfg.preciPath),
@@ -48,7 +76,6 @@ object ForageJob {
     val cells = Forage.stage3Rasterize(scored)
     val out = scala.collection.mutable.Map[String, String]()
 
-    val combinedPath = s"${cfg.outputDir}/combined"
     combined.write.mode("overwrite").parquet(combinedPath) // ≙ combined.csv
     out += "combined" -> combinedPath
 
@@ -95,6 +122,14 @@ object ForageJob {
       names.mkString("\n").getBytes("UTF-8"))
     out += "layers" -> layersDir
 
+    // K9: every-20th-date progress markers (bounded: |dates| / 20 files)
+    val checkDir = s"${cfg.outputDir}/Output_check"
+    locally {
+      import spark.implicits._
+      Progress.writeMarkers(
+        Progress.markers(dates.map(_.toString).toSeq.toDF("d"), "d", 20), checkDir)
+    }
+
     if (cfg.zones.nonEmpty) {
       val zonal = Forage.stage4Zonal(spark, cells, cfg.zones)
       val trendsPath = s"${cfg.outputDir}/trends"
@@ -107,6 +142,16 @@ object ForageJob {
       fc.write.mode("overwrite").parquet(fcPath) // ≙ K5 payload table
       out += "forecasts" -> fcPath
     }
+
+    // K8 success notice (`import_biomass.py:81-95`: the uploaded rasters as
+    // list items) + K9 end-of-run reset (`ForecastMain.py:123-127`) — a
+    // clean finish leaves an empty Output_check; surviving markers mean an
+    // interrupted run.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${cfg.outputDir}/notification.eml"),
+      Notify.successEmail("Biomass updated", names.toSeq,
+        Notify.defaultTemplate, "forage-etl", Nil).getBytes("UTF-8"))
+    Progress.reset(checkDir)
     out.toMap
   }
 

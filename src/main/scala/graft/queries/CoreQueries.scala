@@ -489,6 +489,74 @@ object CoreQueries {
              |  GROUP BY 1, 2)
              |SELECT DATE '2024-01-07' AS date, r, count(*) AS n_cells, CAST(sum(v) AS BIGINT) AS sum_v
              |FROM g GROUP BY 2 ORDER BY 2""".stripMargin),
-      note = "burn -> own NetCDF-3 encoder -> distributed binaryFile decode -> agg vs source oracle")
+      note = "burn -> own NetCDF-3 encoder -> distributed binaryFile decode -> agg vs source oracle"),
+
+    // S9: the reference's per-zone HDF5 databases (`BiomassAggregate.py:
+    // 348-357`: one rank-2 float64 [Date, Biomass] dataset per zone,
+    // chunked + LZF, Column_Names attribute) encoded with our own writer,
+    // decoded through the distributed binaryFile scan, and aggregated
+    // against the source-of-truth oracle. Biomass travels as integer cents
+    // in float64 so the round trip is exact; ord_ck is order-sensitive
+    // (row_number × date) so a row-order defect in the codec fails the
+    // hash even when sums collide. The driver-side build is bounded: one
+    // month × 5 zones of PRE-AGGREGATED series rows, the same shape the
+    // reference collects before its own h5py write.
+    Q("s9_hdf5_roundtrip", Seq("S9", "K3", "A1", "W2"),
+      (s, dir) => {
+        val zs = Tables.events(s, dir)
+          .where(to_date(col("ts")).between("2024-01-01", "2024-01-31"))
+          .select(concat(lit("zone_"), expr("CAST(user_id % 5 AS STRING)")).as("zone"),
+                  datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("d"),
+                  expr("CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)").as("cents"))
+          .groupBy("zone", "d").agg(sum("cents").as("v"))
+        val byZone = zs.collect().groupBy(_.getString(0))
+        val specs = byZone.toSeq.sortBy(_._1).map { case (zone, rows) =>
+          val sorted = rows.sortBy(_.getInt(1))
+          val data = sorted.flatMap(r =>
+            Seq(r.getInt(1).toDouble, r.getLong(2).toDouble)).toArray
+          graft.sources.Hdf5.DatasetSpec(zone, Seq(sorted.length.toLong, 2L), data,
+            Map("Column_Names" -> Seq("Date", "Biomass")), chunkRows = 16)
+        }
+        val outDir = graft.util.Scratch.fresh("s9")
+        new java.io.File(outDir).mkdirs()
+        graft.sources.Hdf5.write(s"$outDir/zones.h5", specs)
+        graft.sources.Hdf5.scanZoneSeries(s, s"$outDir/zones.h5")
+          .select(col("zone"), (col("idx") + 1).cast("long").as("rn"),
+                  col("date_num").cast("long").as("d"), col("value").cast("long").as("v"))
+          .groupBy("zone")
+          .agg(count(lit(1)).as("n_rows"), sum("v").as("sum_v"),
+               sum(expr("rn * d")).as("ord_ck"))
+          .orderBy("zone")
+      },
+      Some("""WITH z AS (
+             |  SELECT 'zone_' || CAST(user_id % 5 AS VARCHAR) AS zone,
+             |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             |    CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+             |  FROM events
+             |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-31'),
+             |s AS (SELECT zone, d, CAST(sum(cents) AS BIGINT) AS v FROM z GROUP BY 1, 2),
+             |r AS (SELECT zone, d, v,
+             |        row_number() OVER (PARTITION BY zone ORDER BY d) AS rn FROM s)
+             |SELECT zone, count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS sum_v,
+             |  CAST(sum(rn * d) AS BIGINT) AS ord_ck
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "zone series -> own HDF5 encoder (chunked+LZF) -> distributed decode -> agg vs source oracle"),
+
+    // K9: progress checkpoints — which processing units get a marker file
+    // is a deterministic query over the unit list (`BiomassAggregate.py:
+    // 161-164`: every 20th date drops "<date> is done.npy"); the bounded
+    // file write + resume-skip + end-of-run reset live in
+    // graft.pipeline.Progress (ProgressSpec).
+    Q("k9_progress_markers", Seq("K9", "A10", "W2"),
+      (s, dir) => graft.pipeline.Progress.markers(
+          Tables.events(s, dir).select(to_date(col("ts")).as("d")), "d", 20)
+        .select(col("seq").cast("long").as("seq"), col("unit"), col("marker"))
+        .orderBy("seq"),
+      Some("""WITH u AS (
+             |  SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS unit FROM events),
+             |r AS (SELECT unit, row_number() OVER (ORDER BY unit) AS seq FROM u)
+             |SELECT CAST(seq AS BIGINT) AS seq, unit, unit || ' is done' AS marker
+             |FROM r WHERE seq % 20 = 0 ORDER BY seq""".stripMargin),
+      note = "every-20th-date checkpoint markers; file write + resume + reset in ProgressSpec")
   )
 }

@@ -42,5 +42,34 @@ class ForageJobSpec extends AnyFunSuite {
     val perZone = fc.groupBy("extId").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(perZone.values.forall(_ == 3) && perZone.keySet == Set("Z_WEST", "Z_EAST"))
     assert(fc.columns.toSet == Set("extId", "mean", "date"))
+
+    // K8 success notice lists the uploaded rasters; K9: a clean finish
+    // leaves Output_check present but empty (ForecastMain.py:123-127)
+    val eml = new String(Files.readAllBytes(
+      new java.io.File(out, "notification.eml").toPath), "UTF-8")
+    assert(eml.contains("Notice: Biomass Data Updated Successfully:"))
+    assert(eml.contains("<li>biomass_20240116.tif</li>"))
+    val check = new java.io.File(out, "Output_check")
+    assert(check.isDirectory && check.list().isEmpty)
+  }
+
+  test("K8 failure contract: truncate downstream, drop the failure notice, rethrow") {
+    val out = Files.createTempDirectory("graft_job_fail").toFile.getAbsolutePath
+    val cfg = graft.pipeline.ForageConfig(
+      ndviPath = s"$out/does_not_exist",
+      smPath = s"$out/does_not_exist",
+      preciPath = s"$out/does_not_exist",
+      outputDir = out,
+      anchor = java.time.LocalDate.parse("2024-01-01"),
+      currentDate = java.time.LocalDate.parse("2024-02-02"))
+    intercept[Exception] { ForageJob.run(spark, cfg) } // rethrown, not swallowed
+    val eml = new String(Files.readAllBytes(
+      new java.io.File(out, "notification.eml").toPath), "UTF-8")
+    assert(eml.contains("Notice: Biomass Data Failed to Update:"))
+    assert(eml.contains("color: red;"))
+    // the downstream handoff is truncated: schema-only CSV, zero rows
+    val truncated = spark.read.option("header", "true").csv(s"$out/combined")
+    assert(truncated.columns.toSeq ==
+      Seq("lon", "lat", "date", "ndvi", "sm", "preci") && truncated.count() == 0)
   }
 }
