@@ -41,4 +41,54 @@ object Sinks {
     * frame with the same schema. */
   def truncateDownstream(df: DataFrame, path: String): Unit =
     df.limit(0).coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** K6: the GeoServer image-mosaic payload (`tools.py:70-103`) — a zip of
+    * exactly one raster plus the two mosaic `.properties` descriptors. The
+    * descriptors are the reference's committed ones verbatim
+    * (`src/data/layers/biomass_properties/`): the filename-date regex IS
+    * the mosaic's time index, which is why raster names are
+    * `biomass_YYYYMMDD.tif` (K2/K7). Entries carry a fixed timestamp and
+    * no compression metadata variance, so the payload bytes are
+    * reproducible; the HTTP publish itself (`create_imagemosaic` /
+    * `harvest_uploadgranule`) stays external like K4/K5/K8 transports. */
+  def mosaicZip(tifName: String, tifBytes: Array[Byte]): Array[Byte] = {
+    val timeregex = "regex=[0-9]{8},format=yyyyMMdd\n"
+    val indexer =
+      "TimeAttribute=ingestion\n" +
+      "Schema=*the_geom:Polygon,location:String,ingestion:java.util.Date\n" +
+      "PropertyCollectors=TimestampFileNameExtractorSPI[timeregex](ingestion)\n"
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, bytes: Array[Byte]): Unit = {
+      val e = new java.util.zip.ZipEntry(name)
+      e.setTime(315532800000L) // fixed stamp: deterministic payload bytes
+      zip.putNextEntry(e)
+      zip.write(bytes)
+      zip.closeEntry()
+    }
+    entry("timeregex.properties", timeregex.getBytes("UTF-8"))
+    entry("indexer.properties", indexer.getBytes("UTF-8"))
+    entry(tifName, tifBytes)
+    zip.close()
+    bos.toByteArray
+  }
+
+  /** K6: the coverage-update body enabling the time dimension
+    * (`tools.py:123-132`: DimensionInfo name=time, LIST presentation,
+    * ISO8601 units) — the other half of the publish contract. */
+  def mosaicTimeDimensionXml(storeName: String): String =
+    s"""<coverage>
+       |  <name>$storeName</name>
+       |  <supportedFormats><string>GEOTIFF</string></supportedFormats>
+       |  <metadata>
+       |    <entry key="dirName">${storeName}_$storeName</entry>
+       |    <entry key="time">
+       |      <dimensionInfo>
+       |        <enabled>true</enabled>
+       |        <presentation>LIST</presentation>
+       |        <units>ISO8601</units>
+       |      </dimensionInfo>
+       |    </entry>
+       |  </metadata>
+       |</coverage>""".stripMargin
 }

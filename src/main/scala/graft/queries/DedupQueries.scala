@@ -156,12 +156,30 @@ object DedupQueries {
         // shingle, where the groupBy-then-join form paid that shuffle plus a
         // second sort-merge pass of the full shingle table against it.
         val docArr = memoizedDocArr(s, dir) {
-          val wsh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-          shingles(s, dir)
-            .withColumn("df", count(lit(1)).over(wsh))
+          // Canonical PPJoin runs on an integer dictionary, not raw token
+          // strings: every downstream op (the candidate equi-join, distinct,
+          // array_intersect verify) hashes/compares fixed-width longs
+          // instead of ~20-byte strings — on a repetitive corpus (most
+          // shingles df≥2, candidate pairs ~ O(Σ df²)) that constant factor
+          // dominates the query. Ids are assigned order-preservingly in the
+          // (df, shingle) rank order WITHOUT a single-partition window:
+          // range-partition the vocabulary-sized df table, sort within
+          // partitions, and take monotonically_increasing_id — partition-
+          // major ids preserve the global sort and stay distinct, so
+          // sorting id arrays IS the rarest-first PPJoin order.
+          val sh = shingles(s, dir)
+          val dict = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+            .repartitionByRange(32, col("df"), col("shingle"))
+            .sortWithinPartitions("df", "shingle")
+            .withColumn("id", monotonically_increasing_id())
+            .select("shingle", "df", "id")
+          // dictionary-sized broadcast (vocabulary, not corpus); at a scale
+          // where the vocabulary outgrows broadcast this becomes a shuffle
+          // join on the shingle key — the rest of the plan is unchanged
+          sh.join(broadcast(dict), "shingle")
             .groupBy("doc_id")
-            .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ranked"))
-            .select(col("doc_id"), col("ranked.shingle").as("shs"),
+            .agg(sort_array(collect_list(struct(col("id"), col("df")))).as("ranked"))
+            .select(col("doc_id"), col("ranked.id").as("shs"),
                     size(col("ranked")).as("n_sh"), col("ranked"))
             .withColumn("prefix",
               expr("slice(ranked, 1, cast(n_sh - ceil(n_sh * 0.5) + 1 AS int))"))
@@ -174,10 +192,10 @@ object DedupQueries {
         // corpus that is almost the entire prefix volume.
         val prefix = docArr.select(col("doc_id"), explode(col("prefix")).as("p"))
           .where(col("p.df") >= 2)
-          .select(col("doc_id"), col("p.shingle").as("shingle"))
+          .select(col("doc_id"), col("p.id").as("sid"))
         val cand = prefix.as("a")
           .join(prefix.as("b"),
-                col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+                col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .distinct()
         cand

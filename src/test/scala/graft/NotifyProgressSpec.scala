@@ -58,6 +58,36 @@ class NotifyProgressSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------- K6
+
+  test("K6: mosaic zip payload — raster + the reference's two descriptors, byte-reproducible") {
+    val tif = Array.tabulate[Byte](64)(_.toByte)
+    val payload = graft.pipeline.Sinks.mosaicZip("biomass_20240116.tif", tif)
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(payload))
+    val entries = Iterator.continually(zin.getNextEntry).takeWhile(_ != null).map { e =>
+      e.getName -> zin.readAllBytes()
+    }.toMap
+    assert(entries.keySet == Set("timeregex.properties", "indexer.properties",
+      "biomass_20240116.tif"))
+    assert(entries("biomass_20240116.tif").toSeq == tif.toSeq)
+    // descriptors match the reference's committed files verbatim
+    val refDir = java.nio.file.Paths.get(
+      "/root/reference/src/data/layers/biomass_properties")
+    if (Files.exists(refDir)) {
+      Seq("timeregex.properties", "indexer.properties").foreach { f =>
+        val ref = new String(Files.readAllBytes(refDir.resolve(f)), "UTF-8")
+        assert(new String(entries(f), "UTF-8").replaceAll("\\s+$", "")
+          == ref.replaceAll("\\s+$", ""), s"descriptor drift: $f")
+      }
+    }
+    // reproducible bytes (fixed entry timestamps)
+    assert(payload.toSeq == graft.pipeline.Sinks.mosaicZip("biomass_20240116.tif", tif).toSeq)
+    // time-dimension body carries the contract fields
+    val xml = graft.pipeline.Sinks.mosaicTimeDimensionXml("biomass")
+    assert(xml.contains("<enabled>true</enabled>") && xml.contains("ISO8601")
+      && xml.contains("<presentation>LIST</presentation>"))
+  }
+
   // ------------------------------------------------------------------- K9
 
   test("K9: every-Nth-unit markers, file write, resume skip, reset") {
