@@ -107,9 +107,18 @@ object DedupQueries {
       (s, dir) => {
         val sh = shingles(s, dir).cache()
         val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        val pairs = sh.as("a")
-          .join(sh.as("b"),
-                col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        // the pair join only needs shingle IDENTITY, not the string: map
+        // each joinable shingle (df >= 2 — singletons can't pair) to a
+        // unique long through the vocabulary-sized dictionary, so the
+        // self-join shuffles and probes fixed-width keys. Exact (no
+        // hashing): ids come from the dictionary itself.
+        val dict = sh.groupBy("shingle").agg(count(lit(1)).as("c"))
+          .where(col("c") >= 2)
+          .select(col("shingle"), monotonically_increasing_id().as("sid"))
+        val shId = sh.join(broadcast(dict), "shingle").select("doc_id", "sid")
+        val pairs = shId.as("a")
+          .join(shId.as("b"),
+                col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .agg(count(lit(1)).as("shared"))
         pairs
@@ -139,8 +148,9 @@ object DedupQueries {
     // candidates only — its pair space stays bounded on duplicate-heavy
     // corpora where the direct join is O(pairs). The oracle is the
     // direct-join computation: equal output IS the completeness proof of
-    // the filter. (Measures ~1.0s steady-state at sf0.1 vs ~1.3s for the
-    // direct join, after the window-df + df>=2-prefilter restructure.)
+    // the filter. (Steady-state at sf0.1 ≈ the direct join on this
+    // near-dup-dense corpus; on mostly-unique corpora the prefix filter
+    // is the one that scales.)
     Q("dedup_ngram_prefix", Seq("dedup", "J1", "A12", "skew"),
       (s, dir) => {
         // One pass builds everything per-doc: shingles ranked rarest-first
@@ -152,9 +162,6 @@ object DedupQueries {
         // explode/regroup: candidate pairs join the two arrays by id and
         // `array_intersect` counts the shared shingles map-side (exact,
         // since shingles are distinct per doc).
-        // df via a window count over the shingle partition — ONE shuffle by
-        // shingle, where the groupBy-then-join form paid that shuffle plus a
-        // second sort-merge pass of the full shingle table against it.
         val docArr = memoizedDocArr(s, dir) {
           // Canonical PPJoin runs on an integer dictionary, not raw token
           // strings: every downstream op (the candidate equi-join, distinct,
