@@ -248,6 +248,130 @@ object CorpusQueries {
            |FROM d JOIN r USING (domain)
            |GROUP BY 1 ORDER BY 1""".stripMargin
       },
-      note = "α=0.5 temperature rebalance over constructed domain skew; broadcast rates, one fact pass")
+      note = "α=0.5 temperature rebalance over constructed domain skew; broadcast rates, one fact pass"),
+
+    // Train/validation split decontamination audit — after a hash split,
+    // how much of the val slice leaks from train? Every serious eval
+    // pipeline runs this before trusting held-out numbers. The split is a
+    // seedless md5 rule (reproducible on any engine/rerun); leakage is
+    // graded two ways per val doc: exact text twins in train, and near-dup
+    // train neighbors (3-gram Jaccard ≥ 0.5). Scale shape: the expensive
+    // shingle join is VAL-sided — ~10% of the corpus probes the train side
+    // on the shingle key, so cost is bounded by the small split (and the
+    // same df≥2-style argument as the dedup family bounds fan-out); both
+    // legs are plain equi-join/group-by.
+    Q("split_leakage_audit", Seq("corpus", "dedup", "J1", "A9", "sampling"),
+      (s, dir) => {
+        val hash = graft.dedup.Hashing.sparkMd5Mod("CAST(doc_id AS STRING)")
+        val docs = Tables.documents(s, dir)
+          .withColumn("split", when(expr(s"$hash % 10") < 9, lit("train")).otherwise(lit("val")))
+        val train = docs.where(col("split") === "train")
+        val valDocs = docs.where(col("split") === "val")
+        val exactLeaks = valDocs.as("v")
+          .join(train.as("t"), col("v.text") === col("t.text"))
+          .groupBy(col("v.doc_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_exact"))
+        val sh = shingles(s, dir)
+        val vSh = sh.join(valDocs.select("doc_id"), "doc_id")
+        val tSh = sh.join(train.select("doc_id"), "doc_id")
+        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val nearLeaks = vSh.select(col("doc_id").as("v_id"), col("shingle"))
+          .join(tSh.select(col("doc_id").as("t_id"), col("shingle")), "shingle")
+          .groupBy("v_id", "t_id").agg(count(lit(1)).as("shared"))
+          .join(cnt.select(col("doc_id").as("v_id"), col("n_sh").as("nv")), "v_id")
+          .join(cnt.select(col("doc_id").as("t_id"), col("n_sh").as("nt")), "t_id")
+          .where(col("shared").cast("double") / (col("nv") + col("nt") - col("shared")) >= 0.5)
+          .groupBy(col("v_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_near"))
+        valDocs.select("doc_id")
+          .join(exactLeaks, Seq("doc_id"), "left")
+          .join(nearLeaks, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+                  coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+                  coalesce(col("n_near"), lit(0L)).as("n_near"),
+                  (coalesce(col("n_exact"), lit(0L)) + coalesce(col("n_near"), lit(0L)) > 0)
+                    .as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val hash = graft.dedup.Hashing.duckMd5Mod("CAST(doc_id AS VARCHAR)")
+        s"""WITH $duckShingles,
+           |sp AS (SELECT doc_id, text,
+           |         CASE WHEN ($hash) % 10 < 9 THEN 'train' ELSE 'val' END AS split
+           |       FROM documents),
+           |ex AS (SELECT v.doc_id, count(*) AS n_exact
+           |       FROM sp v JOIN sp t ON v.text = t.text
+           |       WHERE v.split = 'val' AND t.split = 'train' GROUP BY 1),
+           |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+           |nr AS (SELECT p.v_id AS doc_id, count(*) AS n_near FROM (
+           |         SELECT a.doc_id AS v_id, b.doc_id AS t_id, count(*) AS shared
+           |         FROM sh a JOIN sp sa ON a.doc_id = sa.doc_id AND sa.split = 'val'
+           |         JOIN sh b ON a.shingle = b.shingle
+           |         JOIN sp sb ON b.doc_id = sb.doc_id AND sb.split = 'train'
+           |         GROUP BY 1, 2) p
+           |       JOIN cnt cv ON p.v_id = cv.doc_id
+           |       JOIN cnt ct ON p.t_id = ct.doc_id
+           |       WHERE CAST(p.shared AS DOUBLE) / (cv.n_sh + ct.n_sh - p.shared) >= 0.5
+           |       GROUP BY 1)
+           |SELECT s.doc_id, coalesce(ex.n_exact, 0) AS n_exact,
+           |  coalesce(nr.n_near, 0) AS n_near,
+           |  coalesce(ex.n_exact, 0) + coalesce(nr.n_near, 0) > 0 AS contaminated
+           |FROM sp s LEFT JOIN ex ON s.doc_id = ex.doc_id
+           |LEFT JOIN nr ON s.doc_id = nr.doc_id
+           |WHERE s.split = 'val' ORDER BY s.doc_id""".stripMargin
+      },
+      note = "hash split + exact/near-dup cross-split contamination per val doc; val-sided join cost"),
+
+    // Duplicate-cluster canonical selection — the last human-visible step
+    // of a dedup pipeline: within each duplicate cluster (exact ∪ Jaccard
+    // near-dup components, same fixpoint as dedup_cluster_components) keep
+    // the BEST document by quality score, not merely the lowest id. Emits
+    // the keep-rule audit table for multi-doc clusters: canonical doc,
+    // cluster size, whether quality actually changed the min-id choice.
+    // Plan: cluster labels are the O(diameter) propagation (shared helper);
+    // the argmax is one window over cluster_id — clusters are tiny by
+    // construction, so no skew; everything else is map-side scoring.
+    Q("corpus_dedup_keep_best", Seq("corpus", "dedup", "W4", "A9"),
+      (s, dir) => {
+        val sw = graft.text.TextOps.LangStopwords.toMap.apply("en")
+        val labels = DedupQueries.clusterLabels(s, dir)
+        val scored = Tables.documents(s, dir)
+          .select(col("doc_id"),
+                  graft.text.TextOps.qualityScore(col("text"), sw).as("quality"))
+          .join(labels, "doc_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("label").orderBy(col("quality").desc, col("doc_id"))
+        scored
+          .withColumn("rk", row_number().over(w))
+          .groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+               max(when(col("rk") === 1, col("doc_id"))).as("keep_id"),
+               max(when(col("rk") === 1, col("quality"))).as("keep_quality"))
+          .where(col("n_members") >= 2)
+          .withColumn("quality_overrode_minid", col("keep_id") =!= col("cluster_id"))
+          .orderBy("cluster_id")
+      },
+      Some {
+        val q = """greatest(0.0, least(1.0,
+                  |    0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+                  |    + 0.5 * (CAST(len(list_filter(string_split(text, ' '),
+                  |          w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+                  |             / len(string_split(text, ' '))) * 5
+                  |    - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                  |      / length(text)))""".stripMargin
+        s"""WITH RECURSIVE ${DedupQueries.duckClusterLabels},
+           |scored AS (SELECT d.doc_id, l.label, $q AS quality
+           |           FROM documents d JOIN labels l ON d.doc_id = l.doc_id),
+           |ranked AS (SELECT *, row_number() OVER (
+           |             PARTITION BY label ORDER BY quality DESC, doc_id) AS rk
+           |           FROM scored)
+           |SELECT label AS cluster_id, count(*) AS n_members,
+           |  max(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+           |  max(CASE WHEN rk = 1 THEN quality END) AS keep_quality,
+           |  max(CASE WHEN rk = 1 THEN doc_id END) <> label AS quality_overrode_minid
+           |FROM ranked GROUP BY label HAVING count(*) >= 2
+           |ORDER BY cluster_id""".stripMargin
+      },
+      note = "keep-best-quality canonical per duplicate cluster; shared min-label fixpoint + one tiny window")
   )
 }

@@ -80,6 +80,83 @@ object DedupQueries {
       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
       |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks))""".stripMargin
 
+  /** Duplicate-cluster labels: each doc's label is the smallest doc_id
+    * reachable through the exact-dup ∪ near-dup (3-gram Jaccard ≥ 0.5) pair
+    * graph, by iterative min-label propagation — O(diameter) rounds of one
+    * hash-partitioned join + aggregate each, lineage truncated per round,
+    * loud failure on non-convergence. Shared by dedup_cluster_components
+    * and the corpus keep-rule query; returns (doc_id, label). */
+  private[graft] def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val exactEdges = docs
+      .join(docs.groupBy("text").agg(min("doc_id").as("root")), "text")
+      .where(col("doc_id") =!= col("root"))
+      .select(col("root").as("a"), col("doc_id").as("b"))
+    val sh = shingles(s, dir)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val nearEdges = sh.as("x")
+      .join(sh.as("y"),
+            col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(counts.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+      .join(counts.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+      .where(col("shared").cast("double") / (col("na") + col("nb") - col("shared")) >= 0.5)
+      .select("a", "b")
+    val edges = exactEdges.union(nearEdges)
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    val maxRounds = 50 // O(graph diameter) rounds; far above any real corpus
+    while (changed > 0 && rounds < maxRounds) {
+      val viaNbr = sym.join(labels, sym("a") === labels("doc_id"))
+        .groupBy(col("b")).agg(min("label").as("nl"))
+      val next = labels.as("l")
+        .join(viaNbr, col("l.doc_id") === viaNbr("b"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+                least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"))
+        .localCheckpoint() // truncate the iterative lineage
+      changed = next.as("n").join(labels.as("o"), "doc_id")
+        .where(col("n.label") =!= col("o.label")).count()
+      labels = next
+      rounds += 1
+    }
+    // A component with diameter > maxRounds must fail loudly rather than
+    // silently emit non-converged cluster ids that diverge from the
+    // oracle's recursive-CTE fixpoint.
+    require(changed == 0,
+      s"min-label propagation did not converge in $maxRounds rounds")
+    labels
+  }
+
+  /** DuckDB CTE chain computing the same fixpoint as [[clusterLabels]] via a
+    * recursive closure; yields `labels(doc_id, label)`. Embed after a
+    * `WITH RECURSIVE`. */
+  private[graft] val duckClusterLabels: String =
+    s"""$duckShingles,
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |prs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+       |        FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |        GROUP BY 1, 2),
+       |near AS (SELECT p.a, p.b
+       |         FROM prs p
+       |         JOIN cnt ca ON ca.doc_id = p.a
+       |         JOIN cnt cb ON cb.doc_id = p.b
+       |         WHERE CAST(p.shared AS DOUBLE) / (ca.n_sh + cb.n_sh - p.shared) >= 0.5),
+       |exact AS (SELECT g.root AS a, d.doc_id AS b
+       |          FROM documents d
+       |          JOIN (SELECT text, min(doc_id) AS root FROM documents GROUP BY text) g
+       |            ON d.text = g.text
+       |          WHERE d.doc_id <> g.root),
+       |edges AS (SELECT a, b FROM near UNION SELECT a, b FROM exact
+       |          UNION SELECT b, a FROM near UNION SELECT b, a FROM exact),
+       |reach(src, node) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+       |labels AS (SELECT src AS doc_id, min(node) AS label FROM reach GROUP BY src)""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // Exact dedup: group identical texts, keep the lowest doc_id.
@@ -475,75 +552,14 @@ object DedupQueries {
     // hash-partitioned join + aggregate; lineage truncated per round).
     // The oracle computes the same fixpoint with a recursive CTE.
     Q("dedup_cluster_components", Seq("dedup", "J1", "W9", "§2.10"),
-      (s, dir) => {
-        val docs = Tables.documents(s, dir).select("doc_id", "text")
-        val exactEdges = docs
-          .join(docs.groupBy("text").agg(min("doc_id").as("root")), "text")
-          .where(col("doc_id") =!= col("root"))
-          .select(col("root").as("a"), col("doc_id").as("b"))
-        val sh = shingles(s, dir)
-        val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        val nearEdges = sh.as("x")
-          .join(sh.as("y"),
-                col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .agg(count(lit(1)).as("shared"))
-          .join(counts.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
-          .join(counts.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
-          .where(col("shared").cast("double") / (col("na") + col("nb") - col("shared")) >= 0.5)
-          .select("a", "b")
-        val edges = exactEdges.union(nearEdges)
-        val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).cache()
-        var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
-        var changed = 1L
-        var rounds = 0
-        val maxRounds = 50 // O(graph diameter) rounds; far above any real corpus
-        while (changed > 0 && rounds < maxRounds) {
-          val viaNbr = sym.join(labels, sym("a") === labels("doc_id"))
-            .groupBy(col("b")).agg(min("label").as("nl"))
-          val next = labels.as("l")
-            .join(viaNbr, col("l.doc_id") === viaNbr("b"), "left")
-            .select(col("l.doc_id").as("doc_id"),
-                    least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"))
-            .localCheckpoint() // truncate the iterative lineage
-          changed = next.as("n").join(labels.as("o"), "doc_id")
-            .where(col("n.label") =!= col("o.label")).count()
-          labels = next
-          rounds += 1
-        }
-        // A component with diameter > maxRounds must fail loudly rather than
-        // silently emit non-converged cluster ids that diverge from the
-        // oracle's recursive-CTE fixpoint.
-        require(changed == 0,
-          s"min-label propagation did not converge in $maxRounds rounds")
-        labels.select(col("doc_id"), col("label").as("cluster_id"),
-                      (col("doc_id") === col("label")).as("is_kept"))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH RECURSIVE $duckShingles,
-              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-              |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
-              |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-              |          GROUP BY 1, 2),
-              |near AS (SELECT p.a, p.b
-              |         FROM pairs p
-              |         JOIN cnt ca ON ca.doc_id = p.a
-              |         JOIN cnt cb ON cb.doc_id = p.b
-              |         WHERE CAST(p.shared AS DOUBLE) / (ca.n_sh + cb.n_sh - p.shared) >= 0.5),
-              |exact AS (SELECT g.root AS a, d.doc_id AS b
-              |          FROM documents d
-              |          JOIN (SELECT text, min(doc_id) AS root FROM documents GROUP BY text) g
-              |            ON d.text = g.text
-              |          WHERE d.doc_id <> g.root),
-              |edges AS (SELECT a, b FROM near UNION SELECT a, b FROM exact
-              |          UNION SELECT b, a FROM near UNION SELECT b, a FROM exact),
-              |reach(src, node) AS (
-              |  SELECT doc_id, doc_id FROM documents
-              |  UNION
-              |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
-              |SELECT src AS doc_id, min(node) AS cluster_id,
-              |  src = min(node) AS is_kept
-              |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        clusterLabels(s, dir)
+          .select(col("doc_id"), col("label").as("cluster_id"),
+                  (col("doc_id") === col("label")).as("is_kept"))
+          .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $duckClusterLabels
+              |SELECT doc_id, label AS cluster_id, doc_id = label AS is_kept
+              |FROM labels ORDER BY doc_id""".stripMargin),
       note = "pair graph → connected components by min-label propagation; oracle = recursive-CTE closure"),
 
     // LSH recall audit — the observability op a production dedup pipeline
@@ -632,6 +648,80 @@ object DedupQueries {
            |FROM truth t LEFT JOIN cand c ON t.a_id = c.a_id AND t.b_id = c.b_id
            |GROUP BY 1 ORDER BY 1""".stripMargin
       },
-      note = "per-bucket LSH recall vs exact truth on a parity sample; grades the production banding")
+      note = "per-bucket LSH recall vs exact truth on a parity sample; grades the production banding"),
+
+    // Substring-level exact dedup — the span-surgery variant of document
+    // dedup (the "deduplicating training data" family: remove repeated
+    // PASSAGES, not whole documents). Finds every maximal cross-document
+    // duplicated token run of >= SpanMin tokens:
+    //   1. positional 8-gram keys per doc (pos, gram);
+    //   2. grams seen in >= 2 docs survive (a gram unique to one doc can
+    //      never witness a cross-doc span — the exact-preserving prefilter);
+    //   3. the gram equi-join yields match points (a_id, b_id, a_pos,
+    //      b_pos); overlapping matches of one duplicated run all lie on one
+    //      DIAGONAL (a_pos - b_pos const), at consecutive a_pos;
+    //   4. islands-and-gaps per (pair, diagonal) — a_pos minus its
+    //      row_number — merges consecutive match points into maximal spans
+    //      of length (max - min + 8) tokens.
+    // Scale shape: stage 2's surviving-gram table is "repeated-vocabulary"-
+    // sized (broadcast here; a shuffle join on the gram key past broadcast
+    // scale — plan otherwise unchanged); the join fan-out is bounded by
+    // Σ df² over REPEATED 8-grams, a vanishing fraction of the corpus at
+    // K=8 (unlike 3-gram shingles, natural text rarely repeats 8-runs by
+    // chance); the window partitions by (pair, diagonal) — millions of tiny
+    // partitions, no skew. The oracle replicates all four stages.
+    Q("dedup_substring_spans", Seq("dedup", "J1", "W9", "A12"),
+      (s, dir) => {
+        val K = 8        // gram width: the resolution of span detection
+        val SpanMin = 12 // report spans longer than a bare gram match
+        val g = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .where(size(col("t")) >= K)
+          .select(col("doc_id"),
+                  explode(expr(s"transform(sequence(1, size(t)-${K - 1}), " +
+                               s"i -> struct(CAST(i AS INT) AS pos, concat_ws(' ', slice(t, i, $K)) AS gram))")).as("g"))
+          .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+        // int dictionary over cross-doc grams only: the self-join probes
+        // fixed-width longs, not ~50-byte gram strings (same tradeoff as
+        // the PPJoin dictionary above). cache() pins one evaluation so both
+        // join sides see identical ids.
+        val dict = g.groupBy("gram").agg(countDistinct("doc_id").as("nd"))
+          .where(col("nd") >= 2)
+          .select(col("gram"), monotonically_increasing_id().as("gid"))
+        val gi = g.join(broadcast(dict), "gram").select("doc_id", "pos", "gid").cache()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("a_id", "b_id", "diag").orderBy("a_pos")
+        gi.as("a")
+          .join(gi.as("b"),
+                col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+                  col("a.pos").as("a_pos"), col("b.pos").as("b_pos"))
+          .withColumn("diag", col("a_pos") - col("b_pos"))
+          .withColumn("island", col("a_pos") - row_number().over(w))
+          .groupBy("a_id", "b_id", "diag", "island")
+          .agg(min("a_pos").as("a_start"), min("b_pos").as("b_start"),
+               (max("a_pos") - min("a_pos") + K).as("span_tokens"))
+          .where(col("span_tokens") >= SpanMin)
+          .select("a_id", "b_id", "a_start", "b_start", "span_tokens")
+          .orderBy("a_id", "b_id", "a_start", "b_start")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |g AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, array_to_string(t[i:i+7], ' ') AS gram
+             |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-7)) AS i FROM toks)),
+             |d AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1) x
+             |      WHERE nd >= 2),
+             |m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS a_pos, b.pos AS b_pos
+             |      FROM (SELECT g.* FROM g SEMI JOIN d USING (gram)) a
+             |      JOIN (SELECT g.* FROM g SEMI JOIN d USING (gram)) b
+             |        ON a.gram = b.gram AND a.doc_id < b.doc_id),
+             |i AS (SELECT *, a_pos - CAST(row_number() OVER (
+             |        PARTITION BY a_id, b_id, diag ORDER BY a_pos) AS INTEGER) AS island
+             |      FROM (SELECT *, a_pos - b_pos AS diag FROM m) x)
+             |SELECT a_id, b_id, min(a_pos) AS a_start, min(b_pos) AS b_start,
+             |  max(a_pos) - min(a_pos) + 8 AS span_tokens
+             |FROM i GROUP BY a_id, b_id, diag, island
+             |HAVING max(a_pos) - min(a_pos) + 8 >= 12
+             |ORDER BY a_id, b_id, a_start, b_start""".stripMargin),
+      note = "maximal cross-doc duplicated token spans (>=12) via positional 8-grams merged on diagonals")
   )
 }

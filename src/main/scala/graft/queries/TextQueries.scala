@@ -406,6 +406,55 @@ object TextQueries {
              |  CAST(CAST(sum(CASE WHEN rank <= k THEN tf ELSE 0 END) AS BIGINT) AS DOUBLE)
              |    / CAST(sum(tf) AS BIGINT) AS coverage
              |FROM qs, r GROUP BY k ORDER BY k""".stripMargin),
-      note = "top-k vocabulary mass curve over the ranked dictionary; integer-exact")
+      note = "top-k vocabulary mass curve over the ranked dictionary; integer-exact"),
+
+    // Bigram-LM fluency — the word-ORDER complement of the unigram screen
+    // above (text_corpus_fluency scores token rarity; this scores whether
+    // adjacent pairs are corpus-plausible, the KenLM-filter shape one order
+    // up). Each bigram occurrence gets its MLE conditional probability
+    // P(w2|w1) = c(w1,w2)/c(w1·) as an INTEGER parts-per-million via
+    // fixed-point floor division — both engines floor positive integers
+    // identically, so the score is bit-exact with no float-sum ordering
+    // hazard. novel_frac (corpus-unique bigrams) is the gibberish signal.
+    // Plan: the bigram dictionary is vocabulary²-bounded but in practice
+    // observed-bigram-sized (broadcast; shuffle join past that — shape
+    // unchanged); the per-doc aggregate combines map-side.
+    Q("text_bigram_fluency", Seq("text", "A12", "J1", "corpus"),
+      (s, dir) => {
+        val bg = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .where(size(col("t")) >= 2)
+          .select(col("doc_id"),
+                  explode(expr("transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1"), col("b.w2"))
+          .cache() // counted then probed; broadcast wrappers defeat ReuseExchange
+        val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+        bg.join(broadcast(c2), Seq("w1", "w2"))
+          .join(broadcast(c1), Seq("w1"))
+          .withColumn("ppm", expr("(c2 * 1000000) div c1"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+               sum("ppm").as("sum_cond_ppm"),
+               sum(when(col("c2") === 1, 1L).otherwise(0L)).as("n_novel"))
+          .select(col("doc_id"), col("n_bigrams"), col("sum_cond_ppm"),
+                  (col("sum_cond_ppm").cast("double") / col("n_bigrams")).as("mean_cond_ppm"),
+                  (col("n_novel").cast("double") / col("n_bigrams")).as("novel_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+             |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks)),
+             |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+             |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(sum((c2.c2 * 1000000) // c1.c1) AS BIGINT) AS sum_cond_ppm,
+             |  CAST(CAST(sum((c2.c2 * 1000000) // c1.c1) AS BIGINT) AS DOUBLE)
+             |    / count(*) AS mean_cond_ppm,
+             |  CAST(sum(CASE WHEN c2.c2 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*) AS novel_frac
+             |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      note = "bigram conditional-probability fluency in fixed-point ppm; integer floor-div => engine-exact")
   )
 }

@@ -40,6 +40,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= r.getLong(2)))
   }
 
+  test("split leakage audit covers exactly the val slice; exact leaks match an independent count") {
+    val out = q("split_leakage_audit").cache()
+    val hash = graft.dedup.Hashing.sparkMd5Mod("CAST(doc_id AS STRING)")
+    val docs = graft.core.Tables.documents(spark, dir)
+      .withColumn("split", when(expr(s"$hash % 10") < 9, lit("train")).otherwise(lit("val")))
+    val valDocs = docs.where(col("split") === "val")
+    assert(out.count() == valDocs.count())
+    // independent exact-leak count: val text equality against the train side
+    val want = valDocs.as("v")
+      .join(docs.where(col("split") === "train").as("t"), col("v.text") === col("t.text"), "left")
+      .groupBy(col("v.doc_id").as("doc_id"))
+      .agg(sum(when(col("t.doc_id").isNotNull, 1L).otherwise(0L)).as("want"))
+    assert(out.join(want, "doc_id").where(col("n_exact") =!= col("want")).isEmpty)
+    assert(out.where((col("n_exact") + col("n_near") > 0) =!= col("contaminated")).isEmpty)
+  }
+
+  test("keep-best picks a max-quality member of each multi-doc duplicate cluster") {
+    val out = q("corpus_dedup_keep_best").cache()
+    val clusters = graft.queries.DedupQueries.clusterLabels(spark, dir)
+    val sw = graft.text.TextOps.LangStopwords.toMap.apply("en")
+    val scored = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.text.TextOps.qualityScore(col("text"), sw).as("q"))
+      .join(clusters, "doc_id")
+    // exactly the multi-member clusters are reported
+    val multi = clusters.groupBy("label").count().where(col("count") >= 2)
+    assert(out.count() == multi.count())
+    // keep_id belongs to its cluster and carries that cluster's max quality
+    val chk = out.join(scored.select(col("doc_id").as("keep_id"),
+                                     col("label").as("cluster_id"), col("q")),
+                       Seq("cluster_id", "keep_id"))
+    assert(chk.count() == out.count())
+    val maxQ = scored.groupBy(col("label").as("cluster_id")).agg(max("q").as("mq"))
+    assert(out.join(maxQ, "cluster_id").where(col("keep_quality") =!= col("mq")).isEmpty)
+  }
+
   test("pack shards: every doc assigned, lanes partition by id, cum is a running sum") {
     val out = q("corpus_pack_shards").cache()
     val docs = graft.core.Tables.documents(spark, dir)
