@@ -61,6 +61,81 @@ object AnnQueries {
   private def duckNorm(c: String) =
     s"list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
+  /** Shared IVF+PQ plumbing (ann_ivf_pq_search, ann_two_stage_rerank):
+    * M=2 sub-quantizers × 16-codeword books from the first base vectors,
+    * all distances exact BIGINT sums over 1e7-scaled components. */
+  private val scaledArr =
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
+  private def pqD2(sub: Int, a: String, b: String) =
+    expr(s"vec_sqdist_l($a, $b, ${sub * 32}, 32)")
+
+  /** ADC candidates (qid, bid, code0, code1, adc_i): base rows in the
+    * query's coarse cell scored by two O(1) lookups into the broadcast
+    * per-query ADC arrays. */
+  private def pqCandidates(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    graft.plans.VecExprs.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val code = emb.where(col("vec_id") < 16)
+      .select(col("vec_id").as("code_id"), expr(scaledArr).as("cs"))
+    val base = emb.select(col("vec_id").as("bid"), col("label"), expr(scaledArr).as("xs"))
+      .crossJoin(broadcast(code))
+      .select(col("bid"), col("label"), col("code_id"),
+              pqD2(0, "xs", "cs").as("d0"), pqD2(1, "xs", "cs").as("d1"))
+      .groupBy("bid", "label")
+      .agg(min(struct(col("d0"), col("code_id"))).as("b0"),
+           min(struct(col("d1"), col("code_id"))).as("b1"))
+      .select(col("bid"), col("label"),
+              col("b0.code_id").as("code0"), col("b1.code_id").as("code1"))
+    // ADC tables pivoted to per-query arrays (code_id-ordered), so the
+    // probe is ONE broadcast join + two O(1) element_at lookups — not
+    // two separate broadcast builds each paying its own job round-trip.
+    val adc = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), expr(scaledArr).as("qs"))
+      .crossJoin(broadcast(code))
+      .select(col("qid"), col("qlabel"), col("code_id"),
+              pqD2(0, "qs", "cs").as("t0"), pqD2(1, "qs", "cs").as("t1"))
+      .groupBy("qid", "qlabel")
+      .agg(expr("transform(array_sort(collect_list(struct(code_id, t0))), s -> s.t0)").as("t0s"),
+           expr("transform(array_sort(collect_list(struct(code_id, t1))), s -> s.t1)").as("t1s"))
+    base.join(broadcast(adc),
+        col("label") === col("qlabel") && col("qid") =!= col("bid"))
+      .withColumn("adc_i",
+        expr("element_at(t0s, CAST(code0 + 1 AS INT)) + element_at(t1s, CAST(code1 + 1 AS INT))"))
+      .select("qid", "bid", "code0", "code1", "adc_i")
+  }
+
+  /** DuckDB CTE chain mirroring [[pqCandidates]]; yields
+    * `cand(qid, bid, code0, code1, adc_i)`. */
+  private val duckPqCandidates: String =
+    """comps AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS xs
+      |  FROM embeddings),
+      |code AS (SELECT vec_id AS code_id, pos, xs AS cs FROM comps WHERE vec_id < 16),
+      |dists AS (
+      |  SELECT v.vec_id, v.label, v.pos // 32 AS sub, c.code_id,
+      |    CAST(sum((v.xs - c.cs) * (v.xs - c.cs)) AS BIGINT) AS d2s
+      |  FROM comps v JOIN code c USING (pos)
+      |  GROUP BY 1, 2, 3, 4),
+      |enc AS (
+      |  SELECT vec_id AS bid, label,
+      |    max(CASE WHEN sub = 0 THEN code_id END) AS code0,
+      |    max(CASE WHEN sub = 1 THEN code_id END) AS code1
+      |  FROM (SELECT vec_id, label, sub, code_id,
+      |          row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2s, code_id) AS rk
+      |        FROM dists) t
+      |  WHERE rk = 1 GROUP BY 1, 2),
+      |adc AS (SELECT vec_id AS qid, label AS qlabel, sub, code_id, d2s
+      |        FROM dists WHERE vec_id < 8),
+      |cand AS (
+      |  SELECT a0.qid, e.bid, e.code0, e.code1, a0.d2s + a1.d2s AS adc_i
+      |  FROM enc e
+      |  JOIN (SELECT qid, qlabel, code_id, d2s FROM adc WHERE sub = 0) a0
+      |    ON a0.code_id = e.code0 AND a0.qlabel = e.label
+      |  JOIN (SELECT qid, code_id, d2s FROM adc WHERE sub = 1) a1
+      |    ON a1.qid = a0.qid AND a1.code_id = e.code1
+      |  WHERE a0.qid <> e.bid)""".stripMargin
+
   private def topk(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("bid"))
     pairs.withColumn("rank", row_number().over(w))
@@ -293,79 +368,76 @@ object AnnQueries {
     // ranking (and the tie-break on bid) matches DuckDB bit-for-bit.
     Q("ann_ivf_pq_search", Seq("similarity", "J2", "J4", "P4", "W4"),
       (s, dir) => {
-        graft.plans.VecExprs.register(s)
-        val scaledArr = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
-        val emb = Tables.embeddings(s, dir)
-        def d2(sub: Int, a: String, b: String) =
-          expr(s"vec_sqdist_l($a, $b, ${sub * 32}, 32)")
-        val code = emb.where(col("vec_id") < 16)
-          .select(col("vec_id").as("code_id"), expr(scaledArr).as("cs"))
-        val base = emb.select(col("vec_id").as("bid"), col("label"), expr(scaledArr).as("xs"))
-          .crossJoin(broadcast(code))
-          .select(col("bid"), col("label"), col("code_id"),
-                  d2(0, "xs", "cs").as("d0"), d2(1, "xs", "cs").as("d1"))
-          .groupBy("bid", "label")
-          .agg(min(struct(col("d0"), col("code_id"))).as("b0"),
-               min(struct(col("d1"), col("code_id"))).as("b1"))
-          .select(col("bid"), col("label"),
-                  col("b0.code_id").as("code0"), col("b1.code_id").as("code1"))
-        // ADC tables pivoted to per-query arrays (code_id-ordered), so the
-        // probe is ONE broadcast join + two O(1) element_at lookups — not
-        // two separate broadcast builds each paying its own job round-trip.
-        val adc = emb.where(col("vec_id") < 8)
-          .select(col("vec_id").as("qid"), col("label").as("qlabel"), expr(scaledArr).as("qs"))
-          .crossJoin(broadcast(code))
-          .select(col("qid"), col("qlabel"), col("code_id"),
-                  d2(0, "qs", "cs").as("t0"), d2(1, "qs", "cs").as("t1"))
-          .groupBy("qid", "qlabel")
-          .agg(expr("transform(array_sort(collect_list(struct(code_id, t0))), s -> s.t0)").as("t0s"),
-               expr("transform(array_sort(collect_list(struct(code_id, t1))), s -> s.t1)").as("t1s"))
-        val cand = base.join(broadcast(adc),
-            col("label") === col("qlabel") && col("qid") =!= col("bid"))
-          .withColumn("adc_i",
-            expr("element_at(t0s, CAST(code0 + 1 AS INT)) + element_at(t1s, CAST(code1 + 1 AS INT))"))
         val w = Window.partitionBy("qid").orderBy(col("adc_i"), col("bid"))
-        cand.withColumn("rank", row_number().over(w))
+        pqCandidates(s, dir).withColumn("rank", row_number().over(w))
           .where(col("rank") <= 5)
           .select(col("qid"), col("rank").cast("int").as("rank"), col("bid"),
                   col("code0"), col("code1"),
                   round(col("adc_i").cast("double") / lit(1e14), 6).as("adc_d2"))
           .orderBy("qid", "rank")
       },
-      Some("""WITH comps AS (
-             |  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
-             |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS xs
-             |  FROM embeddings),
-             |code AS (SELECT vec_id AS code_id, pos, xs AS cs FROM comps WHERE vec_id < 16),
-             |dists AS (
-             |  SELECT v.vec_id, v.label, v.pos // 32 AS sub, c.code_id,
-             |    CAST(sum((v.xs - c.cs) * (v.xs - c.cs)) AS BIGINT) AS d2s
-             |  FROM comps v JOIN code c USING (pos)
-             |  GROUP BY 1, 2, 3, 4),
-             |enc AS (
-             |  SELECT vec_id AS bid, label,
-             |    max(CASE WHEN sub = 0 THEN code_id END) AS code0,
-             |    max(CASE WHEN sub = 1 THEN code_id END) AS code1
-             |  FROM (SELECT vec_id, label, sub, code_id,
-             |          row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2s, code_id) AS rk
-             |        FROM dists) t
-             |  WHERE rk = 1 GROUP BY 1, 2),
-             |adc AS (SELECT vec_id AS qid, label AS qlabel, sub, code_id, d2s
-             |        FROM dists WHERE vec_id < 8),
-             |cand AS (
-             |  SELECT a0.qid, e.bid, e.code0, e.code1, a0.d2s + a1.d2s AS adc_i
-             |  FROM enc e
-             |  JOIN (SELECT qid, qlabel, code_id, d2s FROM adc WHERE sub = 0) a0
-             |    ON a0.code_id = e.code0 AND a0.qlabel = e.label
-             |  JOIN (SELECT qid, code_id, d2s FROM adc WHERE sub = 1) a1
-             |    ON a1.qid = a0.qid AND a1.code_id = e.code1
-             |  WHERE a0.qid <> e.bid)
-             |SELECT qid, CAST(rk AS INTEGER) AS rank, bid, code0, code1,
-             |  round(CAST(adc_i AS DOUBLE) / 1e14, 6) AS adc_d2
-             |FROM (SELECT qid, bid, code0, code1, adc_i,
-             |        row_number() OVER (PARTITION BY qid ORDER BY adc_i, bid) AS rk
-             |      FROM cand) t
-             |WHERE rk <= 5 ORDER BY qid, rank""".stripMargin),
-      note = "IVF cell probe + PQ asymmetric-distance re-rank; broadcast ADC tables, integer-exact ranking")
+      Some(s"""WITH $duckPqCandidates
+              |SELECT qid, CAST(rk AS INTEGER) AS rank, bid, code0, code1,
+              |  round(CAST(adc_i AS DOUBLE) / 1e14, 6) AS adc_d2
+              |FROM (SELECT qid, bid, code0, code1, adc_i,
+              |        row_number() OVER (PARTITION BY qid ORDER BY adc_i, bid) AS rk
+              |      FROM cand) t
+              |WHERE rk <= 5 ORDER BY qid, rank""".stripMargin),
+      note = "IVF cell probe + PQ asymmetric-distance re-rank; broadcast ADC tables, integer-exact ranking"),
+
+    // Two-stage retrieval — the production ANN serving recipe on top of the
+    // IVF+PQ index: the ADC score is only a SHORTLISTING device (cheap,
+    // slightly lossy); the returned ranking must come from exact distances
+    // over the raw vectors of the R-candidate shortlist. Stage 1 reuses the
+    // pqCandidates probe (broadcast ADC lookups, no fact shuffle); stage 2
+    // joins raw vectors back for ONLY R=20 rows per query — at 100 TB that
+    // rerank join touches R×Q rows however large the base is, which is the
+    // entire point of the pattern. adc_rank is kept in the output so the
+    // result doubles as a shortlist-quality audit (rank vs adc_rank drift =
+    // how lossy PQ was in the top of the list).
+    Q("ann_two_stage_rerank", Seq("similarity", "J2", "P4", "W4"),
+      (s, dir) => {
+        val R = 20 // ADC shortlist width per query
+        val emb = Tables.embeddings(s, dir)
+        val qRaw = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), expr(scaledArr).as("qs"))
+        val bRaw = emb.select(col("vec_id").as("bid"), expr(scaledArr).as("xs"))
+        val wAdc = Window.partitionBy("qid").orderBy(col("adc_i"), col("bid"))
+        val short = pqCandidates(s, dir)
+          .withColumn("adc_rank", row_number().over(wAdc))
+          .where(col("adc_rank") <= R)
+        val wExact = Window.partitionBy("qid").orderBy(col("exact_i"), col("bid"))
+        // the R×Q shortlist (with its broadcast-joined query vectors) is the
+        // SMALL side — broadcast it onto the streamed base table, so the
+        // rerank never shuffles the base however large it is
+        broadcast(short.join(broadcast(qRaw), "qid"))
+          .join(bRaw, "bid")
+          .withColumn("exact_i", expr(s"vec_sqdist_l(qs, xs, 0, $Dim)"))
+          .withColumn("rank", row_number().over(wExact))
+          .where(col("rank") <= 5)
+          .select(col("qid"), col("rank").cast("int").as("rank"), col("bid"),
+                  round(col("exact_i").cast("double") / lit(1e14), 6).as("exact_d2"),
+                  col("adc_rank").cast("int").as("adc_rank"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH $duckPqCandidates,
+              |short AS (SELECT qid, bid, adc_rank FROM (
+              |    SELECT qid, bid, adc_i,
+              |      row_number() OVER (PARTITION BY qid ORDER BY adc_i, bid) AS adc_rank
+              |    FROM cand) t WHERE adc_rank <= 20),
+              |ex AS (SELECT s.qid, s.bid, s.adc_rank,
+              |    CAST(sum((q.xs - b.xs) * (q.xs - b.xs)) AS BIGINT) AS exact_i
+              |  FROM short s
+              |  JOIN comps q ON q.vec_id = s.qid
+              |  JOIN comps b ON b.vec_id = s.bid AND b.pos = q.pos
+              |  GROUP BY 1, 2, 3)
+              |SELECT qid, CAST(rk AS INTEGER) AS rank, bid,
+              |  round(CAST(exact_i AS DOUBLE) / 1e14, 6) AS exact_d2,
+              |  CAST(adc_rank AS INTEGER) AS adc_rank
+              |FROM (SELECT qid, bid, adc_rank, exact_i,
+              |        row_number() OVER (PARTITION BY qid ORDER BY exact_i, bid) AS rk
+              |      FROM ex) t
+              |WHERE rk <= 5 ORDER BY qid, rank""".stripMargin),
+      note = "ADC shortlist (R=20) -> exact integer rerank of raw vectors; rank-vs-adc_rank drift audits PQ loss")
   )
 }

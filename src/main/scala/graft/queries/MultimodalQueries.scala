@@ -12,6 +12,33 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
+  /** DuckDB CTE chain reproducing the payload aHash + banded candidate
+    * pairs (mm_phash_dedup, mm_crossmodal_dedup); yields
+    * `cand(a_id, b_id, ph_a, ph_b)`. Corpus is pure ASCII so
+    * `unicode(text[j])` IS the payload byte. */
+  private val duckPhashPairs: String =
+    """u AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+      |    unnest(generate_series(0, CAST(length(text) AS INTEGER) - 1)) AS i, text
+      |  FROM documents),
+      |ch AS (SELECT doc_id, (i * 48) // n AS j,
+      |    CAST(sum(unicode(text[CAST(i AS INTEGER) + 1])) AS BIGINT) AS s
+      |  FROM u GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS total FROM ch GROUP BY 1),
+      |ph AS (SELECT ch.doc_id,
+      |    CAST(sum(CASE WHEN 48 * ch.s >= t.total
+      |                  THEN CAST(1 AS BIGINT) << CAST(ch.j AS INTEGER)
+      |                  ELSE 0 END) AS BIGINT) AS ph
+      |  FROM ch JOIN tot t USING (doc_id) GROUP BY 1),
+      |bands AS (
+      |  SELECT doc_id, ph, b AS band_idx, (ph >> (b * 12)) % 4096 AS band_val
+      |  FROM ph, (SELECT unnest(generate_series(0, 3)) AS b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    a.ph AS ph_a, b.ph AS ph_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |   AND a.doc_id < b.doc_id)""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     Q("mm_media_features", Seq("multimodal", "S8", "P9"),
@@ -145,32 +172,83 @@ object MultimodalQueries {
                   col("sig_a").as("ph_a"), col("sig_b").as("ph_b"), col("hamming"))
           .orderBy("a_id", "b_id")
       },
-      Some("""WITH u AS (
-             |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
-             |    unnest(generate_series(0, CAST(length(text) AS INTEGER) - 1)) AS i, text
-             |  FROM documents),
-             |ch AS (SELECT doc_id, (i * 48) // n AS j,
-             |    CAST(sum(unicode(text[CAST(i AS INTEGER) + 1])) AS BIGINT) AS s
-             |  FROM u GROUP BY 1, 2),
-             |tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS total FROM ch GROUP BY 1),
-             |ph AS (SELECT ch.doc_id,
-             |    CAST(sum(CASE WHEN 48 * ch.s >= t.total
-             |                  THEN CAST(1 AS BIGINT) << CAST(ch.j AS INTEGER)
-             |                  ELSE 0 END) AS BIGINT) AS ph
-             |  FROM ch JOIN tot t USING (doc_id) GROUP BY 1),
-             |bands AS (
-             |  SELECT doc_id, ph, b AS band_idx, (ph >> (b * 12)) % 4096 AS band_val
-             |  FROM ph, (SELECT unnest(generate_series(0, 3)) AS b)),
-             |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-             |    a.ph AS ph_a, b.ph AS ph_b
-             |  FROM bands a JOIN bands b
-             |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-             |   AND a.doc_id < b.doc_id)
-             |SELECT a_id, b_id, ph_a, ph_b,
-             |  CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
-             |FROM cand
-             |WHERE bit_count(xor(ph_a, ph_b)) <= 3
-             |ORDER BY a_id, b_id""".stripMargin),
-      note = "aHash-style 48-bit payload fingerprint in the decode path; banded Hamming join, d<=3 complete")
+      Some(s"""WITH $duckPhashPairs
+              |SELECT a_id, b_id, ph_a, ph_b,
+              |  CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
+              |FROM cand
+              |WHERE bit_count(xor(ph_a, ph_b)) <= 3
+              |ORDER BY a_id, b_id""".stripMargin),
+      note = "aHash-style 48-bit payload fingerprint in the decode path; banded Hamming join, d<=3 complete"),
+
+    // Cross-modal duplicate agreement — the pattern an image+caption
+    // training-data pipeline runs before dropping "duplicate" samples:
+    // perceptual near-dup on the MEDIA payload (banded 48-bit aHash,
+    // Hamming ≤ 3) cross-checked against textual near-dup on the CAPTION
+    // (word-3-gram Jaccard). A pair flagged by pixels but not by words (or
+    // vice versa) is exactly the case a keep-rule must not collapse —
+    // cropped screenshots with different alt text, mirrored uploads with
+    // translated captions. Scale shape: the media side is the banded
+    // equi-join (bounded buckets, only 8-byte hashes shuffle); the caption
+    // verify is PAIR-BOUNDED — shingles are joined only against the media
+    // candidates, never all-pairs.
+    Q("mm_crossmodal_dedup", Seq("multimodal", "dedup", "J2", "A12"),
+      (s, dir) => {
+        graft.plans.PhashExpr.register(s)
+        val docs = Tables.documents(s, dir)
+        val hashed = Multimodal.withPayload(docs)
+          .where(length(col("text")) > 0)
+          .select(col("doc_id"), expr("payload_phash(payload)").as("ph"))
+          .cache()
+        val imgPairs = graft.dedup.Banding
+          .bandedHammingJoin(hashed, "doc_id", "ph",
+                             bits = 48, bands = 4, maxHamming = 3)
+          .select(col("a_id"), col("b_id"), col("hamming"))
+        val sh = docs
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .where(size(col("t")) >= 3)
+          .select(col("doc_id"),
+                  explode(expr("transform(sequence(1, size(t)-2), i -> concat_ws(' ', slice(t, i, 3)))")).as("shingle"))
+          .distinct()
+        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val shared = imgPairs
+          .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+          .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+        imgPairs
+          .join(shared, Seq("a_id", "b_id"), "left")
+          .join(cnt.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
+          .join(cnt.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+          .withColumn("shared", coalesce(col("shared"), lit(0L)))
+          .withColumn("jaccard",
+            col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+          .withColumn("caption_dup", col("jaccard") >= 0.5)
+          .select("a_id", "b_id", "hamming", "shared", "jaccard", "caption_dup")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH $duckPhashPairs,
+              |img AS (SELECT a_id, b_id,
+              |    CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
+              |  FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3),
+              |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+              |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks)),
+              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |shr AS (SELECT i.a_id, i.b_id, count(*) AS shared
+              |        FROM img i
+              |        JOIN sh a ON a.doc_id = i.a_id
+              |        JOIN sh b ON b.doc_id = i.b_id AND b.shingle = a.shingle
+              |        GROUP BY 1, 2)
+              |SELECT i.a_id, i.b_id, i.hamming,
+              |  coalesce(shr.shared, 0) AS shared,
+              |  CAST(coalesce(shr.shared, 0) AS DOUBLE)
+              |    / (ca.n_sh + cb.n_sh - coalesce(shr.shared, 0)) AS jaccard,
+              |  CAST(coalesce(shr.shared, 0) AS DOUBLE)
+              |    / (ca.n_sh + cb.n_sh - coalesce(shr.shared, 0)) >= 0.5 AS caption_dup
+              |FROM img i
+              |LEFT JOIN shr ON i.a_id = shr.a_id AND i.b_id = shr.b_id
+              |JOIN cnt ca ON i.a_id = ca.doc_id
+              |JOIN cnt cb ON i.b_id = cb.doc_id
+              |ORDER BY i.a_id, i.b_id""".stripMargin),
+      note = "media-phash candidates cross-checked by caption Jaccard; pair-bounded text verify")
   )
 }

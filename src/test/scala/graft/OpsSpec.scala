@@ -132,4 +132,37 @@ class OpsSpec extends AnyFunSuite {
       assert(cos >= 0.35 && cos <= 1.0)
     }
   }
+
+  test("two-stage rerank returns exact-distance-ordered top-5 from the ADC shortlist") {
+    val out = SparkEntry.queries("ann_two_stage_rerank")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      val ranked = rows.sortBy(_.getInt(1))
+      assert(ranked.map(_.getInt(1)).toSeq == (1 to ranked.length))
+      // exact distance must be non-decreasing in the returned rank — the
+      // ordering is the exact metric, not the ADC score
+      val d = ranked.map(_.getDouble(3))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b })
+      // everything came from the R=20 shortlist
+      assert(rows.forall(r => r.getInt(4) >= 1 && r.getInt(4) <= 20))
+    }
+  }
+
+  test("cross-modal dedup grades exactly the phash candidate pairs") {
+    val mm = SparkEntry.queries("mm_crossmodal_dedup")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val ph = SparkEntry.queries("mm_phash_dedup")(spark, "/root/testdata/sf0.001")
+      .collect()
+    // same pair set as the media-only query, now with the caption verdict
+    assert(mm.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+           ph.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    mm.foreach { r =>
+      val (j, dup) = (r.getDouble(4), r.getBoolean(5))
+      assert(j >= 0.0 && j <= 1.0)
+      assert(dup == (j >= 0.5))
+    }
+  }
 }

@@ -159,4 +159,17 @@ class PlanRegressionSpec extends AnyFunSuite {
       rm(new java.io.File(out))
     }
   }
+
+  test("substring spans: gram dictionary joins broadcast, pair join is equi (no NL join)") {
+    val p = plan("dedup_substring_spans")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bigram fluency: both count dictionaries broadcast onto the token stream") {
+    val p = plan("text_bigram_fluency")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
