@@ -157,6 +157,63 @@ object DedupQueries {
        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
        |labels AS (SELECT src AS doc_id, min(node) AS label FROM reach GROUP BY src)""".stripMargin
 
+  /** Maximal cross-doc duplicated token runs ≥ SpanMin tokens:
+    * (a_id, b_id, a_start, b_start, span_tokens). Shared by the span query
+    * and the per-doc duplicated-fraction rollup. */
+  private val SpanK = 8     // gram width: the resolution of span detection
+  private val SpanMin = 12  // report spans longer than a bare gram match
+  private def substringSpans(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val K = SpanK
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= K)
+      .select(col("doc_id"),
+              explode(expr(s"transform(sequence(1, size(t)-${K - 1}), " +
+                           s"i -> struct(CAST(i AS INT) AS pos, concat_ws(' ', slice(t, i, $K)) AS gram))")).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    // int dictionary over cross-doc grams only: the self-join probes
+    // fixed-width longs, not ~50-byte gram strings (same tradeoff as
+    // the PPJoin dictionary above). cache() pins one evaluation so both
+    // join sides see identical ids.
+    val dict = g.groupBy("gram").agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("gram"), monotonically_increasing_id().as("gid"))
+    val gi = g.join(broadcast(dict), "gram").select("doc_id", "pos", "gid").cache()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id", "b_id", "diag").orderBy("a_pos")
+    gi.as("a")
+      .join(gi.as("b"),
+            col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+              col("a.pos").as("a_pos"), col("b.pos").as("b_pos"))
+      .withColumn("diag", col("a_pos") - col("b_pos"))
+      .withColumn("island", col("a_pos") - row_number().over(w))
+      .groupBy("a_id", "b_id", "diag", "island")
+      .agg(min("a_pos").as("a_start"), min("b_pos").as("b_start"),
+           (max("a_pos") - min("a_pos") + K).as("span_tokens"))
+      .where(col("span_tokens") >= SpanMin)
+  }
+
+  /** DuckDB CTE chain mirroring [[substringSpans]]; yields
+    * `sp(a_id, b_id, a_start, b_start, span_tokens)`. */
+  private val duckSubstringSpans: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, array_to_string(t[i:i+7], ' ') AS gram
+      |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-7)) AS i FROM toks)),
+      |d AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1) x
+      |      WHERE nd >= 2),
+      |m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS a_pos, b.pos AS b_pos
+      |      FROM (SELECT g.* FROM g SEMI JOIN d USING (gram)) a
+      |      JOIN (SELECT g.* FROM g SEMI JOIN d USING (gram)) b
+      |        ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      |i AS (SELECT *, a_pos - CAST(row_number() OVER (
+      |        PARTITION BY a_id, b_id, diag ORDER BY a_pos) AS INTEGER) AS island
+      |      FROM (SELECT *, a_pos - b_pos AS diag FROM m) x),
+      |sp AS (SELECT a_id, b_id, min(a_pos) AS a_start, min(b_pos) AS b_start,
+      |         max(a_pos) - min(a_pos) + 8 AS span_tokens
+      |       FROM i GROUP BY a_id, b_id, diag, island
+      |       HAVING max(a_pos) - min(a_pos) + 8 >= 12)""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // Exact dedup: group identical texts, keep the lowest doc_id.
@@ -671,57 +728,75 @@ object DedupQueries {
     // chance); the window partitions by (pair, diagonal) — millions of tiny
     // partitions, no skew. The oracle replicates all four stages.
     Q("dedup_substring_spans", Seq("dedup", "J1", "W9", "A12"),
-      (s, dir) => {
-        val K = 8        // gram width: the resolution of span detection
-        val SpanMin = 12 // report spans longer than a bare gram match
-        val g = Tables.documents(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .where(size(col("t")) >= K)
-          .select(col("doc_id"),
-                  explode(expr(s"transform(sequence(1, size(t)-${K - 1}), " +
-                               s"i -> struct(CAST(i AS INT) AS pos, concat_ws(' ', slice(t, i, $K)) AS gram))")).as("g"))
-          .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
-        // int dictionary over cross-doc grams only: the self-join probes
-        // fixed-width longs, not ~50-byte gram strings (same tradeoff as
-        // the PPJoin dictionary above). cache() pins one evaluation so both
-        // join sides see identical ids.
-        val dict = g.groupBy("gram").agg(countDistinct("doc_id").as("nd"))
-          .where(col("nd") >= 2)
-          .select(col("gram"), monotonically_increasing_id().as("gid"))
-        val gi = g.join(broadcast(dict), "gram").select("doc_id", "pos", "gid").cache()
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("a_id", "b_id", "diag").orderBy("a_pos")
-        gi.as("a")
-          .join(gi.as("b"),
-                col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-                  col("a.pos").as("a_pos"), col("b.pos").as("b_pos"))
-          .withColumn("diag", col("a_pos") - col("b_pos"))
-          .withColumn("island", col("a_pos") - row_number().over(w))
-          .groupBy("a_id", "b_id", "diag", "island")
-          .agg(min("a_pos").as("a_start"), min("b_pos").as("b_start"),
-               (max("a_pos") - min("a_pos") + K).as("span_tokens"))
-          .where(col("span_tokens") >= SpanMin)
+      (s, dir) =>
+        substringSpans(s, dir)
           .select("a_id", "b_id", "a_start", "b_start", "span_tokens")
-          .orderBy("a_id", "b_id", "a_start", "b_start")
+          .orderBy("a_id", "b_id", "a_start", "b_start"),
+      Some(s"""WITH $duckSubstringSpans
+              |SELECT a_id, b_id, a_start, b_start, span_tokens FROM sp
+              |ORDER BY a_id, b_id, a_start, b_start""".stripMargin),
+      note = "maximal cross-doc duplicated token spans (>=12) via positional 8-grams merged on diagonals"),
+
+    // The removal decision substring dedup actually ships: per document,
+    // what FRACTION of its tokens lies inside some cross-doc duplicated
+    // span? Spans from different partners overlap freely, so the rollup is
+    // an interval-union per doc — sort intervals, break where a gap opens
+    // against the running max end (adjacent regions merge: contiguous
+    // duplicated text is one region), sum merged lengths. Two windows over
+    // doc_id — per-doc interval counts are tiny; the heavy lifting stays in
+    // the shared span computation.
+    Q("dedup_substring_doc_stats", Seq("dedup", "W9", "A12", "P12"),
+      (s, dir) => {
+        val sp = substringSpans(s, dir)
+        val iv = sp.select(col("a_id").as("doc_id"), col("a_start").as("s0"),
+                           (col("a_start") + col("span_tokens") - 1).as("e0"))
+          .unionAll(sp.select(col("b_id").as("doc_id"), col("b_start").as("s0"),
+                              (col("b_start") + col("span_tokens") - 1).as("e0")))
+        val W = org.apache.spark.sql.expressions.Window
+        val wPrev = W.partitionBy("doc_id").orderBy("s0", "e0")
+          .rowsBetween(W.unboundedPreceding, -1)
+        val wRun = W.partitionBy("doc_id").orderBy("s0", "e0")
+          .rowsBetween(W.unboundedPreceding, 0)
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+        iv
+          .withColumn("brk",
+            when(col("s0") > coalesce(max("e0").over(wPrev), lit(-1)) + 1, 1).otherwise(0))
+          .withColumn("grp", sum("brk").over(wRun))
+          .groupBy("doc_id", "grp")
+          .agg(min("s0").as("rs"), max("e0").as("re"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_regions"),
+               sum(col("re") - col("rs") + 1).as("dup_tokens"))
+          .join(toks, "doc_id")
+          .select(col("doc_id"), col("n_regions"), col("dup_tokens"), col("n_tokens"),
+                  (col("dup_tokens").cast("double") / col("n_tokens")).as("dup_frac"))
+          .orderBy("doc_id")
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-             |g AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, array_to_string(t[i:i+7], ' ') AS gram
-             |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-7)) AS i FROM toks)),
-             |d AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1) x
-             |      WHERE nd >= 2),
-             |m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS a_pos, b.pos AS b_pos
-             |      FROM (SELECT g.* FROM g SEMI JOIN d USING (gram)) a
-             |      JOIN (SELECT g.* FROM g SEMI JOIN d USING (gram)) b
-             |        ON a.gram = b.gram AND a.doc_id < b.doc_id),
-             |i AS (SELECT *, a_pos - CAST(row_number() OVER (
-             |        PARTITION BY a_id, b_id, diag ORDER BY a_pos) AS INTEGER) AS island
-             |      FROM (SELECT *, a_pos - b_pos AS diag FROM m) x)
-             |SELECT a_id, b_id, min(a_pos) AS a_start, min(b_pos) AS b_start,
-             |  max(a_pos) - min(a_pos) + 8 AS span_tokens
-             |FROM i GROUP BY a_id, b_id, diag, island
-             |HAVING max(a_pos) - min(a_pos) + 8 >= 12
-             |ORDER BY a_id, b_id, a_start, b_start""".stripMargin),
-      note = "maximal cross-doc duplicated token spans (>=12) via positional 8-grams merged on diagonals")
+      Some(s"""WITH $duckSubstringSpans,
+              |iv AS (SELECT a_id AS doc_id, a_start AS s0, a_start + span_tokens - 1 AS e0 FROM sp
+              |       UNION ALL
+              |       SELECT b_id, b_start, b_start + span_tokens - 1 FROM sp),
+              |br AS (SELECT doc_id, s0, e0,
+              |         CASE WHEN s0 > coalesce(max(e0) OVER (
+              |             PARTITION BY doc_id ORDER BY s0, e0
+              |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              |           THEN 1 ELSE 0 END AS brk
+              |       FROM iv),
+              |gr AS (SELECT *, sum(brk) OVER (
+              |         PARTITION BY doc_id ORDER BY s0, e0
+              |         ROWS UNBOUNDED PRECEDING) AS grp FROM br),
+              |rg AS (SELECT doc_id, grp, min(s0) AS rs, max(e0) AS re
+              |       FROM gr GROUP BY 1, 2),
+              |agg AS (SELECT doc_id, count(*) AS n_regions,
+              |          CAST(sum(re - rs + 1) AS BIGINT) AS dup_tokens
+              |        FROM rg GROUP BY 1)
+              |SELECT a.doc_id, a.n_regions, a.dup_tokens,
+              |  CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+              |  CAST(a.dup_tokens AS DOUBLE)
+              |    / len(string_split(d.text, ' ')) AS dup_frac
+              |FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+              |ORDER BY a.doc_id""".stripMargin),
+      note = "per-doc duplicated-token fraction: interval union of all spans touching the doc")
   )
 }

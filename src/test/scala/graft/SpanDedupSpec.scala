@@ -39,6 +39,24 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(out.where(expr("b_start + span_tokens - 1 > size(tb)")).isEmpty)
   }
 
+  test("doc stats: interval union covers every spanned doc, never exceeds the doc") {
+    val spans = q("dedup_substring_spans").cache()
+    val stats = q("dedup_substring_doc_stats").cache()
+    val spannedDocs = spans.select(col("a_id").as("doc_id"))
+      .union(spans.select(col("b_id").as("doc_id"))).distinct()
+    // exactly the docs touched by some span are reported
+    assert(stats.select("doc_id").except(spannedDocs).isEmpty)
+    assert(spannedDocs.except(stats.select("doc_id")).isEmpty)
+    // merged regions can never exceed the document, and a doc's duplicated
+    // mass is at least its longest single span
+    assert(stats.where(col("dup_tokens") > col("n_tokens")).isEmpty)
+    assert(stats.where(col("dup_frac") < 0 || col("dup_frac") > 1).isEmpty)
+    val longest = spans.select(col("a_id").as("doc_id"), col("span_tokens"))
+      .union(spans.select(col("b_id").as("doc_id"), col("span_tokens")))
+      .groupBy("doc_id").agg(max("span_tokens").as("mx"))
+    assert(stats.join(longest, "doc_id").where(col("dup_tokens") < col("mx")).isEmpty)
+  }
+
   test("bigram fluency: bigram count identity, ppm bounds, novel bigrams are hapax") {
     val out = q("text_bigram_fluency").cache()
     val docs = graft.core.Tables.documents(spark, dir)
