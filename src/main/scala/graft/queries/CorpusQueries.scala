@@ -33,6 +33,16 @@ object CorpusQueries {
       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
       |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks))""".stripMargin
 
+  /** DuckDB twin of TextOps.qualityScore over `text` (en stopwords). */
+  private val duckQuality: String =
+    """greatest(0.0, least(1.0,
+      |    0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+      |    + 0.5 * (CAST(len(list_filter(string_split(text, ' '),
+      |          w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+      |             / len(string_split(text, ' '))) * 5
+      |    - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |      / length(text)))""".stripMargin
+
   private val DomainCap = 15 // max docs kept per source/domain
   private val BpDf = 5 // a shingle in ≥ this many docs is boilerplate
   private val PackWorkers = 8 // parallel packer lanes (cluster: executor count)
@@ -352,15 +362,8 @@ object CorpusQueries {
           .orderBy("cluster_id")
       },
       Some {
-        val q = """greatest(0.0, least(1.0,
-                  |    0.5 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
-                  |    + 0.5 * (CAST(len(list_filter(string_split(text, ' '),
-                  |          w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
-                  |             / len(string_split(text, ' '))) * 5
-                  |    - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-                  |      / length(text)))""".stripMargin
         s"""WITH RECURSIVE ${DedupQueries.duckClusterLabels},
-           |scored AS (SELECT d.doc_id, l.label, $q AS quality
+           |scored AS (SELECT d.doc_id, l.label, $duckQuality AS quality
            |           FROM documents d JOIN labels l ON d.doc_id = l.doc_id),
            |ranked AS (SELECT *, row_number() OVER (
            |             PARTITION BY label ORDER BY quality DESC, doc_id) AS rk
@@ -372,6 +375,62 @@ object CorpusQueries {
            |FROM ranked GROUP BY label HAVING count(*) >= 2
            |ORDER BY cluster_id""".stripMargin
       },
-      note = "keep-best-quality canonical per duplicate cluster; shared min-label fixpoint + one tiny window")
+      note = "keep-best-quality canonical per duplicate cluster; shared min-label fixpoint + one tiny window"),
+
+    // The whole curation flow as ONE plan — what a user of this library
+    // actually ships as their pretraining-data job, and the corpus twin of
+    // forage_pipeline_e2e: duplicate clusters (exact ∪ near-dup fixpoint) →
+    // keep the best-quality doc per cluster → quality gate (score ≥ 0.25)
+    // → greedy token-budget shard packing of the survivors → per-shard
+    // manifest. Every stage is a stage already proven green standalone;
+    // the composition check is that they agree end-to-end through one
+    // optimizer pass. Scale: the only corpus-sized shuffles are the
+    // cluster fixpoint (bounded rounds) and the pack lanes' per-lane
+    // window; scoring and gating are map-side.
+    Q("corpus_curation_e2e", Seq("corpus", "dedup", "W4", "W9", "F9"),
+      (s, dir) => {
+        val QMin = 0.25
+        val sw = graft.text.TextOps.LangStopwords.toMap.apply("en")
+        val labels = DedupQueries.clusterLabels(s, dir)
+        val scored = Tables.documents(s, dir)
+          .select(col("doc_id"),
+                  size(split(col("text"), " ")).cast("long").as("tok"),
+                  graft.text.TextOps.qualityScore(col("text"), sw).as("quality"))
+          .join(labels, "doc_id")
+        val W = org.apache.spark.sql.expressions.Window
+        val wK = W.partitionBy("label").orderBy(col("quality").desc, col("doc_id"))
+        val keep = scored
+          .withColumn("rk", row_number().over(wK))
+          .where(col("rk") === 1 && col("quality") >= QMin)
+        val wP = W.partitionBy("worker").orderBy("doc_id")
+        keep
+          .withColumn("worker", col("doc_id") % PackWorkers)
+          .withColumn("cum", sum("tok").over(wP))
+          .withColumn("shard_id",
+            col("worker") * 1000 + expr(s"(cum - tok) div $PackBudget"))
+          .groupBy("worker", "shard_id")
+          .agg(count(lit(1)).as("n_docs"), sum("tok").as("shard_tokens"),
+               min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+          .orderBy("worker", "shard_id")
+      },
+      Some(s"""WITH RECURSIVE ${DedupQueries.duckClusterLabels},
+              |scored AS (SELECT d.doc_id,
+              |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tok,
+              |    l.label, $duckQuality AS quality
+              |  FROM documents d JOIN labels l ON d.doc_id = l.doc_id),
+              |keep AS (SELECT doc_id, tok FROM (
+              |    SELECT *, row_number() OVER (
+              |        PARTITION BY label ORDER BY quality DESC, doc_id) AS rk
+              |    FROM scored) t
+              |  WHERE rk = 1 AND quality >= 0.25),
+              |packed AS (SELECT doc_id, tok, doc_id % $PackWorkers AS worker,
+              |    CAST(sum(tok) OVER (
+              |        PARTITION BY doc_id % $PackWorkers ORDER BY doc_id) AS BIGINT) AS cum
+              |  FROM keep)
+              |SELECT worker, worker * 1000 + (cum - tok) // $PackBudget AS shard_id,
+              |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS shard_tokens,
+              |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+              |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      note = "full curation pipeline in one plan: cluster -> keep-best -> quality gate (>=0.25) -> shard packing")
   )
 }

@@ -75,6 +75,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.join(maxQ, "cluster_id").where(col("keep_quality") =!= col("mq")).isEmpty)
   }
 
+  test("curation e2e packs exactly the gated cluster winners") {
+    val out = q("corpus_curation_e2e").cache()
+    // independent keep-count: best quality per cluster must clear the gate
+    val sw = graft.text.TextOps.LangStopwords.toMap.apply("en")
+    val labels = graft.queries.DedupQueries.clusterLabels(spark, dir)
+    val scored = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("tok"),
+              graft.text.TextOps.qualityScore(col("text"), sw).as("q"))
+      .join(labels, "doc_id")
+    val winners = scored.groupBy("label")
+      .agg(max(struct(col("q"), -col("doc_id"))).as("m"))
+      .where(col("m.q") >= 0.25)
+    val packedDocs = out.agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(packedDocs == winners.count())
+    // token conservation: shard totals sum to the kept docs' tokens
+    val kept = winners.select((-col("m.col2")).as("doc_id"))
+      .join(scored.select("doc_id", "tok"), "doc_id")
+    val keptTok = kept.agg(sum("tok")).collect()(0).getLong(0)
+    assert(out.agg(sum("shard_tokens")).collect()(0).getLong(0) == keptTok)
+  }
+
   test("pack shards: every doc assigned, lanes partition by id, cum is a running sum") {
     val out = q("corpus_pack_shards").cache()
     val docs = graft.core.Tables.documents(spark, dir)
