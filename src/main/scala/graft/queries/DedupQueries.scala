@@ -748,10 +748,16 @@ object DedupQueries {
     Q("dedup_substring_doc_stats", Seq("dedup", "W9", "A12", "P12"),
       (s, dir) => {
         val sp = substringSpans(s, dir)
+        // DISTINCT is load-bearing, not an optimization: different partners
+        // contribute identical (s0, e0) intervals, and tied sort keys would
+        // let the brk window and the running-sum window order the tie
+        // differently (two independent sorts) — a nondeterministic region
+        // count. Distinct intervals make ORDER BY (s0, e0) total per doc.
         val iv = sp.select(col("a_id").as("doc_id"), col("a_start").as("s0"),
                            (col("a_start") + col("span_tokens") - 1).as("e0"))
           .unionAll(sp.select(col("b_id").as("doc_id"), col("b_start").as("s0"),
                               (col("b_start") + col("span_tokens") - 1).as("e0")))
+          .distinct()
         val W = org.apache.spark.sql.expressions.Window
         val wPrev = W.partitionBy("doc_id").orderBy("s0", "e0")
           .rowsBetween(W.unboundedPreceding, -1)
@@ -775,7 +781,7 @@ object DedupQueries {
       },
       Some(s"""WITH $duckSubstringSpans,
               |iv AS (SELECT a_id AS doc_id, a_start AS s0, a_start + span_tokens - 1 AS e0 FROM sp
-              |       UNION ALL
+              |       UNION
               |       SELECT b_id, b_start, b_start + span_tokens - 1 FROM sp),
               |br AS (SELECT doc_id, s0, e0,
               |         CASE WHEN s0 > coalesce(max(e0) OVER (

@@ -47,6 +47,28 @@ object StreamQueries {
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       note = "custom forage_period_end Expression inside a streaming aggregation"),
 
+    Q("stream_kmv_distinct", Seq("§2.9", "A12", "§2.10", "sampling"),
+      (s, dir) => StreamOps.windowedKmvDistinct(s, dir),
+      Some {
+        val h = graft.dedup.Hashing.duckMd5Mod("CAST(user_id AS VARCHAR)")
+        val P = graft.dedup.Hashing.P
+        s"""WITH m AS (SELECT max(ts) - INTERVAL 1 DAY AS wm FROM events),
+           |e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events
+           |      WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT wm FROM m)),
+           |n AS (SELECT d, count(*) AS n_events FROM e GROUP BY 1),
+           |hx AS (SELECT DISTINCT d, $h AS h FROM e),
+           |r AS (SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rk,
+           |        count(*) OVER (PARTITION BY d) AS dd FROM hx),
+           |est AS (SELECT d,
+           |    CASE WHEN max(dd) < 64 THEN CAST(max(dd) AS DOUBLE)
+           |         ELSE 63.0 * $P.0 / CAST(max(CASE WHEN rk = 64 THEN h END) AS DOUBLE)
+           |    END AS e
+           |  FROM r GROUP BY 1)
+           |SELECT n.d, n.n_events, round(est.e, 6) AS kmv_users
+           |FROM n JOIN est USING (d) ORDER BY d""".stripMargin
+      },
+      note = "mergeable KMV sketch inside a streaming window agg (bounded state where countDistinct is unsupported); deterministic, oracle-checked"),
+
     Q("stream_static_enrich", Seq("§2.9", "J1", "A1", "cdc"),
       (s, dir) => StreamOps.streamStaticEnrich(s, dir),
       Some("""SELECT c_mktsegment, count(*) AS n,

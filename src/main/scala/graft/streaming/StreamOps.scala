@@ -150,6 +150,34 @@ object StreamOps {
       .orderBy("d", "event_type")
   }
 
+  /** Windowed distinct-user counting with the mergeable KMV sketch — the
+    * production shape for streaming cardinality: exact `countDistinct` is
+    * unsupported in a streaming aggregation (unbounded per-window state),
+    * while the sketch's state is a bounded k-vector per window that the
+    * state store checkpoints and merges across micro-batches. Append mode +
+    * watermark emits each day's estimate once the window closes. Inputs are
+    * md5-hashed, so the estimate is deterministic and the batch oracle
+    * reproduces it bit-for-bit — a verifiable streaming sketch. */
+  def windowedKmvDistinct(spark: SparkSession, dir: String): DataFrame = withStreamPartitions(spark) {
+    graft.core.Tables.events(spark, dir) // sets nanosAsLong
+    val name = s"graft_kmv_${runCounter.incrementAndGet()}"
+    val kmv = udaf(new graft.agg.KmvSketch(64, graft.dedup.Hashing.P.toDouble))
+    val stream = spark.readStream
+      .schema(tableSchema(spark, s"$dir/events.parquet"))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("h", expr(graft.dedup.Hashing.sparkMd5Mod("CAST(user_id AS STRING)")))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_events"), kmv(col("h")).as("kmv_users"))
+    drain(spark, name, stream.writeStream.outputMode("append").format("memory"))
+    spark.table(name)
+      .select(to_date(col("window.start")).as("d"), col("n_events"),
+              round(col("kmv_users"), 6).as("kmv_users"))
+      .orderBy("d")
+  }
+
   /** Stage 1 as a streaming job: the custom `forage_period_end` scalar
     * assigns the 16-day year-reset calendar inside the stream, the drain
     * aggregates per (period, type), and the complete-window rule (F6) is the
