@@ -438,6 +438,65 @@ object AnnQueries {
               |        row_number() OVER (PARTITION BY qid ORDER BY exact_i, bid) AS rk
               |      FROM ex) t
               |WHERE rk <= 5 ORDER BY qid, rank""".stripMargin),
-      note = "ADC shortlist (R=20) -> exact integer rerank of raw vectors; rank-vs-adc_rank drift audits PQ loss")
+      note = "ADC shortlist (R=20) -> exact integer rerank of raw vectors; rank-vs-adc_rank drift audits PQ loss"),
+
+    // Contrastive-pair mining — the training-data prep step for embedding
+    // models: per anchor (the 8-query set), the best POSITIVE (highest
+    // cosine, same label, not self) and the HARD NEGATIVE (highest cosine,
+    // different label — the confusable the loss needs). Single pass:
+    // anchors broadcast onto the streamed base table, one conditional
+    // max(struct) aggregation per class — no window, no second scan; at
+    // 100 TB the base is read once per mining batch. Ties break to the
+    // smallest base id via the negated-id struct field; the margin column
+    // (pos − neg) is the curriculum/difficulty signal miners sort by.
+    Q("ann_hard_negatives", Seq("similarity", "J2", "A13", "corpus"),
+      (s, dir) => {
+        graft.plans.VecExprs.register(s)
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("nrm", expr(normExpr("embedding")))
+        val anchors = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+                  col("embedding").as("qe"), col("nrm").as("nq"))
+        val base = emb.select(col("vec_id").as("bid"), col("label"),
+                              col("embedding").as("be"), col("nrm").as("nb"))
+        base.join(broadcast(anchors), col("qid") =!= col("bid"))
+          .withColumn("cos_sim", expr(s"$dotExpr / sqrt(nq * nb)"))
+          .groupBy("qid", "qlabel")
+          .agg(max(when(col("label") === col("qlabel"),
+                        struct(col("cos_sim"), (-col("bid")).as("nid")))).as("p"),
+               max(when(col("label") =!= col("qlabel"),
+                        struct(col("cos_sim"), (-col("bid")).as("nid")))).as("n"))
+          .select(col("qid"), col("qlabel"),
+                  (-col("p.nid")).as("pos_id"), round(col("p.cos_sim"), 6).as("pos_cos"),
+                  (-col("n.nid")).as("neg_id"), round(col("n.cos_sim"), 6).as("neg_cos"),
+                  round(col("p.cos_sim") - col("n.cos_sim"), 6).as("margin"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding,
+              |    ${duckNorm("embedding")} AS nrm FROM embeddings),
+              |p AS (SELECT q.vec_id AS qid, q.label AS qlabel,
+              |    b.vec_id AS bid, b.label AS blabel,
+              |    list_sum(list_transform(generate_series(1, len(q.embedding)),
+              |       i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+              |      / sqrt(q.nrm * b.nrm) AS cos_sim
+              |  FROM (SELECT * FROM e WHERE vec_id < 8) q
+              |  JOIN e b ON q.vec_id <> b.vec_id),
+              |pos AS (SELECT qid, bid, cos_sim FROM (
+              |    SELECT qid, bid, cos_sim, row_number() OVER (
+              |        PARTITION BY qid ORDER BY cos_sim DESC, bid) AS rk
+              |    FROM p WHERE qlabel = blabel) t WHERE rk = 1),
+              |neg AS (SELECT qid, bid, cos_sim FROM (
+              |    SELECT qid, bid, cos_sim, row_number() OVER (
+              |        PARTITION BY qid ORDER BY cos_sim DESC, bid) AS rk
+              |    FROM p WHERE qlabel <> blabel) t WHERE rk = 1)
+              |SELECT q.vec_id AS qid, q.label AS qlabel,
+              |  pos.bid AS pos_id, round(pos.cos_sim, 6) AS pos_cos,
+              |  neg.bid AS neg_id, round(neg.cos_sim, 6) AS neg_cos,
+              |  round(pos.cos_sim - neg.cos_sim, 6) AS margin
+              |FROM (SELECT vec_id, label FROM e WHERE vec_id < 8) q
+              |JOIN pos ON q.vec_id = pos.qid
+              |JOIN neg ON q.vec_id = neg.qid
+              |ORDER BY qid""".stripMargin),
+      note = "per-anchor best positive + hard negative in one base pass; margin = curriculum signal")
   )
 }

@@ -803,6 +803,87 @@ object DedupQueries {
               |    / len(string_split(d.text, ' ')) AS dup_frac
               |FROM agg a JOIN documents d ON a.doc_id = d.doc_id
               |ORDER BY a.doc_id""".stripMargin),
-      note = "per-doc duplicated-token fraction: interval union of all spans touching the doc")
+      note = "per-doc duplicated-token fraction: interval union of all spans touching the doc"),
+
+    // Incremental dedup — the production daily-ingest shape: a NEW BATCH
+    // (delta, 20% of docs by id rule) screened against the EXISTING corpus
+    // (base) plus itself, without ever re-deduping base-vs-base. Per delta
+    // doc: exact text twins in base, near-dup (3-gram Jaccard ≥ 0.5)
+    // neighbors in base, and earlier exact twins within the delta
+    // (keep-first-arrival). Verdict: keep iff all three are empty. Scale
+    // shape: every join is DELTA-sided — the delta's shingles probe the
+    // base on the shingle key, so per-ingest cost is O(|delta| · df), not
+    // O(|corpus|²); base-vs-base pairs are never formed. This is the query
+    // a 100 TB corpus runs every day, where the full self-join family
+    // (above) runs once at bootstrap.
+    Q("dedup_incremental_delta", Seq("dedup", "cdc", "J1", "A9"),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("is_delta", col("doc_id") % 5 === 0)
+        val base = docs.where(!col("is_delta"))
+        val delta = docs.where(col("is_delta"))
+        val exactBase = delta.as("d")
+          .join(base.as("b"), col("d.text") === col("b.text"))
+          .groupBy(col("d.doc_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_exact_base"))
+        val sh = shingles(s, dir)
+        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val dSh = sh.join(delta.select("doc_id"), "doc_id")
+        val bSh = sh.join(base.select("doc_id"), "doc_id")
+        val nearBase = dSh.select(col("doc_id").as("d_id"), col("shingle"))
+          .join(bSh.select(col("doc_id").as("b_id"), col("shingle")), "shingle")
+          .groupBy("d_id", "b_id").agg(count(lit(1)).as("shared"))
+          .join(cnt.select(col("doc_id").as("d_id"), col("n_sh").as("nd")), "d_id")
+          .join(cnt.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+          .where(col("shared").cast("double") / (col("nd") + col("nb") - col("shared")) >= 0.5)
+          .groupBy(col("d_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_near_base"))
+        val withinDelta = delta.as("x")
+          .join(delta.as("y"),
+                col("x.text") === col("y.text") && col("y.doc_id") < col("x.doc_id"))
+          .groupBy(col("x.doc_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_prior_delta"))
+        delta.select("doc_id")
+          .join(exactBase, Seq("doc_id"), "left")
+          .join(nearBase, Seq("doc_id"), "left")
+          .join(withinDelta, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+                  coalesce(col("n_exact_base"), lit(0L)).as("n_exact_base"),
+                  coalesce(col("n_near_base"), lit(0L)).as("n_near_base"),
+                  coalesce(col("n_prior_delta"), lit(0L)).as("n_prior_delta"))
+          .withColumn("keep",
+            col("n_exact_base") + col("n_near_base") + col("n_prior_delta") === 0)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckShingles,
+              |d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+              |b AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+              |eb AS (SELECT d.doc_id, count(*) AS n_exact_base
+              |       FROM d JOIN b ON d.text = b.text GROUP BY 1),
+              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |nb AS (SELECT p.d_id AS doc_id, count(*) AS n_near_base FROM (
+              |         SELECT ds.doc_id AS d_id, bs.doc_id AS b_id, count(*) AS shared
+              |         FROM sh ds JOIN d ON ds.doc_id = d.doc_id
+              |         JOIN sh bs ON ds.shingle = bs.shingle
+              |         JOIN b ON bs.doc_id = b.doc_id
+              |         GROUP BY 1, 2) p
+              |       JOIN cnt cd ON p.d_id = cd.doc_id
+              |       JOIN cnt cb ON p.b_id = cb.doc_id
+              |       WHERE CAST(p.shared AS DOUBLE) / (cd.n_sh + cb.n_sh - p.shared) >= 0.5
+              |       GROUP BY 1),
+              |wd AS (SELECT x.doc_id, count(*) AS n_prior_delta
+              |       FROM d x JOIN d y ON x.text = y.text AND y.doc_id < x.doc_id
+              |       GROUP BY 1)
+              |SELECT d.doc_id,
+              |  coalesce(eb.n_exact_base, 0) AS n_exact_base,
+              |  coalesce(nb.n_near_base, 0) AS n_near_base,
+              |  coalesce(wd.n_prior_delta, 0) AS n_prior_delta,
+              |  coalesce(eb.n_exact_base, 0) + coalesce(nb.n_near_base, 0)
+              |    + coalesce(wd.n_prior_delta, 0) = 0 AS keep
+              |FROM d LEFT JOIN eb ON d.doc_id = eb.doc_id
+              |LEFT JOIN nb ON d.doc_id = nb.doc_id
+              |LEFT JOIN wd ON d.doc_id = wd.doc_id
+              |ORDER BY d.doc_id""".stripMargin),
+      note = "daily-ingest dedup: delta-sided exact/near screens vs base + keep-first within delta; no base-vs-base pairs")
   )
 }

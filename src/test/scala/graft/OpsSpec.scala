@@ -133,6 +133,20 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("events timestamps are unique per user (total window order canary)") {
+    // w_sessionize / j_asof_* order windows by (user_id, ts) in BOTH
+    // engines independently; tied keys would make that sort non-total and
+    // the comparison nondeterministic (the dedup_substring_doc_stats
+    // failure class). The synthetic generator emits unique nanos per user —
+    // this canary fails loudly if future testdata breaks that contract.
+    for (sf <- Seq("0.001", "0.01")) {
+      val dup = graft.core.Tables.events(spark, s"/root/testdata/sf$sf")
+        .groupBy("user_id", "ts").count()
+        .where(col("count") > 1)
+      assert(dup.isEmpty, s"tied (user_id, ts) in sf$sf")
+    }
+  }
+
   test("two-stage rerank returns exact-distance-ordered top-5 from the ADC shortlist") {
     val out = SparkEntry.queries("ann_two_stage_rerank")(spark, "/root/testdata/sf0.001")
       .collect()
