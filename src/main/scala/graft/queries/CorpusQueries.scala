@@ -431,6 +431,36 @@ object CorpusQueries {
               |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS shard_tokens,
               |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
               |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      note = "full curation pipeline in one plan: cluster -> keep-best -> quality gate (>=0.25) -> shard packing")
+      note = "full curation pipeline in one plan: cluster -> keep-best -> quality gate (>=0.25) -> shard packing"),
+
+    // Cluster-aware splitting — the REMEDY for what split_leakage_audit
+    // measures: hashing the CLUSTER id (not the doc id) into train/val/test
+    // makes it structurally impossible for an exact or near-dup pair to
+    // cross a split boundary, because every edge that the leakage audit
+    // counts (same text, or Jaccard ≥ 0.5) is by construction intra-cluster.
+    // CorpusSpec closes the loop: re-running the audit's leak logic on this
+    // assignment finds zero cross-split pairs. Plan: the fixpoint labels +
+    // one map-side hash — the split adds nothing to the cluster cost.
+    Q("split_cluster_safe", Seq("corpus", "dedup", "sampling", "P13"),
+      (s, dir) => {
+        val hash = graft.dedup.Hashing.sparkMd5Mod("CAST(label AS STRING)")
+        DedupQueries.clusterLabels(s, dir)
+          .withColumn("bucket", expr(s"$hash % 10"))
+          .select(col("doc_id"), col("label").as("cluster_id"),
+                  when(col("bucket") < 8, lit("train"))
+                    .when(col("bucket") === 8, lit("val"))
+                    .otherwise(lit("test")).as("split"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val hash = graft.dedup.Hashing.duckMd5Mod("CAST(label AS VARCHAR)")
+        s"""WITH RECURSIVE ${DedupQueries.duckClusterLabels}
+           |SELECT doc_id, label AS cluster_id,
+           |  CASE WHEN ($hash) % 10 < 8 THEN 'train'
+           |       WHEN ($hash) % 10 = 8 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM labels ORDER BY doc_id""".stripMargin
+      },
+      note = "train/val/test by CLUSTER hash: dup edges are intra-cluster, so cross-split leakage is structurally zero")
   )
 }

@@ -75,6 +75,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.join(maxQ, "cluster_id").where(col("keep_quality") =!= col("mq")).isEmpty)
   }
 
+  test("cluster-safe split has structurally zero cross-split leakage") {
+    val split = q("split_cluster_safe").cache()
+    // every cluster lands in exactly one split
+    assert(split.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n")).where(col("n") > 1).isEmpty)
+    // re-run the leakage audit's own leak definitions across train/val:
+    // exact text twins and near-dup (3-gram Jaccard >= 0.5) pairs
+    val docs = graft.core.Tables.documents(spark, dir).join(split, "doc_id")
+    val train = docs.where(col("split") === "train")
+    val valD = docs.where(col("split") === "val")
+    assert(valD.count() > 0 && train.count() > 0) // the split actually splits
+    val exactLeaks = valD.as("v")
+      .join(train.as("t"), col("v.text") === col("t.text"))
+    assert(exactLeaks.isEmpty)
+    val sh = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), split_part_shingles)
+      .select(col("doc_id"), explode(col("shs")).as("shingle")).distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val nearLeaks = sh.join(valD.select("doc_id"), "doc_id")
+      .select(col("doc_id").as("v_id"), col("shingle"))
+      .join(sh.join(train.select("doc_id"), "doc_id")
+              .select(col("doc_id").as("t_id"), col("shingle")), "shingle")
+      .groupBy("v_id", "t_id").agg(count(lit(1)).as("shared"))
+      .join(cnt.select(col("doc_id").as("v_id"), col("n_sh").as("nv")), "v_id")
+      .join(cnt.select(col("doc_id").as("t_id"), col("n_sh").as("nt")), "t_id")
+      .where(col("shared").cast("double") / (col("nv") + col("nt") - col("shared")) >= 0.5)
+    assert(nearLeaks.isEmpty)
+  }
+  private def split_part_shingles =
+    expr("transform(sequence(1, greatest(size(split(text, ' '))-2, 0)), " +
+         "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))").as("shs")
+
   test("curation e2e packs exactly the gated cluster winners") {
     val out = q("corpus_curation_e2e").cache()
     // independent keep-count: best quality per cluster must clear the gate
