@@ -114,6 +114,56 @@ object AnalyticQueries {
       Some(s"""SELECT p_type, count(*) AS n_items, $rev AS revenue,
               |  CAST(sum(CAST(p_retailprice AS $dec)) AS DOUBLE) AS retail_total
               |FROM lineitem JOIN part ON l_partkey = p_partkey
-              |GROUP BY p_type ORDER BY p_type""".stripMargin))
+              |GROUP BY p_type ORDER BY p_type""".stripMargin)),
+
+    // PageRank over the supplier↔customer trade graph (edges = "supplier
+    // supplied this customer", undirected so there are no dangling nodes),
+    // 3 unrolled power iterations in ONE declarative plan. All arithmetic is
+    // 64-bit fixed point (SCALE=10^6, damping 85/100, floor division), so
+    // both engines converge to bit-identical ranks. Per iteration the
+    // message pass is edges⋈ranks on the source + one sum-by-destination —
+    // the canonical Pregel/GraphX round, O(iterations) shuffle rounds with
+    // per-round cost O(|E|); hot high-degree hubs are exactly the AQE
+    // skew-split case. The edge list is built once and cached across the
+    // three iterations (the harness clears caches between queries).
+    Q("graph_pagerank", Seq("J1", "A1", "A12", "§2.10", "skew"),
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val half = l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .select(concat(lit("s"), col("l_suppkey")).as("a"),
+                  concat(lit("c"), col("o_custkey")).as("b"))
+          .distinct()
+        val edges = half.union(half.select(col("b").as("a"), col("a").as("b"))).cache()
+        val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg")).cache()
+        val r0 = deg.withColumn("rank", lit(1000000L))
+        val r3 = (1 to 3).foldLeft(r0) { (prev, _) =>
+          edges.join(prev, edges("a") === prev("node"))
+            .select(col("b").as("node"), expr("rank div deg").as("contrib"))
+            .groupBy("node").agg(sum("contrib").as("in_sum"))
+            .join(deg, "node")
+            .select(col("node"), col("deg"),
+                    (lit(150000L) + expr("(85 * in_sum) div 100")).as("rank"))
+        }
+        r3.select(col("node"), col("rank")).orderBy(col("rank").desc, col("node"))
+      },
+      Some {
+        def step(k: Int): String =
+          s"""r$k AS (
+             |  SELECT d.node, d.deg, 150000 + (85 * m.s) // 100 AS rank
+             |  FROM (SELECT e.b AS node, CAST(sum(r.rank // r.deg) AS BIGINT) AS s
+             |        FROM e JOIN r${k - 1} r ON e.a = r.node GROUP BY 1) m
+             |  JOIN deg d ON d.node = m.node)"""
+        s"""WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b
+           |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+           |deg AS (SELECT a AS node, count(*) AS deg FROM e GROUP BY 1),
+           |r0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS rank FROM deg),
+           |${step(1)},
+           |${step(2)},
+           |${step(3)}
+           |SELECT node, rank FROM r3 ORDER BY rank DESC, node""".stripMargin
+      },
+      note = "3-iteration fixed-point PageRank on the trade graph: Pregel-shaped message rounds, bit-identical across engines")
   )
 }

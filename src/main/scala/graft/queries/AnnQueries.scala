@@ -497,6 +497,72 @@ object AnnQueries {
               |JOIN pos ON q.vec_id = pos.qid
               |JOIN neg ON q.vec_id = neg.qid
               |ORDER BY qid""".stripMargin),
-      note = "per-anchor best positive + hard negative in one base pass; margin = curriculum signal")
+      note = "per-anchor best positive + hard negative in one base pass; margin = curriculum signal"),
+
+    // One full Lloyd iteration (k-means refine) over the label-seeded
+    // centroids: E-step argmin assignment, M-step re-averaging, plus the
+    // per-cluster centroid shift that a training driver would test for
+    // convergence. EVERYTHING is 64-bit integer arithmetic on 1e7-scaled
+    // components — distances, means, and shifts are bit-identical across
+    // engines with no float-order or rounding caveats. Fixed-point means
+    // use an offset before the floor division ((s + n·OFF) div n − OFF)
+    // so Spark's truncating `div` and DuckDB's flooring `//` agree even
+    // when component sums are negative. Scale shape: centroids broadcast
+    // (k·dim rows), the E-step is a map-side argmin over one base pass,
+    // the M-step is one partial-aggregating shuffle — the canonical
+    // distributed k-means round, O(rounds) such plans to convergence.
+    Q("ann_kmeans_refine", Seq("similarity", "J2", "A1", "A13", "§2.10"),
+      (s, dir) => {
+        val OFF = 100000000L
+        val meanFx = s"(sxs + n * $OFF) div n - $OFF"
+        val xs = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("vec_id"), col("label"), col("pos"),
+                  expr("CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)").as("xs"))
+        val centOld = xs.groupBy(col("label").as("c_label"), col("pos"))
+          .agg(sum("xs").as("sxs"), count(lit(1)).as("n"))
+          .select(col("c_label"), col("pos"), expr(meanFx).as("cx"))
+        val assigned = xs.join(broadcast(centOld), "pos")
+          .groupBy(col("vec_id"), col("c_label"))
+          .agg(sum(expr("(xs - cx) * (xs - cx)")).as("d2"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("c_label"))).as("m"))
+          .select(col("vec_id"), col("m.c_label").as("assigned"))
+        val centNew = xs.join(assigned, "vec_id")
+          .groupBy(col("assigned"), col("pos"))
+          .agg(sum("xs").as("sxs"), count(lit(1)).as("n"))
+          .select(col("assigned"), col("pos"), col("n"), expr(meanFx).as("cn"))
+        val centOldR = centOld.withColumnRenamed("pos", "o_pos")
+        centNew.join(centOldR,
+            centNew("assigned") === centOldR("c_label") && col("pos") === col("o_pos"))
+          .groupBy(col("assigned").as("c_label"))
+          .agg(max("n").as("n_members"),
+               sum(expr("(cn - cx) * (cn - cx)")).as("shift_sq"))
+          .orderBy("c_label")
+      },
+      Some("""WITH xs AS (
+             |  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+             |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS xs
+             |  FROM embeddings),
+             |co AS (SELECT label AS c_label, pos,
+             |    (CAST(sum(xs) AS BIGINT) + count(*) * 100000000) // count(*)
+             |      - 100000000 AS cx
+             |  FROM xs GROUP BY 1, 2),
+             |d AS (SELECT vec_id, c_label,
+             |    CAST(sum((xs - cx) * (xs - cx)) AS BIGINT) AS d2
+             |  FROM xs JOIN co USING (pos) GROUP BY 1, 2),
+             |a AS (SELECT vec_id, c_label AS assigned FROM (
+             |    SELECT vec_id, c_label,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
+             |    FROM d) t WHERE rk = 1),
+             |nc AS (SELECT assigned, pos, count(*) AS n,
+             |    (CAST(sum(xs) AS BIGINT) + count(*) * 100000000) // count(*)
+             |      - 100000000 AS cn
+             |  FROM xs JOIN a USING (vec_id) GROUP BY 1, 2)
+             |SELECT nc.assigned AS c_label, CAST(max(nc.n) AS BIGINT) AS n_members,
+             |  CAST(sum((cn - cx) * (cn - cx)) AS BIGINT) AS shift_sq
+             |FROM nc JOIN co ON co.c_label = nc.assigned AND co.pos = nc.pos
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "integer-exact Lloyd iteration: broadcast E-step argmin, one-shuffle M-step, fixed-point shift diagnostic")
   )
 }

@@ -329,6 +329,39 @@ object SessionQueries {
              |                THEN CAST(round((p2 - p1) * 100) AS BIGINT)
              |                ELSE 0 END) AS BIGINT) AS delta_cents
              |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
-      note = "full-outer snapshot diff with drift accounting; bucketed co-located join at scale")
+      note = "full-outer snapshot diff with drift accounting; bucketed co-located join at scale"),
+
+    // SCD Type-2 dimension build from the event log: per user, compress the
+    // tracked attribute (event_type) into change rows, then close each
+    // version with the next change's timestamp. One hash exchange on
+    // user_id; the change filter preserves the sort, so the second window
+    // (lead) rides the same exchange+sort — the whole dimension build is a
+    // single shuffle however large the log grows. valid_to is NULL on the
+    // open (current) version, warehouse-style.
+    Q("cdc_scd2_intervals", Seq("cdc", "W2", "F6", "A11"),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us")
+        Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .where(col("prev").isNull || col("prev") =!= col("event_type"))
+          .withColumn("valid_to_us", lead("ts_us", 1).over(w))
+          .select(col("user_id"), col("event_type"),
+                  col("ts_us").as("valid_from_us"), col("valid_to_us"),
+                  col("valid_to_us").isNull.cast("int").as("is_current"))
+          .orderBy("user_id", "valid_from_us")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+             |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+             |  FROM events),
+             |k AS (SELECT user_id, ts_us, event_type FROM c
+             |      WHERE prev IS NULL OR prev <> event_type)
+             |SELECT user_id, event_type, ts_us AS valid_from_us,
+             |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS valid_to_us,
+             |  CAST(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+             |       AS INTEGER) AS is_current
+             |FROM k ORDER BY user_id, valid_from_us""".stripMargin),
+      note = "SCD2 dimension from the event log: change-compression + interval close, one shuffle, both windows share the exchange+sort")
   )
 }

@@ -455,6 +455,39 @@ object TextQueries {
              |    / count(*) AS novel_frac
              |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      note = "bigram conditional-probability fluency in fixed-point ppm; integer floor-div => engine-exact")
+      note = "bigram conditional-probability fluency in fixed-point ppm; integer floor-div => engine-exact"),
+
+    // Hashing-trick linear classifier inference — the 100-TB model-serving
+    // shape: NO vocabulary build, no dictionary join, no shuffle at all. The
+    // feature weight of a term is derived directly from its md5 (signed
+    // milli-units in [-1000, 1000]), so scoring is a single fold over the
+    // token array inside one codegen'd projection; a real trained model
+    // would broadcast its weight table or hash weights the same way
+    // (Weinberger et al., "Feature Hashing for Large Scale Multitask
+    // Learning"). Only the presentation sort exchanges data.
+    Q("text_hashed_classifier", Seq("text", "P13", "A12", "§2.10"),
+      (s, dir) => {
+        val wTerm = s"(${graft.dedup.Hashing.sparkMd5Mod("t")} % 2001) - 1000"
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+                  expr(s"""aggregate(split(text, ' '), CAST(0 AS BIGINT),
+                          |  (acc, t) -> acc + (CASE WHEN length(t) >= 1
+                          |                     THEN $wTerm ELSE 0 END))""".stripMargin)
+                    .as("score_milli"))
+          .withColumn("label", (col("score_milli") >= 0L).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val wTerm = s"(${graft.dedup.Hashing.duckMd5Mod("t")} % 2001) - 1000"
+        s"""SELECT doc_id,
+           |  CAST(coalesce(list_sum(list_transform(string_split(text, ' '),
+           |    t -> (CASE WHEN length(t) >= 1 THEN $wTerm ELSE 0 END))), 0)
+           |    AS BIGINT) AS score_milli,
+           |  CAST(coalesce(list_sum(list_transform(string_split(text, ' '),
+           |    t -> (CASE WHEN length(t) >= 1 THEN $wTerm ELSE 0 END))), 0) >= 0
+           |    AS INTEGER) AS label
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+      note = "hashing-trick linear inference: zero dictionary, zero shuffle — one codegen'd fold per doc")
   )
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the warehouse/graph/ML-round operators added in
+  * round 5: SCD2 interval tiling, PageRank mass bounds, hashing-trick
+  * classifier plan equivalence, and k-means refine partition totals. The
+  * oracle gate proves value equality with DuckDB; these prove the
+  * *semantic* contracts that hold at any SF.
+  */
+class WarehouseGraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("cdc_scd2_intervals: versions tile the timeline, one open version per user") {
+    val scd = q("cdc_scd2_intervals").cache()
+    try {
+      // exactly one open (is_current) version per user
+      val open = scd.where(col("is_current") === 1)
+        .groupBy("user_id").count().where(col("count") =!= 1)
+      assert(open.isEmpty, "users with != 1 open version")
+      // each closed version's valid_to equals the next version's valid_from
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("valid_from_us")
+      val gaps = scd
+        .withColumn("next_from", lead("valid_from_us", 1).over(w))
+        .where(col("valid_to_us").isNotNull &&
+               col("valid_to_us") =!= col("next_from"))
+      assert(gaps.isEmpty, "non-tiling validity intervals")
+      // consecutive versions always change the tracked attribute
+      val sameAttr = scd
+        .withColumn("next_attr", lead("event_type", 1).over(w))
+        .where(col("next_attr").isNotNull && col("next_attr") === col("event_type"))
+      assert(sameAttr.isEmpty, "adjacent versions with identical attribute (change-compression broken)")
+    } finally scd.unpersist()
+  }
+
+  test("graph_pagerank: rank bounds and node universe") {
+    val pr = q("graph_pagerank").cache()
+    try {
+      // every node keeps at least the damping base and no node exceeds the
+      // total initial mass
+      val n = pr.count()
+      assert(n > 0)
+      val bad = pr.where(col("rank") < 150000L || col("rank") > lit(n) * 1000000L)
+      assert(bad.isEmpty, "rank outside [base, total-mass] bounds")
+      // node universe = distinct endpoints of the trade edge list
+      val l = graft.core.Tables.lineitem(spark, dir)
+      val o = graft.core.Tables.orders(spark, dir)
+      val ends = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("node"))
+        .union(l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("node")))
+        .distinct()
+      assert(n == ends.count(), "pagerank node set != edge endpoint set")
+    } finally pr.unpersist()
+  }
+
+  test("text_hashed_classifier: fold score equals explode+sum score") {
+    // the zero-shuffle fold must equal the classical explode → per-doc sum
+    // plan (same hash weights) — plan-shape optimization, not semantics
+    val w = s"(${graft.dedup.Hashing.sparkMd5Mod("term")} % 2001) - 1000"
+    val expected = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) >= 1)
+      .groupBy("doc_id").agg(sum(expr(w)).as("score2"))
+    val diff = q("text_hashed_classifier")
+      .join(expected, Seq("doc_id"), "left")
+      .where(coalesce(col("score2"), lit(0L)) =!= col("score_milli"))
+    assert(diff.isEmpty, "fold score != explode+sum score")
+  }
+
+  test("ann_kmeans_refine: members partition the base, clusters come from seed labels") {
+    val ref = q("ann_kmeans_refine").cache()
+    try {
+      val base = graft.core.Tables.embeddings(spark, dir)
+      val total = ref.agg(sum("n_members")).head.getLong(0)
+      assert(total == base.count(), "cluster members do not partition the vectors")
+      val labels = base.select(col("label").cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val extra = ref.select("c_label").collect().map(_.getInt(0)).filterNot(labels)
+      assert(extra.isEmpty, s"clusters outside the seed label set: ${extra.toSeq}")
+    } finally ref.unpersist()
+  }
+}
