@@ -116,6 +116,78 @@ object AnalyticQueries {
               |FROM lineitem JOIN part ON l_partkey = p_partkey
               |GROUP BY p_type ORDER BY p_type""".stripMargin)),
 
+    // TPC-H Q1 shape: the headline scan-dominated pricing summary — one
+    // full pass, tiny group space, everything combiner-friendly. This is
+    // the query whose 100-TB plan is pure map-side partial aggregation:
+    // 32 partial rows per task, one exchange of a handful of rows. Money
+    // sums are decimal-exact then surfaced as DOUBLE; averages divide the
+    // exact decimal sum by the exact count ONCE, which is bit-deterministic
+    // across engines and partitionings.
+    Q("q1_pricing_summary", Seq("A1", "A2", "A3", "A13", "F1"),
+      (s, dir) => {
+        val sumQty   = s"CAST(sum(CAST(l_quantity AS $dec)) AS DOUBLE)"
+        val sumPrice = s"CAST(sum(CAST(l_extendedprice AS $dec)) AS DOUBLE)"
+        val sumDisc  = s"CAST(CAST(sum(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec))) AS DECIMAL(28,4)) AS DOUBLE)"
+        val sumChg   = s"CAST(CAST(sum(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec)) * (1 + CAST(l_tax AS $dec))) AS DECIMAL(32,6)) AS DOUBLE)"
+        Tables.lineitem(s, dir)
+          .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(expr(sumQty).as("sum_qty"),
+               expr(sumPrice).as("sum_base_price"),
+               expr(sumDisc).as("sum_disc_price"),
+               expr(sumChg).as("sum_charge"),
+               expr(s"$sumQty / count(*)").as("avg_qty"),
+               expr(s"$sumPrice / count(*)").as("avg_price"),
+               expr(s"CAST(sum(CAST(l_discount AS $dec)) AS DOUBLE) / count(*)").as("avg_disc"),
+               count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  CAST(sum(CAST(l_quantity AS $dec)) AS DOUBLE) AS sum_qty,
+              |  CAST(sum(CAST(l_extendedprice AS $dec)) AS DOUBLE) AS sum_base_price,
+              |  CAST(CAST(sum(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price,
+              |  CAST(CAST(sum(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec)) * (1 + CAST(l_tax AS $dec))) AS DECIMAL(32,6)) AS DOUBLE) AS sum_charge,
+              |  CAST(sum(CAST(l_quantity AS $dec)) AS DOUBLE) / count(*) AS avg_qty,
+              |  CAST(sum(CAST(l_extendedprice AS $dec)) AS DOUBLE) / count(*) AS avg_price,
+              |  CAST(sum(CAST(l_discount AS $dec)) AS DOUBLE) / count(*) AS avg_disc,
+              |  count(*) AS count_order
+              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      note = "TPC-H Q1: scan-dominated partial-agg summary, decimal-exact money, once-divided averages"),
+
+    // TPC-H Q18 shape: large-volume orders — a HAVING on an aggregated
+    // subquery joined back to its detail. The aggregate side shrinks the
+    // orderkey space *before* the join (semi-join reduction): at scale the
+    // filtered aggregate is orders-of-magnitude smaller than lineitem and
+    // broadcasts, so the expensive table is only ever scanned, never
+    // shuffled twice.
+    Q("q18_large_orders", Seq("J1", "A1", "F4", "W4"),
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir)
+          .groupBy("l_orderkey")
+          .agg(expr(s"CAST(sum(CAST(l_quantity AS $dec)) AS DOUBLE)").as("total_qty"))
+          .where(col("total_qty") > 212)
+        Tables.orders(s, dir)
+          .join(big, col("o_orderkey") === big("l_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("o_orderkey"),
+                  to_date(col("o_orderdate")).as("odate"),
+                  col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+              |  o_totalprice, total_qty
+              |FROM orders
+              |  JOIN (SELECT l_orderkey,
+              |          CAST(sum(CAST(l_quantity AS $dec)) AS DOUBLE) AS total_qty
+              |        FROM lineitem GROUP BY 1
+              |        HAVING CAST(sum(CAST(l_quantity AS $dec)) AS DOUBLE) > 212) b
+              |    ON o_orderkey = b.l_orderkey
+              |  JOIN customer ON o_custkey = c_custkey
+              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin),
+      note = "TPC-H Q18: HAVING-aggregate semi-join reduction before the detail join"),
+
     // PageRank over the supplier↔customer trade graph (edges = "supplier
     // supplied this customer", undirected so there are no dangling nodes),
     // 3 unrolled power iterations in ONE declarative plan. All arithmetic is
@@ -164,6 +236,78 @@ object AnalyticQueries {
            |${step(3)}
            |SELECT node, rank FROM r3 ORDER BY rank DESC, node""".stripMargin
       },
-      note = "3-iteration fixed-point PageRank on the trade graph: Pregel-shaped message rounds, bit-identical across engines")
+      note = "3-iteration fixed-point PageRank on the trade graph: Pregel-shaped message rounds, bit-identical across engines"),
+
+    // Triangle counting on the co-supply graph (suppliers linked when they
+    // serve ≥3 common customers) with DEGREE-ORDERED edge orientation — the
+    // trick that makes distributed triangle counting tractable: orienting
+    // every edge from its lower-(degree,id) endpoint bounds per-vertex
+    // out-degree by O(√|E|), so the wedge join is Σ outdeg² ≈ |E|^1.5
+    // instead of Σ deg² (which a hub vertex makes quadratic). Each triangle
+    // is counted exactly once, closed by one hash join of wedges against
+    // the oriented edge list. All counts — engine-exact.
+    Q("graph_triangles", Seq("J1", "J2", "A1", "skew", "§2.10"),
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val sc = l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
+        val co = sc.as("x").join(sc.as("y"), col("x.ck") === col("y.ck") && col("x.sk") < col("y.sk"))
+          .groupBy(col("x.sk").as("u"), col("y.sk").as("v"))
+          .agg(count(lit(1)).as("shared"))
+          .where(col("shared") >= 3)
+          .select("u", "v")
+        val edges = co.cache()
+        val deg = edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("d"))
+        // orient each edge from its lower (degree, id) endpoint
+        val eo = edges
+          .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+          .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+          .select(
+            when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")), col("u")).otherwise(col("v")).as("a"),
+            when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")), col("v")).otherwise(col("u")).as("b"),
+            when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")), col("du")).otherwise(col("dv")).as("da"),
+            when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")), col("dv")).otherwise(col("du")).as("db"))
+          .cache()
+        val wedges = eo.as("e1").join(eo.as("e2"),
+            col("e1.a") === col("e2.a") &&
+            (col("e1.db") < col("e2.db") ||
+             (col("e1.db") === col("e2.db") && col("e1.b") < col("e2.b"))))
+          .select(col("e1.a").as("w0"), col("e1.b").as("w1"), col("e2.b").as("w2"))
+        val tris = wedges.join(eo.as("e3"),
+            col("w1") === col("e3.a") && col("w2") === col("e3.b"))
+          .select("w0", "w1", "w2")
+        tris.select(explode(array(col("w0"), col("w1"), col("w2"))).as("supplier"))
+          .groupBy("supplier").agg(count(lit(1)).as("n_triangles"))
+          .orderBy(col("n_triangles").desc, col("supplier"))
+      },
+      Some("""WITH sc AS (SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+             |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |co AS (SELECT x.sk AS u, y.sk AS v
+             |       FROM sc x JOIN sc y ON x.ck = y.ck AND x.sk < y.sk
+             |       GROUP BY 1, 2 HAVING count(*) >= 3),
+             |deg AS (SELECT n, count(*) AS d FROM (
+             |          SELECT u AS n FROM co UNION ALL SELECT v AS n FROM co) t
+             |        GROUP BY 1),
+             |eo AS (SELECT
+             |    CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+             |    CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b,
+             |    CASE WHEN du < dv OR (du = dv AND u < v) THEN du ELSE dv END AS da,
+             |    CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS db
+             |  FROM (SELECT co.u, co.v, d1.d AS du, d2.d AS dv
+             |        FROM co JOIN deg d1 ON d1.n = co.u
+             |                JOIN deg d2 ON d2.n = co.v) t),
+             |tri AS (SELECT e1.a AS w0, e1.b AS w1, e2.b AS w2
+             |        FROM eo e1
+             |        JOIN eo e2 ON e1.a = e2.a
+             |          AND (e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b))
+             |        JOIN eo e3 ON e3.a = e1.b AND e3.b = e2.b)
+             |SELECT supplier, count(*) AS n_triangles FROM (
+             |  SELECT w0 AS supplier FROM tri
+             |  UNION ALL SELECT w1 FROM tri
+             |  UNION ALL SELECT w2 FROM tri) t
+             |GROUP BY 1 ORDER BY n_triangles DESC, supplier""".stripMargin),
+      note = "degree-ordered triangle counting: out-degree bounded by sqrt(|E|), one wedge join + one closing join")
   )
 }

@@ -301,6 +301,52 @@ object WindowQueries {
              |                       ORDER BY CAST(value AS DOUBLE) DESC, event_id) AS rank
              |  FROM events) t
              |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin),
-      note = "typed bounded top-k Aggregator: O(groups x k) shuffle vs the window's full sort")
+      note = "typed bounded top-k Aggregator: O(groups x k) shuffle vs the window's full sort"),
+
+    // Mann-Kendall trend test per user over DAILY activity totals — the
+    // standard nonparametric trend statistic of the environmental-
+    // monitoring literature the reference lives in (its GWR/GP stages feed
+    // exactly this kind of "is forage trending down" question). S =
+    // Σ_{i<j} sign(x_j − x_i) over the monthly series; sums are integer
+    // cents and signs are CASE arithmetic, so S is engine-exact. The i<j
+    // pair join is per-key quadratic in the SERIES LENGTH — bounded by the
+    // calendar window (≤ tens of days) however many rows the fact table
+    // has, which is what makes the self-join admissible at 100 TB: cost is
+    // O(users × days²), data-volume-independent after the first rollup.
+    Q("w_trend_mann_kendall", Seq("W1", "A1", "A9", "J2", "F8"),
+      (s, dir) => {
+        val m = Tables.events(s, dir)
+          .groupBy(col("user_id"), to_date(col("ts")).as("ym"))
+          .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        val sgn = when(col("c2") > col("c1"), 1L)
+          .when(col("c2") < col("c1"), -1L).otherwise(0L)
+        val pairs = m.select(col("user_id"), col("ym").as("ym1"), col("cents").as("c1"))
+          .join(m.select(col("user_id"), col("ym").as("ym2"), col("cents").as("c2")),
+                Seq("user_id"))
+          .where(col("ym1") < col("ym2"))
+        pairs.groupBy("user_id")
+          .agg(sum(sgn).as("s_stat"))
+          .join(m.groupBy("user_id").agg(count(lit(1)).as("n_periods")), "user_id")
+          .select(col("user_id"), col("n_periods"), col("s_stat"),
+                  when(col("s_stat") > 0, "up").when(col("s_stat") < 0, "down")
+                    .otherwise("flat").as("trend"))
+          .orderBy("user_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS ym,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM events GROUP BY 1, 2),
+             |p AS (SELECT a.user_id,
+             |        CASE WHEN b.cents > a.cents THEN 1
+             |             WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sg
+             |      FROM m a JOIN m b ON a.user_id = b.user_id AND a.ym < b.ym),
+             |s AS (SELECT user_id, CAST(sum(sg) AS BIGINT) AS s_stat
+             |      FROM p GROUP BY 1),
+             |n AS (SELECT user_id, count(*) AS n_periods FROM m GROUP BY 1)
+             |SELECT user_id, n_periods, s_stat,
+             |  CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down'
+             |       ELSE 'flat' END AS trend
+             |FROM s JOIN n USING (user_id) ORDER BY user_id""".stripMargin),
+      note = "Mann-Kendall S per user on daily integer-cent totals: calendar-bounded pair join, engine-exact signs")
   )
 }

@@ -73,6 +73,23 @@ class WarehouseGraphSpec extends AnyFunSuite {
     assert(diff.isEmpty, "fold score != explode+sum score")
   }
 
+  test("graph_triangles: role counts sum to 3x the triangle count") {
+    // every triangle contributes exactly one count to each of its three
+    // vertices, so the per-supplier participation total must be divisible
+    // by 3 — a closure-correctness canary for the oriented wedge join
+    val tri = q("graph_triangles")
+    val total = tri.agg(sum("n_triangles")).head.getLong(0)
+    assert(total > 0, "no triangles found in the co-supply graph")
+    assert(total % 3 == 0, s"role-count total $total not divisible by 3")
+  }
+
+  test("w_trend_mann_kendall: |S| bounded by the pair count") {
+    val mk = q("w_trend_mann_kendall")
+    val bad = mk.where(abs(col("s_stat")) > col("n_periods") * (col("n_periods") - 1) / 2)
+    assert(bad.isEmpty, "S outside the n(n-1)/2 bound")
+    assert(mk.where(col("n_periods") > 31).isEmpty, "daily series longer than the calendar window")
+  }
+
   test("ann_kmeans_refine: members partition the base, clusters come from seed labels") {
     val ref = q("ann_kmeans_refine").cache()
     try {
