@@ -73,6 +73,74 @@ object LayoutQueries {
               |  FROM (SELECT l_partkey % 1024 AS d1, l_orderkey % 1024 AS d2
               |        FROM lineitem) t) u
               |GROUP BY zbucket ORDER BY zbucket""".stripMargin),
-      note = "Morton-interleave clustering key + per-bucket min/max skip stats; map-side codegen arithmetic")
+      note = "Morton-interleave clustering key + per-bucket min/max skip stats; map-side codegen arithmetic"),
+
+    // The payoff audit for the clustering key: simulate a file-skipping
+    // scan over TWO physical layouts of the same rows — value-range
+    // bucketing on d1 alone (what a naive sort-by-one-column write gives
+    // you) vs the Morton buckets — and count, per canned predicate, how
+    // many "files" the stored min/max boxes let the reader skip and how
+    // many rows survive to be scanned. The single-dimension layout prunes
+    // only its own dimension (d2 min/max spans the full domain in every
+    // bucket); the Z-order layout prunes BOTH. This is the zone-map
+    // arithmetic every lakehouse scan planner runs — all integer,
+    // engine-exact.
+    Q("layout_skipping_audit", Seq("F5", "F2", "A4", "P4", "§2.10"),
+      (s, dir) => {
+        val rows = Tables.lineitem(s, dir)
+          .select(expr("l_partkey % 1024").as("d1"), expr("l_orderkey % 1024").as("d2"))
+        val zstat = rows
+          .withColumn("z", expr(zSpark("d1", "d2")))
+          .withColumn("bucket", expr(s"CAST(shiftright(z, $BucketShift) AS INT)"))
+          .withColumn("layout", lit("zorder"))
+        val lstat = rows
+          .withColumn("bucket", expr("CAST(d1 div 8 AS INT)"))
+          .withColumn("layout", lit("linear_d1"))
+        zstat.select("layout", "bucket", "d1", "d2")
+          .union(lstat.select("layout", "bucket", "d1", "d2"))
+          .groupBy("layout", "bucket")
+          .agg(count(lit(1)).as("n"),
+               min("d1").as("lo1"), max("d1").as("hi1"),
+               min("d2").as("lo2"), max("d2").as("hi2"))
+          .withColumn("skip1", (col("hi1") < 100 || col("lo1") > 131).cast("long"))
+          .withColumn("skip2", (col("hi2") < 200 || col("lo2") > 231).cast("long"))
+          .withColumn("skip3", (col("skip1") === 1 || col("skip2") === 1).cast("long"))
+          .groupBy("layout")
+          .agg(count(lit(1)).as("n_blocks"),
+               sum("skip1").as("skipped_d1_pred"),
+               sum("skip2").as("skipped_d2_pred"),
+               sum("skip3").as("skipped_both_pred"),
+               sum(when(col("skip1") === 0, col("n")).otherwise(0L)).as("rows_scanned_d1"),
+               sum(when(col("skip2") === 0, col("n")).otherwise(0L)).as("rows_scanned_d2"),
+               sum(when(col("skip3") === 0, col("n")).otherwise(0L)).as("rows_scanned_both"))
+          .orderBy("layout")
+      },
+      Some(s"""WITH rows_ AS (SELECT l_partkey % 1024 AS d1, l_orderkey % 1024 AS d2 FROM lineitem),
+              |tagged AS (
+              |  SELECT 'zorder' AS layout,
+              |    CAST((${zDuck("d1", "d2")}) >> $BucketShift AS INTEGER) AS bucket, d1, d2
+              |  FROM rows_
+              |  UNION ALL
+              |  SELECT 'linear_d1' AS layout, CAST(d1 // 8 AS INTEGER) AS bucket, d1, d2
+              |  FROM rows_),
+              |stats AS (
+              |  SELECT layout, bucket, count(*) AS n,
+              |    min(d1) AS lo1, max(d1) AS hi1, min(d2) AS lo2, max(d2) AS hi2
+              |  FROM tagged GROUP BY 1, 2),
+              |flags AS (
+              |  SELECT layout, n,
+              |    CAST(hi1 < 100 OR lo1 > 131 AS BIGINT) AS skip1,
+              |    CAST(hi2 < 200 OR lo2 > 231 AS BIGINT) AS skip2,
+              |    CAST((hi1 < 100 OR lo1 > 131) OR (hi2 < 200 OR lo2 > 231) AS BIGINT) AS skip3
+              |  FROM stats)
+              |SELECT layout, count(*) AS n_blocks,
+              |  CAST(sum(skip1) AS BIGINT) AS skipped_d1_pred,
+              |  CAST(sum(skip2) AS BIGINT) AS skipped_d2_pred,
+              |  CAST(sum(skip3) AS BIGINT) AS skipped_both_pred,
+              |  CAST(sum(CASE WHEN skip1 = 0 THEN n ELSE 0 END) AS BIGINT) AS rows_scanned_d1,
+              |  CAST(sum(CASE WHEN skip2 = 0 THEN n ELSE 0 END) AS BIGINT) AS rows_scanned_d2,
+              |  CAST(sum(CASE WHEN skip3 = 0 THEN n ELSE 0 END) AS BIGINT) AS rows_scanned_both
+              |FROM flags GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "zone-map skip audit: Z-order layout prunes both dims, single-dim layout only its own; integer-exact scan accounting")
   )
 }

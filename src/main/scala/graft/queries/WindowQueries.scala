@@ -347,6 +347,53 @@ object WindowQueries {
              |  CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down'
              |       ELSE 'flat' END AS trend
              |FROM s JOIN n USING (user_id) ORDER BY user_id""".stripMargin),
-      note = "Mann-Kendall S per user on daily integer-cent totals: calendar-bounded pair join, engine-exact signs")
+      note = "Mann-Kendall S per user on daily integer-cent totals: calendar-bounded pair join, engine-exact signs"),
+
+    // Theil–Sen slope — Mann-Kendall's companion robust trend ESTIMATOR:
+    // the median of all pairwise slopes (x_j − x_i)/(t_j − t_i) over the
+    // same daily series. Slopes are fixed-point integers (cents·10⁶ per
+    // day) with the offset-before-floor-division trick so Spark `div` and
+    // DuckDB `//` agree on negative differences; the median is the value
+    // at rank ⌈n/2⌉ of the per-user slope ordering (lower median), which
+    // is tie-independent and therefore engine-exact. Same calendar-bounded
+    // O(users × days²) pair join as the MK test.
+    Q("w_trend_theil_sen", Seq("W1", "A9", "A13", "J2", "F8"),
+      (s, dir) => {
+        val K = 1000000000000L // offset: |dc|·10⁶ < K, keeps the dividend positive
+        val m = Tables.events(s, dir)
+          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        val pairs = m.select(col("user_id"), col("d").as("d1"), col("cents").as("c1"))
+          .join(m.select(col("user_id"), col("d").as("d2"), col("cents").as("c2")),
+                Seq("user_id"))
+          .where(col("d1") < col("d2"))
+          .select(col("user_id"),
+                  expr(s"((c2 - c1) * 1000000 + $K * datediff(d2, d1)) div datediff(d2, d1) - $K")
+                    .as("slope_ppm"))
+        val w = Window.partitionBy("user_id").orderBy("slope_ppm")
+        val wc = Window.partitionBy("user_id")
+        pairs
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_pairs", count(lit(1)).over(wc))
+          .where(col("rn") === expr("(n_pairs + 1) div 2"))
+          .select(col("user_id"), col("n_pairs"), col("slope_ppm").as("theil_sen_ppm"))
+          .orderBy("user_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS d,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM events GROUP BY 1, 2),
+             |p AS (SELECT a.user_id,
+             |        ((b.cents - a.cents) * 1000000
+             |          + 1000000000000 * date_diff('day', a.d, b.d))
+             |          // date_diff('day', a.d, b.d) - 1000000000000 AS slope_ppm
+             |      FROM m a JOIN m b ON a.user_id = b.user_id AND a.d < b.d),
+             |r AS (SELECT user_id, slope_ppm,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY slope_ppm) AS rn,
+             |        count(*) OVER (PARTITION BY user_id) AS n_pairs
+             |      FROM p)
+             |SELECT user_id, n_pairs, slope_ppm AS theil_sen_ppm
+             |FROM r WHERE rn = (n_pairs + 1) // 2 ORDER BY user_id""".stripMargin),
+      note = "Theil-Sen median pairwise slope in fixed-point ppm: lower-median rank pick, engine-exact")
   )
 }

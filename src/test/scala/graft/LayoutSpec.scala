@@ -92,4 +92,18 @@ class LayoutSpec extends AnyFunSuite {
       rm(new java.io.File(zPath)); rm(new java.io.File(uPath))
     }
   }
+
+  test("skipping audit: z-order prunes the second dimension, linear layout cannot") {
+    val audit = SparkEntry.queries("layout_skipping_audit")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[String]("layout") -> r).toMap
+    val lin = audit("linear_d1")
+    val zed = audit("zorder")
+    // a layout bucketed on d1 alone has full-domain d2 ranges in every
+    // bucket: the d2 predicate can never skip a block there
+    assert(lin.getAs[Long]("skipped_d2_pred") == 0L, "linear layout skipped on d2")
+    assert(zed.getAs[Long]("skipped_d2_pred") > 0L, "z-order did not skip on d2")
+    // and on the combined predicate z-order must scan strictly fewer rows
+    assert(zed.getAs[Long]("rows_scanned_both") < lin.getAs[Long]("rows_scanned_both"),
+      "z-order scanned no fewer rows than the linear layout")
+  }
 }

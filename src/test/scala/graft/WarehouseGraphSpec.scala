@@ -90,6 +90,15 @@ class WarehouseGraphSpec extends AnyFunSuite {
     assert(mk.where(col("n_periods") > 31).isEmpty, "daily series longer than the calendar window")
   }
 
+  test("w_trend_theil_sen: pair counts agree with the MK series lengths") {
+    val mk = q("w_trend_mann_kendall").select("user_id", "n_periods")
+    val ts = q("w_trend_theil_sen").select("user_id", "n_pairs")
+    val bad = mk.join(ts, "user_id")
+      .where(col("n_pairs") =!= col("n_periods") * (col("n_periods") - 1) / 2)
+    assert(bad.isEmpty, "Theil-Sen pair count != n(n-1)/2 of the MK series")
+    assert(ts.count() == mk.count(), "user sets differ between MK and Theil-Sen")
+  }
+
   test("ann_kmeans_refine: members partition the base, clusters come from seed labels") {
     val ref = q("ann_kmeans_refine").cache()
     try {
