@@ -488,6 +488,95 @@ object TextQueries {
            |    AS INTEGER) AS label
            |FROM documents ORDER BY doc_id""".stripMargin
       },
-      note = "hashing-trick linear inference: zero dictionary, zero shuffle — one codegen'd fold per doc")
+      note = "hashing-trick linear inference: zero dictionary, zero shuffle — one codegen'd fold per doc"),
+
+    // BPE APPLY — the other half of the tokenizer (text_bpe_pair_stats
+    // learns the merge table; this applies it). The top-4 learned merges
+    // are applied rank-by-rank to every vocabulary word's char-spaced
+    // form, then docs join the merged dictionary — so the string rewriting
+    // is O(vocab) however long the token stream is, and the doc pass is a
+    // broadcast join + one sum. Merge application is a single left-to-right
+    // replace() pass per merge in BOTH engines; spaces are doubled before
+    // each pass so adjacent matches never share a boundary space (the
+    // classic SQL word-boundary trick), making the rewrite engine-exact.
+    // Merges are data-dependent: Spark pivots the ranked pairs into one
+    // broadcast row; the oracle inlines them as scalar subqueries.
+    Q("text_bpe_apply", Seq("text", "A12", "J1", "P13", "W4"),
+      (s, dir) => {
+        def app(sc: String, m: String): String =
+          s"replace(replace(replace($sc, ' ', '  '), " +
+          s"' ' || substr($m, 1, 1) || '  ' || substr($m, 2, 1) || ' ', " +
+          s"' ' || $m || ' '), '  ', ' ')"
+        val spaced0 = "' ' || concat_ws(' ', transform(sequence(1, CAST(length(word) AS INT)), " +
+          "i -> substring(word, i, 1))) || ' '"
+        val dictAll = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .where(length(col("word")) >= 1)
+          .groupBy("word").agg(count(lit(1)).as("wcnt"))
+        val ranked = dictAll.where(length(col("word")) >= 2)
+          .select(col("word"), col("wcnt"),
+                  explode(expr("transform(sequence(1, CAST(length(word) - 1 AS INT)), " +
+                               "i -> substring(word, i, 2))")).as("pair"))
+          .groupBy("pair").agg(sum("wcnt").as("total"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("total").desc, col("pair"))))
+          .where(col("rk") <= 4)
+        val merges = ranked.groupBy().pivot("rk", Seq(1, 2, 3, 4)).agg(first("pair"))
+          .select(col("1").as("m1"), col("2").as("m2"), col("3").as("m3"), col("4").as("m4"))
+        val sFinal = app(app(app(app(spaced0, "m1"), "m2"), "m3"), "m4")
+        val dict = dictAll.crossJoin(broadcast(merges))
+          .select(col("word"), expr(sFinal).as("sf"))
+          .select(col("word"),
+                  expr("length(word)").as("n_chars"),
+                  expr("length(sf) - length(replace(sf, ' ', '')) - 1").as("n_sym"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .where(length(col("word")) >= 1)
+          .join(broadcast(dict), "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+               sum("n_chars").as("chars_total"),
+               sum("n_sym").as("symbols_after"))
+          .withColumn("compression",
+                      col("symbols_after").cast("double") / col("chars_total"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def app(sc: String, m: String): String =
+          s"replace(replace(replace($sc, ' ', '  '), " +
+          s"' ' || substr($m, 1, 1) || '  ' || substr($m, 2, 1) || ' ', " +
+          s"' ' || $m || ' '), '  ', ' ')"
+        val spaced0 = "' ' || array_to_string(list_transform(generate_series(1, length(word)), " +
+          "i -> substr(word, CAST(i AS INTEGER), 1)), ' ') || ' '"
+        def mk(k: Int) = s"(SELECT pair FROM ranked WHERE rk = $k)"
+        val sFinal = app(app(app(app(spaced0, mk(1)), mk(2)), mk(3)), mk(4))
+        s"""WITH dict_all AS (
+           |  SELECT word, count(*) AS wcnt FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+           |  WHERE length(word) >= 1 GROUP BY 1),
+           |pairs AS (
+           |  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair,
+           |    CAST(sum(wcnt) AS BIGINT) AS total
+           |  FROM (SELECT word, wcnt, unnest(generate_series(1, length(word) - 1)) AS i
+           |        FROM dict_all WHERE length(word) >= 2) p
+           |  GROUP BY 1),
+           |ranked AS (
+           |  SELECT pair, row_number() OVER (ORDER BY total DESC, pair) AS rk
+           |  FROM pairs QUALIFY rk <= 4),
+           |dict AS (
+           |  SELECT word, length(word) AS n_chars,
+           |    length(sf) - length(replace(sf, ' ', '')) - 1 AS n_sym
+           |  FROM (SELECT word, $sFinal AS sf FROM dict_all) t),
+           |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+           |SELECT doc_id, count(*) AS n_words,
+           |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           |  CAST(sum(n_sym) AS BIGINT) AS symbols_after,
+           |  CAST(CAST(sum(n_sym) AS BIGINT) AS DOUBLE)
+           |    / CAST(sum(n_chars) AS BIGINT) AS compression
+           |FROM toks JOIN dict USING (word)
+           |WHERE length(word) >= 1
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+      note = "learned-merge application over the dictionary (O(vocab) rewriting), broadcast join to the stream; double-space boundary trick keeps replace() engine-exact")
   )
 }

@@ -33,6 +33,30 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("Q18's HAVING aggregate broadcasts into the detail join") {
+    // the semi-join-reduction side (aggregated + filtered orderkeys) must
+    // be the broadcast side; the big tables are only scanned
+    val p = plan("q18_large_orders")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("k-means refine scores the E-step against broadcast centroids") {
+    val p = plan("ann_kmeans_refine")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("SCD2 build is a single exchange: both windows share the user_id shuffle") {
+    val p = plan("cdc_scd2_intervals")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$p")
+  }
+
+  test("BPE apply joins the rewritten dictionary by broadcast") {
+    val p = plan("text_bpe_apply")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("centroid assignment broadcasts the centroid table") {
     val p = plan("ann_centroid_assign")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -99,6 +99,19 @@ class WarehouseGraphSpec extends AnyFunSuite {
     assert(ts.count() == mk.count(), "user sets differ between MK and Theil-Sen")
   }
 
+  test("text_bpe_apply: symbol counts sit between word and char counts, merges fire") {
+    val bpe = q("text_bpe_apply").cache()
+    try {
+      // every word is >= 1 symbol, and merging can only shrink the spaced form
+      val bad = bpe.where(col("symbols_after") < col("n_words") ||
+                          col("symbols_after") > col("chars_total"))
+      assert(bad.isEmpty, "symbols_after outside [n_words, chars_total]")
+      // the learned merges must actually apply somewhere in the corpus
+      val saved = bpe.agg(sum(col("chars_total") - col("symbols_after"))).head.getLong(0)
+      assert(saved > 0, "no merge ever fired")
+    } finally bpe.unpersist()
+  }
+
   test("ann_kmeans_refine: members partition the base, clusters come from seed labels") {
     val ref = q("ann_kmeans_refine").cache()
     try {
