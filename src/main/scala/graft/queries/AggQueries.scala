@@ -258,6 +258,114 @@ object AggQueries {
       },
       note = "mergeable k-min-values sketch (typed Aggregator) vs exact, same answer either merge order"),
 
+    // KMV SET ALGEBRA — the reason warehouses keep sketches instead of
+    // counts: distinct-union, distinct-intersection and Jaccard of two key
+    // sets (parts shipped in Jan '97 vs parts with a deep-discount return)
+    // estimated from the
+    // sketches alone, no re-scan of the fact table. Union sketch = k
+    // smallest of the merged hash sets; intersection à la
+    // Beyer et al. (SIGMOD'07): ρ = members of the union sketch lying in
+    // BOTH per-set sketches, est∩ = ρ/k · est∪. Hash ranks are integers and
+    // every estimate is one division of exact operands, so the numbers are
+    // engine-exact. Each per-class top-k prune is the window form of the
+    // bounded top-k Aggregator (w_topk_bounded) — at 100 TB that aggregator
+    // carries O(k) state per partition and this plan's global sort sees
+    // ≤ 3k rows, never the key universe. Exact counts ride along as audit.
+    Q("sketch_kmv_setops", Seq("A12", "A13", "W5", "§2.10", "sampling"),
+      (s, dir) => {
+        val P = graft.dedup.Hashing.P
+        val K = 64
+        val kf = Tables.lineitem(s, dir)
+          .groupBy("l_partkey")
+          .agg(max(when(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                        col("l_shipdate") < lit("1997-02-01").cast("timestamp"), 1)
+                     .otherwise(0)).as("fa"),
+               max(when(col("l_returnflag") === "R" && col("l_discount") > 0.08, 1)
+                     .otherwise(0)).as("fb"))
+          .where(col("fa") === 1 || col("fb") === 1)
+        val exact = kf.agg(
+          sum("fa").as("n_exact_a"), sum("fb").as("n_exact_b"),
+          count(lit(1)).as("n_exact_union"),
+          sum(expr("fa * fb")).as("n_exact_intersect"))
+        val hx = kf
+          .select(expr(graft.dedup.Hashing.sparkMd5Mod("CAST(l_partkey AS STRING)")).as("h"),
+                  col("fa"), col("fb"))
+          .groupBy("h").agg(max("fa").as("fa"), max("fb").as("fb"))
+        val d = hx.agg(sum("fa").as("da"), sum("fb").as("db"), count(lit(1)).as("du"))
+        val wClass = org.apache.spark.sql.expressions.Window.partitionBy("fa", "fb").orderBy("h")
+        val pruned = hx.withColumn("rc", row_number().over(wClass))
+          .where(col("rc") <= K).drop("rc")
+        val wu = org.apache.spark.sql.expressions.Window.orderBy("h")
+        val wuF = wu.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                                 org.apache.spark.sql.expressions.Window.currentRow)
+        val t = pruned
+          .withColumn("ru", row_number().over(wu))
+          .withColumn("ra", sum("fa").over(wuF))
+          .withColumn("rb", sum("fb").over(wuF))
+        val th = t.agg(
+          max(when(col("fa") === 1 && col("ra") === K, col("h"))).as("tha"),
+          max(when(col("fb") === 1 && col("rb") === K, col("h"))).as("thb"),
+          max(when(col("ru") === K, col("h"))).as("thu"))
+        val rho = t.crossJoin(broadcast(th))
+          .where(col("ru") <= K && col("fa") === 1 && col("fb") === 1 &&
+                 col("h") <= coalesce(col("tha"), lit(P)) &&
+                 col("h") <= coalesce(col("thb"), lit(P)))
+          .agg(count(lit(1)).as("rho"))
+        exact.crossJoin(d).crossJoin(th).crossJoin(rho)
+          .select(col("n_exact_a"), col("n_exact_b"),
+                  col("n_exact_union"), col("n_exact_intersect"),
+                  expr(s"round(CASE WHEN da < $K THEN CAST(da AS DOUBLE) ELSE ${K - 1}.0 * $P.0 / CAST(tha AS DOUBLE) END, 6)").as("kmv_a"),
+                  expr(s"round(CASE WHEN db < $K THEN CAST(db AS DOUBLE) ELSE ${K - 1}.0 * $P.0 / CAST(thb AS DOUBLE) END, 6)").as("kmv_b"),
+                  expr(s"round(CASE WHEN du < $K THEN CAST(du AS DOUBLE) ELSE ${K - 1}.0 * $P.0 / CAST(thu AS DOUBLE) END, 6)").as("kmv_union"),
+                  expr(s"round(CASE WHEN du < $K THEN CAST(rho AS DOUBLE) ELSE rho * (${K - 1}.0 * $P.0 / CAST(thu AS DOUBLE)) / $K.0 END, 6)").as("kmv_intersect"),
+                  expr(s"round((CASE WHEN du < $K THEN CAST(rho AS DOUBLE) ELSE rho * (${K - 1}.0 * $P.0 / CAST(thu AS DOUBLE)) / $K.0 END) / (CASE WHEN du < $K THEN CAST(du AS DOUBLE) ELSE ${K - 1}.0 * $P.0 / CAST(thu AS DOUBLE) END), 6)").as("jaccard_est"))
+      },
+      Some {
+        val h = graft.dedup.Hashing.duckMd5Mod("CAST(l_partkey AS VARCHAR)")
+        val P = graft.dedup.Hashing.P
+        val K = 64
+        s"""WITH kf AS (
+           |  SELECT l_partkey,
+           |    max(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+           |             AND l_shipdate < TIMESTAMP '1997-02-01' THEN 1 ELSE 0 END) AS fa,
+           |    max(CASE WHEN l_returnflag = 'R' AND l_discount > 0.08 THEN 1 ELSE 0 END) AS fb
+           |  FROM lineitem GROUP BY 1),
+           |kf2 AS (SELECT * FROM kf WHERE fa = 1 OR fb = 1),
+           |ex AS (SELECT CAST(sum(fa) AS BIGINT) AS n_exact_a,
+           |         CAST(sum(fb) AS BIGINT) AS n_exact_b,
+           |         count(*) AS n_exact_union,
+           |         CAST(sum(fa * fb) AS BIGINT) AS n_exact_intersect
+           |       FROM kf2),
+           |hx AS (SELECT $h AS h, max(fa) AS fa, max(fb) AS fb FROM kf2 GROUP BY 1),
+           |d AS (SELECT CAST(sum(fa) AS BIGINT) AS da, CAST(sum(fb) AS BIGINT) AS db,
+           |        count(*) AS du FROM hx),
+           |pr AS (SELECT h, fa, fb FROM (
+           |         SELECT h, fa, fb,
+           |           row_number() OVER (PARTITION BY fa, fb ORDER BY h) AS rc
+           |         FROM hx) z WHERE rc <= $K),
+           |t AS (SELECT h, fa, fb,
+           |        row_number() OVER (ORDER BY h) AS ru,
+           |        sum(fa) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ra,
+           |        sum(fb) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rb
+           |      FROM pr),
+           |th AS (SELECT max(CASE WHEN fa = 1 AND ra = $K THEN h END) AS tha,
+           |         max(CASE WHEN fb = 1 AND rb = $K THEN h END) AS thb,
+           |         max(CASE WHEN ru = $K THEN h END) AS thu
+           |       FROM t),
+           |rho AS (SELECT count(*) AS rho FROM t, th
+           |        WHERE ru <= $K AND fa = 1 AND fb = 1
+           |          AND h <= coalesce(tha, $P) AND h <= coalesce(thb, $P))
+           |SELECT n_exact_a, n_exact_b, n_exact_union, n_exact_intersect,
+           |  round(CASE WHEN da < $K THEN CAST(da AS DOUBLE) ELSE ${K - 1}.0 * $P.0 / CAST(tha AS DOUBLE) END, 6) AS kmv_a,
+           |  round(CASE WHEN db < $K THEN CAST(db AS DOUBLE) ELSE ${K - 1}.0 * $P.0 / CAST(thb AS DOUBLE) END, 6) AS kmv_b,
+           |  round(CASE WHEN du < $K THEN CAST(du AS DOUBLE) ELSE ${K - 1}.0 * $P.0 / CAST(thu AS DOUBLE) END, 6) AS kmv_union,
+           |  round(CASE WHEN du < $K THEN CAST(rho AS DOUBLE) ELSE rho * (${K - 1}.0 * $P.0 / CAST(thu AS DOUBLE)) / $K.0 END, 6) AS kmv_intersect,
+           |  round((CASE WHEN du < $K THEN CAST(rho AS DOUBLE) ELSE rho * (${K - 1}.0 * $P.0 / CAST(thu AS DOUBLE)) / $K.0 END)
+           |    / (CASE WHEN du < $K THEN CAST(du AS DOUBLE) ELSE ${K - 1}.0 * $P.0 / CAST(thu AS DOUBLE) END), 6) AS jaccard_est
+           |FROM ex, d, th, rho""".stripMargin
+      },
+      note = "KMV set algebra (Beyer et al.): union/intersection/Jaccard from the sketches alone, exact audits alongside; bounded top-k prune is the scale path"),
+
     // HLL-shaped register sketch (graft.agg.HllSketch): the FIXED-SIZE
     // companion to KMV — 64 one-byte registers whatever the cardinality,
     // merge = elementwise max. This is the one-pass distinct-count shape for

@@ -112,6 +112,20 @@ class WarehouseGraphSpec extends AnyFunSuite {
     } finally bpe.unpersist()
   }
 
+  test("sketch_kmv_setops: estimates are sane and track the exact audits") {
+    val r = q("sketch_kmv_setops").head
+    val jac = r.getAs[Double]("jaccard_est")
+    assert(jac >= 0.0 && jac <= 1.0, s"jaccard $jac outside [0,1]")
+    assert(r.getAs[Double]("kmv_intersect") <= r.getAs[Double]("kmv_union") + 1e-9,
+      "intersection estimate exceeds union estimate")
+    // k=64 KMV has ~1/sqrt(k) relative error; 50% is a loose sanity bound
+    for ((est, ex) <- Seq("kmv_a" -> "n_exact_a", "kmv_b" -> "n_exact_b",
+                          "kmv_union" -> "n_exact_union")) {
+      val e = r.getAs[Double](est); val x = r.getAs[Long](ex).toDouble
+      assert(x == 0.0 || math.abs(e - x) / x < 0.5, s"$est=$e far from $ex=$x")
+    }
+  }
+
   test("ann_kmeans_refine: members partition the base, clusters come from seed labels") {
     val ref = q("ann_kmeans_refine").cache()
     try {
