@@ -362,6 +362,56 @@ object SessionQueries {
              |  CAST(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
              |       AS INTEGER) AS is_current
              |FROM k ORDER BY user_id, valid_from_us""".stripMargin),
-      note = "SCD2 dimension from the event log: change-compression + interval close, one shuffle, both windows share the exchange+sort")
+      note = "SCD2 dimension from the event log: change-compression + interval close, one shuffle, both windows share the exchange+sort"),
+
+    // Nearest-in-time as-of (either direction): each purchase matches its
+    // temporally closest view, before OR after, ties to the earlier one.
+    // Composed from the interleaved-stream trick: one sort per user of the
+    // merged view+purchase stream, a backward ignore-nulls last_value and a
+    // forward ignore-nulls first_value, then a CASE pick — no join at all,
+    // ONE exchange+sort for both directions. (The backward-only variants
+    // are j_asof_last_prior / the native plan; this is the "nearest quote"
+    // semantics time-series stores ship as asof NEAREST.) The (user_id, ts)
+    // uniqueness canary in OpsSpec guarantees the interleave order is total.
+    Q("j_asof_nearest", Seq("asof", "J2", "W2", "F8"),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us")
+        val e = Tables.events(s, dir)
+          .where(col("event_type").isin("purchase", "view"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+                  unix_micros(col("ts")).as("ts_us"),
+                  when(col("event_type") === "view", unix_micros(col("ts"))).as("vts"))
+        e.withColumn("prior_us", last("vts", ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("next_us", first("vts", ignoreNulls = true)
+            .over(w.rowsBetween(1, Window.unboundedFollowing)))
+          .where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+                  when(col("next_us").isNull ||
+                       (col("prior_us").isNotNull &&
+                        col("ts_us") - col("prior_us") <= col("next_us") - col("ts_us")),
+                       col("prior_us")).otherwise(col("next_us")).as("nearest_view_us"))
+          .withColumn("delta_us", col("nearest_view_us") - col("ts_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             |    CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS vts
+             |  FROM events WHERE event_type IN ('purchase', 'view')),
+             |m AS (SELECT event_id, user_id, event_type, ts_us,
+             |    last_value(vts IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_us,
+             |    first_value(vts IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us
+             |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_us
+             |  FROM e)
+             |SELECT event_id, user_id, ts_us,
+             |  CASE WHEN next_us IS NULL OR (prior_us IS NOT NULL
+             |            AND ts_us - prior_us <= next_us - ts_us)
+             |       THEN prior_us ELSE next_us END AS nearest_view_us,
+             |  CASE WHEN next_us IS NULL OR (prior_us IS NOT NULL
+             |            AND ts_us - prior_us <= next_us - ts_us)
+             |       THEN prior_us ELSE next_us END - ts_us AS delta_us
+             |FROM m WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin),
+      note = "nearest-either-direction as-of from one interleaved sort: backward + forward ignore-nulls windows, zero joins")
   )
 }

@@ -394,6 +394,55 @@ object WindowQueries {
              |      FROM p)
              |SELECT user_id, n_pairs, slope_ppm AS theil_sen_ppm
              |FROM r WHERE rn = (n_pairs + 1) // 2 ORDER BY user_id""".stripMargin),
-      note = "Theil-Sen median pairwise slope in fixed-point ppm: lower-median rank pick, engine-exact")
+      note = "Theil-Sen median pairwise slope in fixed-point ppm: lower-median rank pick, engine-exact"),
+
+    // CUSUM change-point detection — the third leg of the trend family
+    // (MK answers "is there a trend", Theil–Sen "how steep", this "WHERE
+    // does the level shift"). Deviations are kept in the n·x − S scaled-
+    // integer form (multiply by the series length instead of dividing by
+    // it), so cumulative sums, the max |CUSUM| and its argmax day are all
+    // exact 64-bit integers — no mean, no floats, bit-identical engines.
+    // One exchange on user_id; every window rides the same sort.
+    Q("w_trend_cusum", Seq("W3", "W9", "A9", "A13", "F8"),
+      (s, dir) => {
+        val m = Tables.events(s, dir)
+          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        val wc = Window.partitionBy("user_id")
+        val wo = Window.partitionBy("user_id").orderBy("d")
+        val wp = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val t = m
+          .withColumn("n", count(lit(1)).over(wc))
+          .withColumn("tot", sum("cents").over(wc))
+          .withColumn("i", row_number().over(wo))
+          .withColumn("pref", sum("cents").over(wp))
+          .withColumn("ab", abs(col("n") * col("pref") - col("i") * col("tot")))
+        t.withColumn("rk", row_number().over(
+            Window.partitionBy("user_id").orderBy(col("ab").desc, col("d"))))
+          .where(col("rk") === 1)
+          .select(col("user_id"), col("n").as("n_days"),
+                  col("ab").as("cusum_max_abs"), col("d").as("change_day"))
+          .orderBy("user_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS d,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT user_id, d,
+             |    count(*) OVER (PARTITION BY user_id) AS n,
+             |    CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT) AS tot,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS i,
+             |    CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY d
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pref
+             |  FROM m),
+             |a AS (SELECT user_id, d, n,
+             |    CAST(abs(n * pref - i * tot) AS BIGINT) AS ab
+             |  FROM t)
+             |SELECT user_id, n AS n_days, ab AS cusum_max_abs, d AS change_day
+             |FROM (SELECT user_id, d, n, ab,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY ab DESC, d) AS rk
+             |      FROM a) z
+             |WHERE rk = 1 ORDER BY user_id""".stripMargin),
+      note = "CUSUM change point in n·x−S scaled integers: exact max-deviation day, one exchange, shared sort")
   )
 }

@@ -126,6 +126,26 @@ class WarehouseGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("j_asof_nearest: never farther than the backward-only match") {
+    val near = q("j_asof_nearest")
+      .select(col("event_id"), abs(col("delta_us")).as("near_d"))
+    val prior = q("j_asof_last_prior")
+      .select(col("event_id"), col("ts_us") - col("prior_view_us") as "prior_d")
+      .where(col("prior_d").isNotNull)
+    val worse = near.join(prior, "event_id").where(col("near_d") > col("prior_d"))
+    assert(worse.isEmpty, "nearest match farther than the prior-only match")
+  }
+
+  test("w_trend_cusum: change day lies inside the user's observed range") {
+    val cp = q("w_trend_cusum")
+    val range = graft.core.Tables.events(spark, dir)
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+    val bad = cp.join(range, "user_id")
+      .where(col("change_day") < col("lo") || col("change_day") > col("hi") ||
+             col("cusum_max_abs") < 0 || col("n_days") > 31)
+    assert(bad.isEmpty, "change point outside the observed series")
+  }
+
   test("ann_kmeans_refine: members partition the base, clusters come from seed labels") {
     val ref = q("ann_kmeans_refine").cache()
     try {
