@@ -366,6 +366,49 @@ object AggQueries {
       },
       note = "KMV set algebra (Beyer et al.): union/intersection/Jaccard from the sketches alone, exact audits alongside; bounded top-k prune is the scale path"),
 
+    // Exact WEIGHTED median (quantity-weighted price per return flag):
+    // order by value, accumulate integer weights, and the answer is the
+    // minimum value whose running weight reaches half the total — a
+    // monotone suffix, so a conditional min replaces the rank-pick and the
+    // whole thing is one window pass + one aggregate. The picked value is
+    // tie-independent (equal values crossing the threshold ARE the answer),
+    // so no float arithmetic ever happens — the median is a value lookup,
+    // not a computed statistic. Same skew caveat as the other exact
+    // rank paths: per-group sort, low-cardinality key, with the sketch
+    // family as the 100-TB alternative.
+    Q("a_weighted_median", Seq("A9", "A13", "W9", "§2.10"),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                       org.apache.spark.sql.expressions.Window.currentRow)
+        val wc = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_extendedprice"),
+                  col("l_orderkey"), col("l_linenumber"),
+                  expr("CAST(l_quantity AS BIGINT)").as("q"))
+          .withColumn("cumw", sum("q").over(w))
+          .withColumn("totw", sum("q").over(wc))
+          .groupBy("l_returnflag")
+          .agg(max("totw").as("total_weight"),
+               min(when(col("cumw") * 2 >= col("totw"), col("l_extendedprice")))
+                 .as("weighted_median_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH t AS (
+             |  SELECT l_returnflag, l_extendedprice,
+             |    CAST(sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw,
+             |    CAST(sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS BIGINT) AS totw
+             |  FROM lineitem)
+             |SELECT l_returnflag, CAST(max(totw) AS BIGINT) AS total_weight,
+             |  min(CASE WHEN cumw * 2 >= totw THEN l_extendedprice END)
+             |    AS weighted_median_price
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "exact weighted median as a conditional min over the running-weight suffix: value lookup, no float math"),
+
     // HLL-shaped register sketch (graft.agg.HllSketch): the FIXED-SIZE
     // companion to KMV — 64 one-byte registers whatever the cardinality,
     // merge = elementwise max. This is the one-pass distinct-count shape for

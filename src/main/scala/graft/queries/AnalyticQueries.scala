@@ -308,6 +308,59 @@ object AnalyticQueries {
              |  UNION ALL SELECT w1 FROM tri
              |  UNION ALL SELECT w2 FROM tri) t
              |GROUP BY 1 ORDER BY n_triangles DESC, supplier""".stripMargin),
-      note = "degree-ordered triangle counting: out-degree bounded by sqrt(|E|), one wedge join + one closing join")
+      note = "degree-ordered triangle counting: out-degree bounded by sqrt(|E|), one wedge join + one closing join"),
+
+    // Single-source shortest paths by 3 unrolled Bellman-Ford rounds over
+    // the trade graph weighted by fastest observed fulfilment (min days
+    // from order to ship per supplier-customer pair, clamped to >= 1: the
+    // synthetic data ships some lines before the order date, and an
+    // undirected negative edge is a negative cycle — the clamp keeps the
+    // metric a metric). Same Pregel shape as
+    // graph_pagerank but on the MIN-PLUS semiring: relax = edges⋈dist +
+    // min-by-destination, one round per hop bound. Distances are integer
+    // days — engine-exact; unreached nodes simply don't appear, no ∞
+    // sentinel. At scale each round is one shuffle of the frontier-adjacent
+    // edge set, and the round count bounds the plan statically.
+    Q("graph_sssp", Seq("J1", "A1", "A11", "§2.10"),
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val half = l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy(concat(lit("s"), col("l_suppkey")).as("a"),
+                   concat(lit("c"), col("o_custkey")).as("b"))
+          .agg(greatest(lit(1L),
+                 min(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))).cast("long"))
+                 .as("w"))
+        val edges = half.union(half.select(col("b").as("a"), col("a").as("b"), col("w")))
+          .cache()
+        val d0 = edges.sparkSession.range(1).select(lit("s1").as("node"), lit(0L).as("dist"))
+        val d3 = (1 to 3).foldLeft(d0.toDF) { (d, _) =>
+          val relax = edges.join(d, edges("a") === d("node"))
+            .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
+          d.union(relax).groupBy("node").agg(min("dist").as("dist"))
+        }
+        d3.orderBy("node")
+      },
+      Some("""WITH e0 AS (SELECT 's' || l_suppkey AS a, 'c' || o_custkey AS b,
+             |    greatest(1, CAST(min(date_diff('day', CAST(o_orderdate AS DATE),
+             |                       CAST(l_shipdate AS DATE))) AS BIGINT)) AS w
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  GROUP BY 1, 2),
+             |e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b AS a, a AS b, w FROM e0),
+             |d0 AS (SELECT 's1' AS node, CAST(0 AS BIGINT) AS dist),
+             |d1 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+             |  SELECT node, dist FROM d0
+             |  UNION ALL SELECT e.b AS node, d0.dist + e.w AS dist
+             |    FROM e JOIN d0 ON e.a = d0.node) t GROUP BY 1),
+             |d2 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+             |  SELECT node, dist FROM d1
+             |  UNION ALL SELECT e.b AS node, d1.dist + e.w AS dist
+             |    FROM e JOIN d1 ON e.a = d1.node) t GROUP BY 1),
+             |d3 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+             |  SELECT node, dist FROM d2
+             |  UNION ALL SELECT e.b AS node, d2.dist + e.w AS dist
+             |    FROM e JOIN d2 ON e.a = d2.node) t GROUP BY 1)
+             |SELECT node, dist FROM d3 ORDER BY node""".stripMargin),
+      note = "3-round Bellman-Ford on the min-plus semiring: frontier relax + min-by-destination per round, integer-exact")
   )
 }

@@ -146,6 +146,38 @@ class WarehouseGraphSpec extends AnyFunSuite {
     assert(bad.isEmpty, "change point outside the observed series")
   }
 
+  test("graph_sssp: source at zero, relaxations never beat a direct edge") {
+    val d = q("graph_sssp").cache()
+    try {
+      assert(d.where(col("node") === "s1").head.getAs[Long]("dist") == 0L)
+      assert(d.where(col("dist") < 0).isEmpty, "negative distance")
+      // a 3-round distance can only improve on the direct edge weight
+      val l = graft.core.Tables.lineitem(spark, dir)
+      val o = graft.core.Tables.orders(spark, dir)
+      val direct = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_suppkey") === 1)
+        .groupBy(concat(lit("c"), col("o_custkey")).as("node"))
+        .agg(greatest(lit(1L),
+               min(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))).cast("long"))
+               .as("w"))
+      val worse = d.join(direct, "node").where(col("dist") > col("w"))
+      assert(worse.isEmpty, "3-round SSSP distance exceeds a direct edge weight")
+    } finally d.unpersist()
+  }
+
+  test("a_weighted_median: the median is a member value inside the group's range") {
+    val m = q("a_weighted_median")
+    val ext = graft.core.Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"),
+           collect_set("l_extendedprice").as("vals"))
+    val bad = m.join(ext, "l_returnflag")
+      .where(col("weighted_median_price") < col("lo") ||
+             col("weighted_median_price") > col("hi") ||
+             !array_contains(col("vals"), col("weighted_median_price")))
+    assert(bad.isEmpty, "weighted median is not an observed value in range")
+  }
+
   test("ann_kmeans_refine: members partition the base, clusters come from seed labels") {
     val ref = q("ann_kmeans_refine").cache()
     try {
