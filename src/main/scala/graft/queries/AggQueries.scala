@@ -409,6 +409,103 @@ object AggQueries {
              |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
       note = "exact weighted median as a conditional min over the running-weight suffix: value lookup, no float math"),
 
+    // HLL REAGGREGATION — why warehouses store registers, not counts: the
+    // per-group register vectors (64 buckets, max-ρ each) merge by
+    // element-wise max into the GLOBAL sketch, and because max is
+    // associative the merged registers are IDENTICAL to the registers of a
+    // direct global pass — the query proves it by computing both paths and
+    // comparing the estimates bit-for-bit (merge_lossless = 1). This is the
+    // pre-aggregated-cube contract: per-partition/per-day sketches roll up
+    // to any coarser grain with zero extra error. Register arithmetic is
+    // the same portable 42-arm ρ CASE the HllSketch Aggregator uses;
+    // shuffle volume is O(groups × 64) registers, never the key universe.
+    Q("sketch_hll_rollup", Seq("A12", "A4", "W5", "§2.10", "sampling"),
+      (s, dir) => {
+        val x = graft.dedup.Hashing.sparkMd5Raw("CAST(user_id AS STRING)")
+        val rho = graft.agg.HllSketch.rhoSql("rest")
+        val estE = "CASE WHEN 0.709 * 4096.0 / (s_hit + (64 - nb) * 1.0) <= 160.0 AND (64 - nb) > 0 " +
+                   "THEN 64.0 * ln(64.0 / (64 - nb)) " +
+                   "ELSE 0.709 * 4096.0 / (s_hit + (64 - nb) * 1.0) END"
+        val hb = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id"), expr(x).as("xx"))
+          .select(col("event_type"), col("user_id"),
+                  expr("xx % 64").as("bucket"), expr("xx div 64").as("rest"))
+        def estimate(reg: org.apache.spark.sql.DataFrame, name: String) =
+          reg.agg(sum(expr("CAST(1.0 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)")).as("s_hit"),
+                  count(lit(1)).as("nb"))
+            .select(round(expr(estE), 6).as(name))
+        val perType = hb.groupBy("event_type", "bucket").agg(max(expr(rho)).as("m"))
+        val merged = estimate(perType.groupBy("bucket").agg(max("m").as("m")), "hll_merged")
+        val direct = estimate(hb.groupBy("bucket").agg(max(expr(rho)).as("m")), "hll_direct")
+        val exact = Tables.events(s, dir).agg(countDistinct("user_id").as("n_exact"))
+        exact.crossJoin(merged).crossJoin(direct)
+          .withColumn("merge_lossless",
+                      (col("hll_merged") === col("hll_direct")).cast("int"))
+      },
+      Some {
+        val x = graft.dedup.Hashing.duckMd5Raw("CAST(user_id AS VARCHAR)")
+        val rho = graft.agg.HllSketch.rhoSql("rest")
+        val estE = "CASE WHEN 0.709 * 4096.0 / (s_hit + (64 - nb) * 1.0) <= 160.0 AND (64 - nb) > 0 " +
+                   "THEN 64.0 * ln(64.0 / (64 - nb)) " +
+                   "ELSE 0.709 * 4096.0 / (s_hit + (64 - nb) * 1.0) END"
+        s"""WITH hb AS (SELECT event_type, x % 64 AS bucket, x // 64 AS rest
+           |  FROM (SELECT event_type, user_id, $x AS x FROM events) t),
+           |per_type AS (SELECT event_type, bucket, max($rho) AS m FROM hb GROUP BY 1, 2),
+           |merged_reg AS (SELECT bucket, max(m) AS m FROM per_type GROUP BY 1),
+           |direct_reg AS (SELECT bucket, max($rho) AS m FROM hb GROUP BY 1),
+           |me AS (SELECT round($estE, 6) AS hll_merged FROM (
+           |  SELECT sum(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << m)) AS s_hit,
+           |    count(*) AS nb FROM merged_reg) t),
+           |de AS (SELECT round($estE, 6) AS hll_direct FROM (
+           |  SELECT sum(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << m)) AS s_hit,
+           |    count(*) AS nb FROM direct_reg) t),
+           |ex AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+           |SELECT n_exact, hll_merged, hll_direct,
+           |  CAST(hll_merged = hll_direct AS INTEGER) AS merge_lossless
+           |FROM ex, me, de""".stripMargin
+      },
+      note = "register-level HLL rollup: per-group sketches merge losslessly to the global one (max is associative) — the pre-aggregated-cube contract, proven in-query"),
+
+    // Sweep-line maximum concurrency: how many 10-minute activity windows
+    // overlap at the busiest instant, per event type. Each event becomes a
+    // +1 at its start and a −1 at its (half-open) end; one sort per type
+    // and a running sum IS the concurrency profile, its max the answer —
+    // O(n log n) where the naive interval self-join is O(n²). Boundary
+    // convention: at equal timestamps the −1 sorts first (half-open
+    // intervals never touch), making every prefix value — and therefore
+    // the max and its first-reach time — engine-exact integers.
+    Q("w_concurrency_sweep", Seq("W3", "W9", "F8", "A11", "session"),
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), unix_micros(col("ts")).as("t0"))
+        val pts = ev.select(col("event_type"), col("t0").as("t"), lit(1L).as("d"))
+          .union(ev.select(col("event_type"), (col("t0") + 600000000L).as("t"), lit(-1L).as("d")))
+        val run = pts.withColumn("run",
+          sum("d").over(W.partitionBy("event_type").orderBy(col("t"), col("d"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        val mx = run.groupBy("event_type").agg(max("run").as("max_concurrent"))
+        run.join(mx, "event_type")
+          .where(col("run") === col("max_concurrent"))
+          .groupBy("event_type")
+          .agg(max("run").as("max_concurrent"), min("t").as("first_peak_us"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, epoch_us(ts) AS t0 FROM events),
+             |pts AS (SELECT event_type, t0 AS t, CAST(1 AS BIGINT) AS d FROM ev
+             |        UNION ALL
+             |        SELECT event_type, t0 + 600000000 AS t, CAST(-1 AS BIGINT) AS d FROM ev),
+             |r AS (SELECT event_type, t,
+             |        CAST(sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+             |      FROM pts),
+             |mx AS (SELECT event_type, max(run) AS max_concurrent FROM r GROUP BY 1)
+             |SELECT r.event_type, CAST(max(r.run) AS BIGINT) AS max_concurrent,
+             |  min(r.t) AS first_peak_us
+             |FROM r JOIN mx ON r.event_type = mx.event_type AND r.run = mx.max_concurrent
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "interval max-concurrency by sweep line: +1/−1 running sum, one sort per key vs the quadratic self-join"),
+
     // HLL-shaped register sketch (graft.agg.HllSketch): the FIXED-SIZE
     // companion to KMV — 64 one-byte registers whatever the cardinality,
     // merge = elementwise max. This is the one-pass distinct-count shape for
