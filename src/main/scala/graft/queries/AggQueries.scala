@@ -740,6 +740,44 @@ object AggQueries {
              |          count(*) AS n
              |        FROM events GROUP BY 1, 2) h) t
              |WHERE rk = 1 ORDER BY event_type""".stripMargin),
-      note = "mode via two combiner aggs + max(struct) argmax; smallest-value tie rule")
+      note = "mode via two combiner aggs + max(struct) argmax; smallest-value tie rule"),
+
+    // GROUPING SETS with grouping_id — the general multi-grain aggregate
+    // that rollup (a_rollup_totals) is a special case of: an arbitrary
+    // list of grain tuples computed in ONE pass over the data (Catalyst
+    // expands the sets into a single Expand + one aggregate exchange, not
+    // |sets| scans). grouping_id is the part that matters for correctness:
+    // it distinguishes "aggregated-away" from "genuinely NULL" group keys,
+    // so the display labels below are driven by the id bits, never by
+    // NULL-ness — the classic cube-table bug this operator exists to avoid.
+    // Bit convention (both engines): leftmost grouping column = MSB;
+    // sets (status,prio)/(status)/() → gid 0/1/3.
+    Q("a_grouping_sets_id", Seq("A1", "A4", "A13", "W5"),
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.groupingSets(
+            Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+                Seq(col("o_orderstatus")), Seq()),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(grouping_id().cast("long").as("gid"),
+               count(lit(1)).as("n_orders"),
+               expr(s"CAST(sum(CAST(o_totalprice AS $dec)) AS DOUBLE)").as("total"))
+          .select(
+            when(col("gid") === 3, lit("ALL")).otherwise(col("o_orderstatus")).as("status_d"),
+            when(col("gid") >= 1, lit("ALL")).otherwise(col("o_orderpriority")).as("prio_d"),
+            col("gid"), col("n_orders"), col("total"))
+          .orderBy("gid", "status_d", "prio_d")
+      },
+      Some(s"""WITH g AS (
+              |  SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+              |    CAST(sum(CAST(o_totalprice AS $dec)) AS DOUBLE) AS total,
+              |    CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+              |  FROM orders
+              |  GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ()))
+              |SELECT CASE WHEN gid = 3 THEN 'ALL' ELSE o_orderstatus END AS status_d,
+              |  CASE WHEN gid >= 1 THEN 'ALL' ELSE o_orderpriority END AS prio_d,
+              |  gid, n_orders, total
+              |FROM g ORDER BY gid, status_d, prio_d""".stripMargin),
+      note = "multi-grain aggregate in one Expand+exchange pass; grouping_id-driven labels, immune to the NULL-vs-ALL ambiguity")
   )
 }

@@ -361,6 +361,43 @@ object AnalyticQueries {
              |  UNION ALL SELECT e.b AS node, d2.dist + e.w AS dist
              |    FROM e JOIN d2 ON e.a = d2.node) t GROUP BY 1)
              |SELECT node, dist FROM d3 ORDER BY node""".stripMargin),
-      note = "3-round Bellman-Ford on the min-plus semiring: frontier relax + min-by-destination per round, integer-exact")
+      note = "3-round Bellman-Ford on the min-plus semiring: frontier relax + min-by-destination per round, integer-exact"),
+
+    // TPC-H Q17 shape: small-quantity-order revenue — a CORRELATED scalar
+    // subquery ("20% of this part's average quantity") decorrelated into a
+    // per-part aggregate joined back to the detail. The scale story is why
+    // the decorrelation matters: the per-part average is a map-side-combined
+    // aggregate of |parts| rows — orders of magnitude smaller than lineitem
+    // — so both it and the filtered part dim BROADCAST, and the fact table
+    // is scanned, never shuffled. The naive correlated form re-scans
+    // lineitem per outer row. Threshold compare (l_quantity < 0.2·avg) is
+    // double-vs-double with avg built as exact-decimal-sum ÷ count divided
+    // once — deterministic on both engines.
+    Q("q17_small_qty_revenue", Seq("J1", "A2", "A13", "F4", "P12"),
+      (s, dir) => {
+        val avgQ = Tables.lineitem(s, dir)
+          .groupBy("l_partkey")
+          .agg((expr(s"CAST(sum(CAST(l_quantity AS $dec)) AS DOUBLE)") / count(lit(1))).as("avg_qty"))
+        val p = Tables.part(s, dir).where(col("p_size") <= 10)
+        Tables.lineitem(s, dir)
+          .join(avgQ, "l_partkey")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .groupBy("p_brand")
+          .agg((expr(s"CAST(sum(CAST(l_extendedprice AS $dec)) AS DOUBLE)") / lit(7.0)).as("avg_yearly"),
+               count(lit(1)).as("n_small"))
+          .orderBy("p_brand")
+      },
+      Some(s"""WITH a AS (SELECT l_partkey,
+              |    CAST(sum(CAST(l_quantity AS $dec)) AS DOUBLE) / count(*) AS avg_qty
+              |  FROM lineitem GROUP BY 1)
+              |SELECT p_brand,
+              |  CAST(sum(CAST(l_extendedprice AS $dec)) AS DOUBLE) / 7.0 AS avg_yearly,
+              |  count(*) AS n_small
+              |FROM lineitem l JOIN a USING (l_partkey)
+              |  JOIN part p ON l.l_partkey = p.p_partkey
+              |WHERE p_size <= 10 AND l_quantity < 0.2 * avg_qty
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "TPC-H Q17: correlated scalar subquery decorrelated to a broadcastable per-key aggregate, fact table never shuffled")
   )
 }

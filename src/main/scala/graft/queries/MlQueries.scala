@@ -143,6 +143,69 @@ object MlQueries {
           .orderBy("id")
       },
       None,
-      note = "local WLS fit per distinct coord cell, broadcast coef join, bw=10")
+      note = "local WLS fit per distinct coord cell, broadcast coef join, bw=10"),
+
+    // Distributed OLS by normal equations — the regression shape that DOES
+    // scale to 100 TB, unlike anything iterative: ONE full pass reduces the
+    // data to a 10-number Gram/moment summary (map-side combine all the
+    // way), and the 3×3 solve happens INSIDE the plan by Cramer's rule —
+    // no driver collect, no second pass, no broadcast-back. Exactness
+    // contract: features are small integers and y is scaled to integer
+    // cents, so every Gram sum is an exact BIGINT; the solve is then one
+    // fixed tree of IEEE-754 double ops written as the SAME SQL text on
+    // both engines, so even the floating-point coefficients hash
+    // identically (drift only ever comes from different summation orders,
+    // and integer sums have none). Overflow headroom: the largest moment,
+    // sum(yc²) ≤ 2.5e7/row, stays under 2⁶³ past 10¹¹ rows — the 100-TB
+    // fact table fits; cross engines the sums stay under 2⁵³ (double-exact)
+    // through ~10⁹ rows. Unlike m2's locally-weighted variant this is the
+    // global-coefficient fit — the cheap first look before paying for GWR.
+    Q("ml_ols_normal_eq", Seq("M2", "M1", "A1", "A13", "§2.10"),
+      (s, dir) => {
+        val t = Tables.lineitem(s, dir).selectExpr(olsVars: _*)
+        val g = t.groupBy().agg(expr(olsSums.head), olsSums.tail.map(expr): _*)
+        g.selectExpr(("*" +: olsDets): _*).selectExpr(olsOut: _*)
+      },
+      Some(s"""WITH t AS (SELECT ${olsVars.mkString(", ")} FROM lineitem),
+              |g AS (SELECT ${olsSums.mkString(", ")} FROM t),
+              |d AS (SELECT *, ${olsDets.mkString(", ")} FROM g)
+              |SELECT ${olsOut.mkString(", ")} FROM d""".stripMargin),
+      note = "one-pass OLS: exact-integer Gram summary + in-plan Cramer solve, identical double op tree on both engines")
   )
+
+  /** `ml_ols_normal_eq` shares these exact SQL strings between the Spark
+    * plan and the DuckDB oracle: identical expression text → identical
+    * IEEE-754 op tree → bit-identical doubles on both engines. */
+  private val olsVars = Seq(
+    "l_partkey % 50 AS x1",
+    "l_suppkey % 20 AS x2",
+    // y in integer cents; round() first — both engines then truncate the
+    // already-integral double identically in the BIGINT cast
+    "CAST(round(l_quantity * 100) AS BIGINT) AS yc")
+
+  private val olsSums = Seq(
+    "CAST(count(*) AS DOUBLE) AS n",
+    "CAST(sum(x1) AS DOUBLE) AS s1", "CAST(sum(x2) AS DOUBLE) AS s2",
+    "CAST(sum(x1*x1) AS DOUBLE) AS s11", "CAST(sum(x1*x2) AS DOUBLE) AS s12",
+    "CAST(sum(x2*x2) AS DOUBLE) AS s22",
+    "CAST(sum(yc) AS DOUBLE) AS sy", "CAST(sum(x1*yc) AS DOUBLE) AS s1y",
+    "CAST(sum(x2*yc) AS DOUBLE) AS s2y", "CAST(sum(yc*yc) AS DOUBLE) AS syy")
+
+  // Cramer determinants for A·b = X'y with A = [[n,s1,s2],[s1,s11,s12],
+  // [s2,s12,s22]] (first-row cofactor expansion; detK replaces column K
+  // with the rhs (sy, s1y, s2y))
+  private val olsDets = Seq(
+    "n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det",
+    "sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS det0",
+    "n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS det1",
+    "n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS det2")
+
+  // coefficients back in quantity units (one /100); R² from the standard
+  // SSE = y'y − b'X'y identity — still the same shared double tree
+  private val olsOut = Seq(
+    "CAST(n AS BIGINT) AS n_obs",
+    "(det0 / det) / 100 AS b0",
+    "(det1 / det) / 100 AS b1",
+    "(det2 / det) / 100 AS b2",
+    "1 - (syy - ((det0/det)*sy + (det1/det)*s1y + (det2/det)*s2y)) / (syy - sy*sy/n) AS r2")
 }

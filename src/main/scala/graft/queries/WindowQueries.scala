@@ -443,6 +443,44 @@ object WindowQueries {
              |        row_number() OVER (PARTITION BY user_id ORDER BY ab DESC, d) AS rk
              |      FROM a) z
              |WHERE rk = 1 ORDER BY user_id""".stripMargin),
-      note = "CUSUM change point in n·x−S scaled integers: exact max-deviation day, one exchange, shared sort")
+      note = "CUSUM change point in n·x−S scaled integers: exact max-deviation day, one exchange, shared sort"),
+
+    // Decile profile: ntile(10) + cume_dist over a TOTAL order (price with
+    // unique-key tie-break), rolled up to one row per (flag, decile) —
+    // the distribution-profiling shape behind price bands, quality tiers
+    // and training-mix curves. Determinism under duplicates: rows that tie
+    // on every ordering column are interchangeable, so whichever engine
+    // puts which copy at a bucket boundary, the per-bucket count/sum/max
+    // are identical; cume_dist is peers-inclusive (same value for all
+    // copies) and its double is one exact-int division. One sort exchange
+    // per flag partition, aggregate piggybacks on the same sort order.
+    Q("w_ntile_deciles", Seq("W4", "W9", "A9", "A13"),
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+          .partitionBy("rf")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("rf"), col("l_extendedprice"),
+                  col("l_orderkey"), col("l_linenumber"))
+          .withColumn("dc", ntile(10).over(W))
+          .withColumn("cd", cume_dist().over(W))
+          .groupBy("rf", "dc")
+          .agg(count(lit(1)).as("n"),
+               expr(s"CAST(sum(CAST(l_extendedprice AS $dec)) AS DOUBLE)").as("sum_price"),
+               max("cd").as("cd_hi"))
+          .orderBy("rf", "dc")
+      },
+      Some(s"""WITH w AS (
+              |  SELECT l_returnflag AS rf, l_extendedprice,
+              |    ntile(10) OVER (PARTITION BY l_returnflag
+              |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS dc,
+              |    cume_dist() OVER (PARTITION BY l_returnflag
+              |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cd
+              |  FROM lineitem)
+              |SELECT rf, dc, count(*) AS n,
+              |  CAST(sum(CAST(l_extendedprice AS $dec)) AS DOUBLE) AS sum_price,
+              |  max(cd) AS cd_hi
+              |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      note = "decile profile over a total order: ntile + peers-inclusive cume_dist, duplicate-safe by construction")
   )
 }
