@@ -398,6 +398,41 @@ object AnalyticQueries {
               |  JOIN part p ON l.l_partkey = p.p_partkey
               |WHERE p_size <= 10 AND l_quantity < 0.2 * avg_qty
               |GROUP BY 1 ORDER BY 1""".stripMargin),
-      note = "TPC-H Q17: correlated scalar subquery decorrelated to a broadcastable per-key aggregate, fact table never shuffled")
+      note = "TPC-H Q17: correlated scalar subquery decorrelated to a broadcastable per-key aggregate, fact table never shuffled"),
+
+    // TPC-H Q11 shape: groups whose aggregate clears a GLOBAL-total
+    // threshold — the "share of total" HAVING with a scalar subquery. The
+    // scale shape: per-supplier revenue is the only fact-table pass
+    // (map-side combined to |suppliers| rows); the global total is then a
+    // RE-AGGREGATE of that tiny group table — never a second fact scan —
+    // and joins back as a 1-row broadcast. Exactness: revenue stays
+    // DECIMAL end-to-end (associativity-free sums at both levels); the
+    // threshold compare and the final share division happen once in
+    // doubles, identically on both engines.
+    Q("q11_share_threshold", Seq("A1", "A4", "F4", "A13"),
+      (s, dir) => {
+        val revDec = s"CAST(sum(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec))) AS DECIMAL(28,4))"
+        val bySupp = Tables.lineitem(s, dir)
+          .groupBy("l_suppkey")
+          .agg(expr(revDec).as("supp_rev_d"))
+          .cache() // |suppliers| rows: reused by the total and the probe side
+        val total = bySupp.agg(expr("CAST(sum(supp_rev_d) AS DECIMAL(38,4))").as("total_d"))
+        bySupp.crossJoin(broadcast(total))
+          .where(col("supp_rev_d") > col("total_d") * lit(0.0105))
+          .select(col("l_suppkey"),
+                  col("supp_rev_d").cast("double").as("supp_rev"),
+                  (col("supp_rev_d").cast("double") / col("total_d").cast("double")).as("share"))
+          .orderBy(col("supp_rev").desc, col("l_suppkey"))
+      },
+      Some(s"""WITH s AS (SELECT l_suppkey,
+              |    CAST(sum(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec))) AS DECIMAL(28,4)) AS supp_rev_d
+              |  FROM lineitem GROUP BY 1),
+              |t AS (SELECT CAST(sum(supp_rev_d) AS DECIMAL(38,4)) AS total_d FROM s)
+              |SELECT l_suppkey, CAST(supp_rev_d AS DOUBLE) AS supp_rev,
+              |  CAST(supp_rev_d AS DOUBLE) / CAST(total_d AS DOUBLE) AS share
+              |FROM s, t
+              |WHERE supp_rev_d > total_d * 0.0105
+              |ORDER BY supp_rev DESC, l_suppkey""".stripMargin),
+      note = "TPC-H Q11: share-of-global-total HAVING; the total re-aggregates the group table (no second fact scan) and broadcasts as one row")
   )
 }

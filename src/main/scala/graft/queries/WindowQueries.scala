@@ -481,6 +481,55 @@ object WindowQueries {
               |  CAST(sum(CAST(l_extendedprice AS $dec)) AS DOUBLE) AS sum_price,
               |  max(cd) AS cd_hi
               |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      note = "decile profile over a total order: ntile + peers-inclusive cume_dist, duplicate-safe by construction")
+      note = "decile profile over a total order: ntile + peers-inclusive cume_dist, duplicate-safe by construction"),
+
+    // Calendar densification + forward fill — the gap-fill ETL the
+    // reference pipeline needs when a zone skips a dekad (its rasters are
+    // dense in time; the event log is not): build the full user×day grid
+    // from the log's OWN date span, left-join the daily sums, and carry
+    // the last observation forward. Shapes that matter at scale: the
+    // 1-row min/max span broadcasts into a sequence() explode (no
+    // driver round-trip), the grid×daily join is keyed (user, day), and
+    // the fill is one ignore-nulls window per user — so the whole
+    // densification is 2 broadcast joins + 1 keyed join + 1 exchange.
+    // Values are exact integer cents; leading days before a user's first
+    // event stay NULL (is_filled marks carried rows).
+    Q("w_calendar_ffill", Seq("W1", "W2", "P10", "F6", "J2"),
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .where(col("user_id") % 10 === 0)
+          .select(col("user_id"), to_date(col("ts")).as("d"),
+                  expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        val daily = e.groupBy("user_id", "d").agg(sum("cents").as("cents"))
+        val span = e.agg(min("d").as("d0"), max("d").as("d1"))
+        val days = span.select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+        val grid = e.select("user_id").distinct().crossJoin(broadcast(days))
+        val W = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("d")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        grid.join(daily, Seq("user_id", "d"), "left")
+          .withColumn("cents_filled", last("cents", ignoreNulls = true).over(W))
+          .select(col("user_id"), col("d"), col("cents_filled"),
+                  col("cents").isNull.cast("int").as("is_filled"))
+          .orderBy("user_id", "d")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE user_id % 10 = 0),
+             |daily AS (SELECT user_id, d, CAST(sum(cents) AS BIGINT) AS cents
+             |  FROM e GROUP BY 1, 2),
+             |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+             |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+             |  FROM span),
+             |grid AS (SELECT u.user_id, days.d
+             |  FROM (SELECT DISTINCT user_id FROM e) u CROSS JOIN days)
+             |SELECT g.user_id, g.d,
+             |  last_value(daily.cents IGNORE NULLS) OVER (
+             |    PARTITION BY g.user_id ORDER BY g.d
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_filled,
+             |  CAST(daily.cents IS NULL AS INTEGER) AS is_filled
+             |FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.d = daily.d
+             |ORDER BY g.user_id, g.d""".stripMargin),
+      note = "grid densification + last-observation-carried-forward: span broadcast, keyed join, one fill exchange per user")
   )
 }

@@ -196,4 +196,39 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("Q17: per-part average and part dim both broadcast; lineitem never shuffled") {
+    val p = plan("q17_small_qty_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("OLS normal equations reduce in one pass: a single single-partition exchange, no hash exchange") {
+    val p = plan("ml_ols_normal_eq")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert("Exchange SinglePartition".r.findAllIn(p).length == 1, p)
+  }
+
+  test("grouping sets expand in one pass: Expand node + a single hash exchange") {
+    val p = plan("a_grouping_sets_id")
+    assert(p.contains("Expand"), p)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$p")
+  }
+
+  test("decile profile: window and rollup share the flag partitioning (2 hash exchanges total)") {
+    val p = plan("w_ntile_deciles")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 2, s"expected <=2 hash exchanges, got $shuffles:\n$p")
+  }
+
+  test("Q11: the global total re-aggregates the group table and broadcasts as one row") {
+    val p = plan("q11_share_threshold")
+    // both the total and the probe side read the cached group table — the
+    // fact table is aggregated once, not scanned per consumer (the parquet
+    // scan text appearing inside InMemoryRelation is the cache's build
+    // plan, printed per reference)
+    assert("InMemoryTableScan".r.findAllIn(p).length == 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
