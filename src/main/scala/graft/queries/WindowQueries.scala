@@ -530,6 +530,57 @@ object WindowQueries {
              |  CAST(daily.cents IS NULL AS INTEGER) AS is_filled
              |FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.d = daily.d
              |ORDER BY g.user_id, g.d""".stripMargin),
-      note = "grid densification + last-observation-carried-forward: span broadcast, keyed join, one fill exchange per user")
+      note = "grid densification + last-observation-carried-forward: span broadcast, keyed join, one fill exchange per user"),
+
+    // Sliding-window distinct count — the aggregation windows CANNOT
+    // decompose (distinct isn't sum-able across overlapping frames), so
+    // the exact path fans each (day, user) pair out to the ≤7 window ends
+    // it serves (bounded ×7 blowup, NOT a self-join) and de-dups per end.
+    // The same query carries the scale answer: a KMV estimate read off the
+    // k-th smallest portable md5 hash of each window's user set — at
+    // 100 TB you keep per-day k-min sketches (mergeable, O(k) each; the
+    // KmvSketch Aggregator / stream_kmv_distinct are that path) and slide
+    // by merging 7 sketches, never re-touching raw pairs. Estimate and
+    // relative error are single-division doubles over exact integers, so
+    // both engines agree bitwise; windows with < k users report NULL.
+    Q("w_sliding_distinct", Seq("W3", "A12", "W1", "sampling"),
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val x = graft.dedup.Hashing.sparkMd5Raw("CAST(user_id AS STRING)")
+        val du = Tables.events(s, dir)
+          .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        val span = du.agg(max("d").as("dmax"))
+        val tu = du
+          .select(explode(expr("sequence(0, 6)")).as("off"), col("d"), col("user_id"))
+          .select(expr("date_add(d, off)").as("t"), col("user_id")).distinct()
+        val ex = tu.groupBy("t").agg(count(lit(1)).as("n_exact"))
+        val km = tu.withColumn("h", expr(x))
+          .withColumn("rk", row_number().over(W.partitionBy("t").orderBy("h", "user_id")))
+          .where(col("rk") === 24)
+          .select(col("t"), expr("CAST(23.0 * 281474976710656 AS DOUBLE) / h").as("kmv_est"))
+        ex.join(km, Seq("t"), "left").crossJoin(broadcast(span))
+          .where(col("t") <= col("dmax"))
+          .select(col("t"), col("n_exact"), col("kmv_est"),
+                  ((col("kmv_est") - col("n_exact")) / col("n_exact")).as("rel_err"))
+          .orderBy("t")
+      },
+      Some {
+        val x = graft.dedup.Hashing.duckMd5Raw("CAST(user_id AS VARCHAR)")
+        s"""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+           |sp AS (SELECT max(d) AS dmax FROM du),
+           |tu AS (SELECT DISTINCT d + off AS t, user_id
+           |       FROM du CROSS JOIN (SELECT CAST(unnest(range(7)) AS INTEGER) AS off)),
+           |ex AS (SELECT t, count(*) AS n_exact FROM tu GROUP BY 1),
+           |r AS (SELECT t, $x AS h, user_id FROM tu),
+           |rk AS (SELECT t, h,
+           |         row_number() OVER (PARTITION BY t ORDER BY h, user_id) AS rk
+           |       FROM r),
+           |km AS (SELECT t, CAST(23.0 * 281474976710656 AS DOUBLE) / h AS kmv_est FROM rk WHERE rk = 24)
+           |SELECT ex.t, ex.n_exact, km.kmv_est,
+           |  (km.kmv_est - ex.n_exact) / CAST(ex.n_exact AS DOUBLE) AS rel_err
+           |FROM ex LEFT JOIN km USING (t) CROSS JOIN sp
+           |WHERE ex.t <= sp.dmax ORDER BY ex.t""".stripMargin
+      },
+      note = "sliding distinct: bounded ×7 fan-out exact path + k-min-values estimate in one query; per-day mergeable sketches are the 100-TB slide")
   )
 }
