@@ -22,14 +22,21 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "region")
-  /** The events table is written with parquet TIMESTAMP(NANOS), which Spark's
-    * TimestampType (µs) does not accept directly. We read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert losslessly — the
-    * data is µs-granular, so `ns div 1000` drops nothing. */
+  /** The events table's `ts` arrives in whatever physical type the harness
+    * generator used: TIMESTAMP(NANOS) (which Spark only reads as long, via
+    * `spark.sql.legacy.parquet.nanosAsLong`) or plain timestamp[us] (read as
+    * TIMESTAMP_NTZ under `inferTimestampNTZ`). Normalize both to the
+    * session-zone TimestampType every downstream query expects; the
+    * harness session runs UTC, so the NTZ cast is value-preserving. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")

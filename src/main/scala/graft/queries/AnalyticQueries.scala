@@ -433,6 +433,145 @@ object AnalyticQueries {
               |FROM s, t
               |WHERE supp_rev_d > total_d * 0.0105
               |ORDER BY supp_rev DESC, l_suppkey""".stripMargin),
-      note = "TPC-H Q11: share-of-global-total HAVING; the total re-aggregates the group table (no second fact scan) and broadcasts as one row")
+      note = "TPC-H Q11: share-of-global-total HAVING; the total re-aggregates the group table (no second fact scan) and broadcasts as one row"),
+
+    // TPC-H Q4 shape: correlated EXISTS → LEFT SEMI join. The semi join
+    // emits each order at most once however many late lineitems match, so
+    // there is no pre-aggregation and no duplicate explosion — at scale
+    // this is one shuffle on orderkey (or a broadcast of the date-filtered
+    // order slice) and the count is over orders only. The non-equi part of
+    // the predicate (l_shipdate > o_orderdate) rides the equi-join as a
+    // residual filter, keeping the hash-join strategy.
+    Q("q4_priority_exists", Seq("J6", "F7", "F1", "A12"),
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+                 col("o_orderdate") <  lit("1996-10-01").cast("timestamp"))
+        val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+        o.join(l, o("o_orderkey") === l("l_orderkey") &&
+                  l("l_shipdate") > o("o_orderdate"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+             |  AND o_orderdate <  TIMESTAMP '1996-10-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "TPC-H Q4: correlated EXISTS as a left-semi join with a non-equi residual"),
+
+    // TPC-H Q13 shape: customer order-count distribution. The LEFT OUTER
+    // join keeps zero-order customers (the row the inner join silently
+    // drops — F7's keep-the-absent contract on the join axis), count(col)
+    // counts only matches, and the second aggregate collapses |customers|
+    // rows to a handful of (c_count, custdist) buckets — first agg shuffles
+    // on custkey (AQE-coalesced), second is trivially small.
+    Q("q13_order_distribution", Seq("J1", "F7", "A12", "A13"),
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .where(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey"))
+        Tables.customer(s, dir)
+          .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey)
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      note = "TPC-H Q13: zero-preserving outer join + two-level aggregation"),
+
+    // TPC-H Q16 shape: supplier variety per part group, minus a blacklist.
+    // NOT IN (here: suppliers in the red) is a LEFT ANTI join against a
+    // tiny exclusion set that broadcasts; the part filter prunes before the
+    // fact join; countDistinct dedups (partkey,suppkey) pairs that recur
+    // across lineitems — a two-phase distinct aggregate that partials
+    // map-side. No subquery is re-evaluated per row anywhere.
+    Q("q16_supplier_variety", Seq("J1", "F7", "F1", "A10", "A13"),
+      (s, dir) => {
+        val excl = Tables.supplier(s, dir)
+          .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+        val p = Tables.part(s, dir)
+          .where(col("p_brand") =!= "Brand#15" &&
+                 col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
+        p.join(Tables.lineitem(s, dir), col("p_partkey") === col("l_partkey"))
+          .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM part JOIN lineitem ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#15' AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+      note = "TPC-H Q16: broadcast anti-join blacklist + two-phase distinct count"),
+
+    // TPC-H Q19 shape: disjunctive predicates over a join. The three OR'd
+    // brand/size/quantity arms share the p_partkey = l_partkey equi-key, so
+    // Catalyst still plans a hash join and evaluates the disjunction as a
+    // residual; the common prefix (p_size >= 1, l_quantity bounds) is
+    // CNF-extracted and pushed to both scans. Grouping by brand shows each
+    // arm's contribution instead of one opaque total.
+    Q("q19_disjunctive_revenue", Seq("J1", "F1", "F3", "A1"),
+      (s, dir) => {
+        val arms =
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)  && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30))
+        Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir), col("p_partkey") === col("l_partkey"))
+          .where(arms)
+          .groupBy("p_brand")
+          .agg(expr(rev).as("revenue"), count(lit(1)).as("n_lines"))
+          .orderBy("p_brand")
+      },
+      Some(s"""SELECT p_brand,
+              |  CAST(CAST(sum(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
+              |  count(*) AS n_lines
+              |FROM lineitem JOIN part ON p_partkey = l_partkey
+              |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+              |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+              |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "TPC-H Q19: OR'd predicate arms as a hash-join residual, per-brand breakdown"),
+
+    // TPC-H Q22 shape: above-average idle customers. The positive-balance
+    // average is ONE row (decimal-exact sum, single double division)
+    // broadcast to every customer; "never ordered" is a LEFT ANTI join on
+    // custkey. Both sides partial-aggregate; nothing correlated re-runs.
+    Q("q22_idle_balance", Seq("J6", "F7", "A1", "A13"),
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val cutoff = cust.where(col("c_acctbal") > 0)
+          .agg((expr(s"CAST(sum(CAST(c_acctbal AS $dec)) AS DOUBLE)") / count(lit(1))).as("avg_bal"))
+        cust.crossJoin(broadcast(cutoff))
+          .where(col("c_acctbal") > col("avg_bal"))
+          .join(Tables.orders(s, dir).select(col("o_custkey")),
+                col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("numcust"),
+               expr(s"CAST(sum(CAST(c_acctbal AS $dec)) AS DOUBLE)").as("totacctbal"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""WITH a AS (SELECT CAST(sum(CAST(c_acctbal AS $dec)) AS DOUBLE) / count(*) AS avg_bal
+              |           FROM customer WHERE c_acctbal > 0)
+              |SELECT c_mktsegment, count(*) AS numcust,
+              |  CAST(sum(CAST(c_acctbal AS $dec)) AS DOUBLE) AS totacctbal
+              |FROM customer, a
+              |WHERE c_acctbal > avg_bal
+              |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "TPC-H Q22: broadcast scalar cutoff + left-anti never-ordered filter")
   )
 }

@@ -25,6 +25,17 @@ object StreamOps {
   private def tableSchema(spark: SparkSession, path: String) =
     schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
 
+  /** `ts` normalization for the streaming scans, mirroring
+    * [[graft.core.Tables.events]]: generators have written the column as
+    * TIMESTAMP(NANOS) (readable only as long, via `nanosAsLong`) or as
+    * timestamp[us] (read as TIMESTAMP_NTZ). Either way the downstream
+    * watermark/window logic wants the session-zone TimestampType. */
+  private def tsExpr(spark: SparkSession, dir: String): String =
+    tableSchema(spark, s"$dir/events.parquet")("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => "timestamp_micros(ts div 1000)"
+      case _                                   => "CAST(ts AS TIMESTAMP)"
+    }
+
   /** Stateful streaming ops allocate one state store per shuffle partition;
     * their per-run fixed cost is dominated by store init + commit, not row
     * volume. Size the state partitioning to the STATE cardinality (windows ×
@@ -87,7 +98,7 @@ object StreamOps {
       // file source needs a directory; glob-filter down to the events table
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(tsExpr(spark, dir)))
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -138,7 +149,7 @@ object StreamOps {
       .schema(tableSchema(spark, s"$dir/events.parquet"))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(tsExpr(spark, dir)))
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -166,7 +177,7 @@ object StreamOps {
       .schema(tableSchema(spark, s"$dir/events.parquet"))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(tsExpr(spark, dir)))
       .withColumn("h", expr(graft.dedup.Hashing.sparkMd5Mod("CAST(user_id AS STRING)")))
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day"))
@@ -190,7 +201,7 @@ object StreamOps {
       .schema(tableSchema(spark, s"$dir/events.parquet"))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .select(expr("timestamp_micros(ts div 1000)").as("ts"),
+      .select(expr(tsExpr(spark, dir)).as("ts"),
               col("event_type"), col("value"))
       .withColumn("p_end", expr("forage_period_end(CAST(ts AS DATE), DATE '2024-01-01')"))
       .groupBy("p_end", "event_type")
@@ -219,7 +230,7 @@ object StreamOps {
       .schema(tableSchema(spark, s"$dir/events.parquet"))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("ts"))
+      .select(col("user_id"), expr(tsExpr(spark, dir)).as("ts"))
       .withWatermark("ts", "1 day")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
@@ -248,7 +259,7 @@ object StreamOps {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .select(col("event_id"), col("user_id"),
-              expr("timestamp_micros(ts div 1000)").as("t"), col("event_type"))
+              expr(tsExpr(spark, dir)).as("t"), col("event_type"))
     val p = src.where(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"), col("t").as("p_t"))
       .withWatermark("p_t", "1 day")
@@ -368,7 +379,7 @@ object StreamOps {
       .schema(tableSchema(spark, s"$dir/events.parquet"))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .select(col("user_id"), expr("timestamp_micros(ts div 1000)").cast("date").cast("string").as("d"))
+      .select(col("user_id"), expr(tsExpr(spark, dir)).cast("date").cast("string").as("d"))
       .as[(Long, String)]
     // state per user: (n, first day, last day)
     val folded = stream.groupByKey(_._1)

@@ -231,4 +231,36 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert("InMemoryTableScan".r.findAllIn(p).length == 2, p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("Q4's EXISTS plans as a left-semi join with the quarter filter pushed to the orders scan") {
+    val p = plan("q4_priority_exists")
+    assert(p.contains("LeftSemi"), p)
+    // the date slice reaches the orders parquet scan (partition-prunable at scale)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+  }
+
+  test("Q13 keeps zero-order customers: a left-outer join feeding two aggregation levels") {
+    val p = plan("q13_order_distribution")
+    assert(p.contains("LeftOuter"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p) // partial+final × 2 levels
+  }
+
+  test("Q16's supplier blacklist anti-joins by broadcast; the filtered part dim broadcasts into lineitem") {
+    val p = plan("q16_supplier_variety")
+    assert(p.contains("LeftAnti"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("Q19's OR'd arms stay a hash-join residual on the partkey equi-key, not a nested loop") {
+    val p = plan("q19_disjunctive_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("Q22 broadcasts the one-row cutoff and anti-joins orders on custkey") {
+    val p = plan("q22_idle_balance")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row scalar cutoff
+    assert(p.contains("LeftAnti"), p)
+  }
 }

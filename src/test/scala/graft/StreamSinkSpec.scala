@@ -21,6 +21,11 @@ class StreamSinkSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // ts arrives as long nanos (older generators) or timestamp[us] (newer)
+    val tsNorm = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => "timestamp_micros(ts div 1000)"
+      case _                                   => "CAST(ts AS TIMESTAMP)"
+    }
     val out = Files.createTempDirectory("graft_upsert").toString
 
     def drain(): Unit = {
@@ -30,7 +35,7 @@ class StreamSinkSpec extends AnyFunSuite {
         .schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .select(to_date(expr("timestamp_micros(ts div 1000)")).as("d"),
+        .select(to_date(expr(tsNorm)).as("d"),
                 col("event_type"), col("value"))
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
