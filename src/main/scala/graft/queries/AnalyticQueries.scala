@@ -572,6 +572,179 @@ object AnalyticQueries {
               |WHERE c_acctbal > avg_bal
               |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
               |GROUP BY 1 ORDER BY 1""".stripMargin),
-      note = "TPC-H Q22: broadcast scalar cutoff + left-anti never-ordered filter")
+      note = "TPC-H Q22: broadcast scalar cutoff + left-anti never-ordered filter"),
+
+    // TPC-H Q6 shape: the pure scan-pushdown aggregate. All three
+    // predicates (date range, discount band, quantity cap) reach the
+    // parquet scan as PushedFilters + row-group statistics pruning — at
+    // 100 TB this query reads only the 1997 row groups and decodes only
+    // 4 columns. One partial+final agg, zero joins, zero wide shuffles.
+    Q("q6_banded_revenue", Seq("F1", "F2", "A3", "A13"),
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                 col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
+                 col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(expr(s"CAST(CAST(sum(CAST(l_extendedprice AS $dec) * CAST(l_discount AS $dec)) AS DECIMAL(28,4)) AS DOUBLE)").as("revenue"),
+               count(lit(1)).as("n_lines")),
+      Some(s"""SELECT
+              |  CAST(CAST(sum(CAST(l_extendedprice AS $dec) * CAST(l_discount AS $dec)) AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
+              |  count(*) AS n_lines
+              |FROM lineitem
+              |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+              |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
+      note = "TPC-H Q6: every predicate pushed to the scan, no join, map-side partial agg"),
+
+    // TPC-H Q7 shape: bilateral trade volume. Both nation dims are
+    // pre-filtered to the two trading nations BEFORE the fact joins (the
+    // OR over (supp,cust) pairs can't prune a single side by itself), so
+    // supplier and customer shrink to ~2/25 and broadcast; lineitem and
+    // orders join on their natural keys and the pair predicate runs as a
+    // cheap residual over two broadcast-joined columns.
+    Q("q7_bilateral_trade", Seq("J1", "F1", "A1", "P5"),
+      (s, dir) => {
+        val pair = Seq("NATION_1", "NATION_2")
+        val nat = Tables.nation(s, dir).where(col("n_name").isin(pair: _*))
+        val sup = Tables.supplier(s, dir)
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cus = Tables.customer(s, dir)
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+          .where(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+                   year(col("l_shipdate")).as("l_year"))
+          .agg(expr(rev).as("revenue"), count(lit(1)).as("n_lines"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+              |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+              |  CAST(CAST(sum(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
+              |  count(*) AS n_lines
+              |FROM lineitem
+              |  JOIN orders   ON l_orderkey = o_orderkey
+              |  JOIN supplier ON l_suppkey = s_suppkey
+              |  JOIN customer ON o_custkey = c_custkey
+              |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+              |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+              |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+              |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+              |  AND sn.n_name <> cn.n_name
+              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+      note = "TPC-H Q7: nation dims pre-filtered and broadcast, pair predicate as residual"),
+
+    // TPC-H Q8 shape: market share — a conditional-aggregate ratio. Both
+    // the numerator (focal nation's revenue) and denominator (all ASIA-
+    // customer revenue) accumulate in ONE pass over the joined facts as
+    // decimal sums; the share divides once in doubles. No self-join, no
+    // second scan — the CASE inside the aggregate is the whole trick.
+    Q("q8_market_share", Seq("J1", "J4", "A1", "A9", "P5"),
+      (s, dir) => {
+        val revD = s"CAST(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec)) AS DECIMAL(28,4))"
+        val asiaNat = Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir).where(col("r_name") === "ASIA")),
+                col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))
+        val cus = Tables.customer(s, dir)
+          .join(broadcast(asiaNat), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"))
+        val sup = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cus), col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(expr(s"sum(CASE WHEN supp_nation = 'NATION_3' THEN $revD ELSE CAST(0 AS DECIMAL(28,4)) END)").as("focal_d"),
+               expr(s"sum($revD)").as("total_d"))
+          .select(col("o_year"),
+                  (col("focal_d").cast("double") / col("total_d").cast("double")).as("mkt_share"),
+                  col("total_d").cast("double").as("total_rev"))
+          .orderBy("o_year")
+      },
+      Some(s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+              |  CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+              |        THEN CAST(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec)) AS DECIMAL(28,4))
+              |        ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+              |    / CAST(sum(CAST(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec)) AS DECIMAL(28,4))) AS DOUBLE) AS mkt_share,
+              |  CAST(sum(CAST(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec)) AS DECIMAL(28,4))) AS DOUBLE) AS total_rev
+              |FROM lineitem
+              |  JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN supplier ON l_suppkey = s_suppkey
+              |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+              |WHERE o_custkey IN (
+              |  SELECT c_custkey FROM customer
+              |    JOIN nation ON c_nationkey = n_nationkey
+              |    JOIN region ON n_regionkey = r_regionkey
+              |  WHERE r_name = 'ASIA')
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "TPC-H Q8: one-pass conditional-aggregate ratio, semi-join region filter"),
+
+    // TPC-H Q14 shape: promo share per month — the same conditional-
+    // aggregate ratio at finer grain, with the part dim broadcast into the
+    // date-sliced fact scan.
+    Q("q14_promo_share", Seq("J1", "F1", "A9", "P5"),
+      (s, dir) => {
+        val revD = s"CAST(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec)) AS DECIMAL(28,4))"
+        Tables.lineitem(s, dir)
+          .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                 col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+          .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+                col("p_partkey") === col("l_partkey"))
+          .groupBy(month(col("l_shipdate")).as("l_month"))
+          .agg(expr(s"sum(CASE WHEN p_type = 'PROMO' THEN $revD ELSE CAST(0 AS DECIMAL(28,4)) END)").as("promo_d"),
+               expr(s"sum($revD)").as("total_d"))
+          .select(col("l_month"),
+                  (lit(100.0) * col("promo_d").cast("double") / col("total_d").cast("double")).as("promo_share"),
+                  col("total_d").cast("double").as("total_rev"))
+          .orderBy("l_month")
+      },
+      Some(s"""SELECT CAST(month(l_shipdate) AS INTEGER) AS l_month,
+              |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+              |        THEN CAST(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec)) AS DECIMAL(28,4))
+              |        ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+              |    / CAST(sum(CAST(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec)) AS DECIMAL(28,4))) AS DOUBLE) AS promo_share,
+              |  CAST(sum(CAST(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec)) AS DECIMAL(28,4))) AS DOUBLE) AS total_rev
+              |FROM lineitem JOIN part ON p_partkey = l_partkey
+              |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "TPC-H Q14: monthly conditional-aggregate promo share, broadcast part dim"),
+
+    // TPC-H Q15 shape: argmax against a global scalar. Per-supplier
+    // quarterly revenue aggregates once and is cached; the max re-aggregates
+    // those |suppliers| rows (not the facts) and broadcasts as one row; the
+    // equality compare runs on the exact DECIMAL, never on doubles, so ties
+    // and the winner are engine-identical.
+    Q("q15_top_supplier", Seq("A1", "A4", "F1", "A13"),
+      (s, dir) => {
+        val revQ = Tables.lineitem(s, dir)
+          .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                 col("l_shipdate") <  lit("1997-04-01").cast("timestamp"))
+          .groupBy("l_suppkey")
+          .agg(expr(s"CAST(sum(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec))) AS DECIMAL(28,4))").as("total_d"))
+          .cache() // |suppliers| rows; reused by the max and the probe
+        val mx = revQ.agg(max(col("total_d")).as("max_d"))
+        revQ.crossJoin(broadcast(mx))
+          .where(col("total_d") === col("max_d"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+                  col("total_d").cast("double").as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH r AS (SELECT l_suppkey,
+              |    CAST(sum(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec))) AS DECIMAL(28,4)) AS total_d
+              |  FROM lineitem
+              |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+              |  GROUP BY 1)
+              |SELECT s_suppkey, s_name, CAST(total_d AS DOUBLE) AS total_revenue
+              |FROM r JOIN supplier ON l_suppkey = s_suppkey
+              |WHERE total_d = (SELECT max(total_d) FROM r)
+              |ORDER BY s_suppkey""".stripMargin),
+      note = "TPC-H Q15: decimal-exact argmax vs a broadcast one-row maximum")
   )
 }

@@ -263,4 +263,27 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row scalar cutoff
     assert(p.contains("LeftAnti"), p)
   }
+
+  test("Q6 pushes all predicates to the lineitem scan and joins nothing") {
+    val p = plan("q6_banded_revenue")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+  }
+
+  test("Q7/Q8: every dim side broadcasts; the fact join is the only wide work") {
+    for (q <- Seq("q7_bilateral_trade", "q8_market_share")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+      assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, s"$q:\n$p")
+    }
+  }
+
+  test("Q15's max re-aggregates the cached supplier table; the argmax equality hash-joins the one-row max") {
+    val p = plan("q15_top_supplier")
+    assert("InMemoryTableScan".r.findAllIn(p).length == 2, p)
+    // the cross join + equality predicate collapses into an equi hash join
+    // against the broadcast one-row max — no nested loop anywhere
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"), p)
+  }
 }
