@@ -88,6 +88,29 @@ object StreamQueries {
              |ORDER BY p_id, v_id""".stripMargin),
       note = "two watermarked streams, interval condition bounds join state"),
 
+    // LEFT OUTER flavor: the null-extended row for a view-less purchase is
+    // emitted by state EVICTION — only once the global watermark (min over
+    // both inputs of max event time − 1 day) proves no matching view can
+    // still arrive. The oracle replays that rule in batch: a purchase
+    // appears if it matched (n_views > 0) or its timestamp has fallen
+    // behind the final watermark; trailing-day unmatched purchases are
+    // withheld, the streaming analog of the complete-window rule.
+    Q("stream_interval_left_outer", Seq("§2.9", "J2", "F7", "F8"),
+      (s, dir) => StreamOps.streamStreamLeftOuterJoin(s, dir),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type FROM events),
+             |p AS (SELECT event_id AS p_id, user_id, t_us AS p_us FROM e WHERE event_type = 'purchase'),
+             |v AS (SELECT event_id AS v_id, user_id AS v_user, t_us AS v_us FROM e WHERE event_type = 'view'),
+             |wm AS (SELECT least((SELECT max(p_us) FROM p), (SELECT max(v_us) FROM v))
+             |         - 86400000000 AS w),
+             |m AS (SELECT p_id, p.user_id, p_us, count(v_id) AS n_views
+             |      FROM p LEFT JOIN v
+             |        ON p.user_id = v_user AND v_us >= p_us - 3600000000 AND v_us < p_us
+             |      GROUP BY 1, 2, 3)
+             |SELECT p_id, user_id, p_us, n_views FROM m, wm
+             |WHERE n_views > 0 OR p_us < w
+             |ORDER BY p_id""".stripMargin),
+      note = "stream-stream LEFT OUTER interval join: watermark eviction emits the null rows"),
+
     Q("stream_dedup_fingerprint", Seq("§2.9", "dedup", "A10"),
       (s, dir) => StreamOps.streamingDedup(s, dir),
       Some("""SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,

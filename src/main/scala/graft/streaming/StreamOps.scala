@@ -275,6 +275,40 @@ object StreamOps {
       .orderBy("p_id", "v_id")
   }
 
+  /** Stream–stream LEFT OUTER interval join: purchases keep a row even when
+    * no view preceded them. Matched pairs emit as they form (append); the
+    * null-extended row for an unmatched purchase emits only when the
+    * watermark proves no future view can match — state eviction IS the
+    * outer-join semantics. AvailableNow's final no-data batch advances the
+    * watermark to max(event time) − 1 day and flushes those rows, so a
+    * purchase inside the trailing day with no views is withheld, exactly
+    * like F6 withholds an incomplete window. Output is aggregated per
+    * purchase (n_views, 0 = null row) so the batch oracle is closed-form. */
+  def streamStreamLeftOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.events(spark, dir) // sets nanosAsLong
+    val name = s"graft_ssloj_${runCounter.incrementAndGet()}"
+    val src = spark.readStream
+      .schema(tableSchema(spark, s"$dir/events.parquet"))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("event_id"), col("user_id"),
+              expr(tsExpr(spark, dir)).as("t"), col("event_type"))
+    val p = src.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("t").as("p_t"))
+      .withWatermark("p_t", "1 day")
+    val v = src.where(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("t").as("v_t"))
+      .withWatermark("v_t", "1 day")
+    val joined = p.join(v,
+      expr("user_id = v_user AND v_t >= p_t - INTERVAL 1 HOUR AND v_t < p_t"),
+      "leftOuter")
+    drain(spark, name, joined.writeStream.outputMode("append").format("memory"))
+    spark.table(name)
+      .groupBy(col("p_id"), col("user_id"), expr("unix_micros(p_t)").as("p_us"))
+      .agg(count(col("v_id")).as("n_views"))
+      .orderBy("p_id")
+  }
+
   /** Streaming ingest dedup — the training-data-pipeline crossover: as
     * document files land, fingerprint each (normalized md5, same codec as
     * the batch `text_fingerprint`) and hold per-fingerprint (min doc_id,

@@ -12,9 +12,15 @@ Usage: python3 tools/benchcmp.py <sfDir> <bench_json_file> [out_md] [oracle_json
 """
 import json
 import sys
+import threading
 import time
 
 import duckdb
+
+# A query that DuckDB cannot finish within the guard (runaway spill on a
+# plan Spark handles fine) is recorded at the guard value instead of
+# filling the disk; the interrupt thread cancels the running statement.
+GUARD_S = float(__import__("os").environ.get("BENCHCMP_GUARD_S", "180"))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -42,12 +48,24 @@ def main():
     for name, sql in sorted(oracle.items()):
         best = None
         for _ in range(3):
+            timer = threading.Timer(GUARD_S, con.interrupt)
+            timer.start()
             t0 = time.time()
-            con.execute(sql).fetchall()
-            dt = time.time() - t0
+            try:
+                con.execute(sql).fetchall()
+                dt = time.time() - t0
+            except duckdb.InterruptException:
+                dt = time.time() - t0
+                print(f"[benchcmp] {name}: interrupted at {dt:.0f}s (guard)",
+                      file=sys.stderr, flush=True)
+            finally:
+                timer.cancel()
             best = dt if best is None else min(best, dt)
+            if best >= GUARD_S:
+                break  # don't re-run a guarded query twice more
         sp = spark_times.get(name)
         rows.append((name, sp, best))
+        print(f"[benchcmp] {name}: duckdb {best:.2f}s", file=sys.stderr, flush=True)
 
     lines = [
         "# BENCHCMP — Spark (local[32], best-of-3) vs DuckDB (best-of-3), same queries, same parquet",
