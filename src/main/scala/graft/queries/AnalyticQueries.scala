@@ -238,15 +238,18 @@ object AnalyticQueries {
       },
       note = "3-iteration fixed-point PageRank on the trade graph: Pregel-shaped message rounds, bit-identical across engines"),
 
-    // Triangle counting on the co-supply graph (suppliers linked when they
-    // serve ≥3 common customers) with DEGREE-ORDERED edge orientation — the
-    // trick that makes distributed triangle counting tractable: orienting
-    // every edge from its lower-(degree,id) endpoint bounds per-vertex
-    // out-degree by O(√|E|), so the wedge join is Σ outdeg² ≈ |E|^1.5
-    // instead of Σ deg² (which a hub vertex makes quadratic). Each triangle
-    // is counted exactly once, closed by one hash join of wedges against
-    // the oriented edge list. All counts — engine-exact.
-    Q("graph_triangles", Seq("J1", "J2", "A1", "skew", "§2.10"),
+    // Triangle counting on the TOP-K co-supply graph: each supplier links
+    // to its 5 strongest co-suppliers (most shared customers, ties by id),
+    // an edge surviving if either endpoint ranks it — the k-NN-graph
+    // construction that keeps |E| = O(k·|V|) however dense the raw
+    // co-occurrence gets (the unthresholded co-supply graph is COMPLETE on
+    // this data: ~600 customers/supplier makes every pair share ≥3, and
+    // counting C(n,3) triangles on a clique is a degenerate n³ grind, not
+    // an operator test). DEGREE-ORDERED orientation then bounds per-vertex
+    // out-degree by O(√|E|), and triangles close by adjacency-list
+    // intersection per oriented edge — no wedge set is ever materialized.
+    // All counts — engine-exact.
+    Q("graph_triangles", Seq("J1", "J2", "A1", "W4", "skew", "§2.10"),
       (s, dir) => {
         val l = Tables.lineitem(s, dir)
         val o = Tables.orders(s, dir)
@@ -255,9 +258,16 @@ object AnalyticQueries {
         val co = sc.as("x").join(sc.as("y"), col("x.ck") === col("y.ck") && col("x.sk") < col("y.sk"))
           .groupBy(col("x.sk").as("u"), col("y.sk").as("v"))
           .agg(count(lit(1)).as("shared"))
-          .where(col("shared") >= 3)
+        val wu = org.apache.spark.sql.expressions.Window
+          .partitionBy("u").orderBy(col("shared").desc, col("v"))
+        val wv = org.apache.spark.sql.expressions.Window
+          .partitionBy("v").orderBy(col("shared").desc, col("u"))
+        val edges = co
+          .withColumn("ru", row_number().over(wu))
+          .withColumn("rv", row_number().over(wv))
+          .where(col("ru") <= 5 || col("rv") <= 5)
           .select("u", "v")
-        val edges = co.cache()
+          .cache()
         val deg = edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
           .groupBy("n").agg(count(lit(1)).as("d"))
         // orient each edge from its lower (degree, id) endpoint
@@ -270,27 +280,41 @@ object AnalyticQueries {
             when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")), col("du")).otherwise(col("dv")).as("da"),
             when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")), col("dv")).otherwise(col("du")).as("db"))
           .cache()
-        val wedges = eo.as("e1").join(eo.as("e2"),
-            col("e1.a") === col("e2.a") &&
-            (col("e1.db") < col("e2.db") ||
-             (col("e1.db") === col("e2.db") && col("e1.b") < col("e2.b"))))
-          .select(col("e1.a").as("w0"), col("e1.b").as("w1"), col("e2.b").as("w2"))
-        val tris = wedges.join(eo.as("e3"),
-            col("w1") === col("e3.a") && col("w2") === col("e3.b"))
-          .select("w0", "w1", "w2")
+        // Close triangles by ADJACENCY INTERSECTION, not a wedge join: the
+        // wedge set (open two-paths) can be orders of magnitude larger than
+        // the triangle set on a dense co-supply graph, and a wedge join
+        // materializes and shuffles all of it. Intersecting the two
+        // endpoints' out-neighbor lists per oriented edge emits only the
+        // closed triangles; per-node list length is bounded by the
+        // orientation's O(√|E|) out-degree, so the per-row state stays
+        // bounded at any graph size.
+        val adj = eo.groupBy(col("a"))
+          .agg(sort_array(collect_list(col("b"))).as("nb"))
+          .cache() // probed twice (both edge endpoints); |V| rows, bounded lists
+        val tris = eo
+          .join(adj.select(col("a").as("ja"), col("nb").as("na")), col("a") === col("ja"))
+          .join(adj.select(col("a").as("jb"), col("nb").as("nbb")), col("b") === col("jb"))
+          .select(col("a").as("w0"), col("b").as("w1"),
+                  explode(expr("array_intersect(na, nbb)")).as("w2"))
         tris.select(explode(array(col("w0"), col("w1"), col("w2"))).as("supplier"))
           .groupBy("supplier").agg(count(lit(1)).as("n_triangles"))
           .orderBy(col("n_triangles").desc, col("supplier"))
       },
-      Some("""WITH sc AS (SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+      Some("""WITH sc AS MATERIALIZED (SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
              |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-             |co AS (SELECT x.sk AS u, y.sk AS v
-             |       FROM sc x JOIN sc y ON x.ck = y.ck AND x.sk < y.sk
-             |       GROUP BY 1, 2 HAVING count(*) >= 3),
-             |deg AS (SELECT n, count(*) AS d FROM (
+             |cos AS MATERIALIZED (SELECT x.sk AS u, y.sk AS v, count(*) AS shared
+             |        FROM sc x JOIN sc y ON x.ck = y.ck AND x.sk < y.sk
+             |        GROUP BY 1, 2),
+             |co AS MATERIALIZED (SELECT u, v FROM (
+             |         SELECT u, v,
+             |           row_number() OVER (PARTITION BY u ORDER BY shared DESC, v) AS ru,
+             |           row_number() OVER (PARTITION BY v ORDER BY shared DESC, u) AS rv
+             |         FROM cos) t
+             |       WHERE ru <= 5 OR rv <= 5),
+             |deg AS MATERIALIZED (SELECT n, count(*) AS d FROM (
              |          SELECT u AS n FROM co UNION ALL SELECT v AS n FROM co) t
              |        GROUP BY 1),
-             |eo AS (SELECT
+             |eo AS MATERIALIZED (SELECT
              |    CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
              |    CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b,
              |    CASE WHEN du < dv OR (du = dv AND u < v) THEN du ELSE dv END AS da,
@@ -298,11 +322,11 @@ object AnalyticQueries {
              |  FROM (SELECT co.u, co.v, d1.d AS du, d2.d AS dv
              |        FROM co JOIN deg d1 ON d1.n = co.u
              |                JOIN deg d2 ON d2.n = co.v) t),
-             |tri AS (SELECT e1.a AS w0, e1.b AS w1, e2.b AS w2
-             |        FROM eo e1
-             |        JOIN eo e2 ON e1.a = e2.a
-             |          AND (e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b))
-             |        JOIN eo e3 ON e3.a = e1.b AND e3.b = e2.b)
+             |adj AS MATERIALIZED (SELECT a, list_sort(list(b)) AS nb FROM eo GROUP BY 1),
+             |tri AS (SELECT e.a AS w0, e.b AS w1,
+             |          unnest(list_intersect(na.nb, nbb.nb)) AS w2
+             |        FROM eo e JOIN adj na ON e.a = na.a
+             |                  JOIN adj nbb ON e.b = nbb.a)
              |SELECT supplier, count(*) AS n_triangles FROM (
              |  SELECT w0 AS supplier FROM tri
              |  UNION ALL SELECT w1 FROM tri

@@ -40,6 +40,11 @@ def main():
     oracle = json.load(open(oracle_path))
 
     con = duckdb.connect()
+    # hard disk protection: a runaway out-of-core plan errors instead of
+    # filling the volume (interrupt() alone can lag by minutes inside a
+    # spilling hash join)
+    con.execute("SET temp_directory='/tmp/duckdb_benchcmp_spill'")
+    con.execute("SET max_temp_directory_size='12GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
@@ -58,6 +63,10 @@ def main():
                 dt = time.time() - t0
                 print(f"[benchcmp] {name}: interrupted at {dt:.0f}s (guard)",
                       file=sys.stderr, flush=True)
+            except duckdb.Error as e:
+                dt = max(time.time() - t0, GUARD_S)
+                print(f"[benchcmp] {name}: duckdb error ({str(e)[:80]}) — "
+                      f"recorded at {dt:.0f}s", file=sys.stderr, flush=True)
             finally:
                 timer.cancel()
             best = dt if best is None else min(best, dt)
