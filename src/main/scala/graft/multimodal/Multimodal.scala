@@ -49,4 +49,36 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
   }
+
+  /** One fixed-width analysis window of a payload treated as 8-bit PCM. */
+  final case class AudioWindow(docId: Long, wIdx: Int, energy: Long)
+
+  /** Voice-activity-style windowing: slice each payload into `win`-byte
+    * frames (full frames only) and compute an integer energy per frame —
+    * Σ (byte − 96)², a variance-like measure that is exactly reproducible
+    * in any engine (no floats, no codec). The real-deployment analog
+    * decodes PCM and computes RMS over samples (`???` here — no audio
+    * libs in this environment); the Spark-side shape is identical:
+    * payloads stay distributed, frames stream out of `mapPartitions`
+    * without materializing per-doc state beyond one frame. */
+  def vadWindows(spark: SparkSession, documents: DataFrame, win: Int = 16): Dataset[AudioWindow] = {
+    import spark.implicits._
+    withPayload(documents)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val nw = bytes.length / win
+        (0 until nw).iterator.map { w =>
+          var e = 0L
+          var i = w * win
+          val end = i + win
+          while (i < end) {
+            val d = (bytes(i) & 0xff) - 96
+            e += d.toLong * d
+            i += 1
+          }
+          AudioWindow(id, w, e)
+        }
+      })
+  }
 }

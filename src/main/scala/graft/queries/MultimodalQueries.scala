@@ -249,6 +249,43 @@ object MultimodalQueries {
               |JOIN cnt ca ON i.a_id = ca.doc_id
               |JOIN cnt cb ON i.b_id = cb.doc_id
               |ORDER BY i.a_id, i.b_id""".stripMargin),
-      note = "media-phash candidates cross-checked by caption Jaccard; pair-bounded text verify")
+      note = "media-phash candidates cross-checked by caption Jaccard; pair-bounded text verify"),
+
+    // Voice-activity segmentation over the audio payload: 16-byte frames
+    // get an integer energy (Σ (byte−96)², exact in any engine) via
+    // mapPartitions batch decode; frames above threshold merge into
+    // maximal runs with the islands trick (wIdx − row_number is constant
+    // within a run). Per-doc state never exceeds one frame on the decode
+    // side and one window partition on the merge side — the 100 TB shape
+    // for segmenting petabytes of audio is exactly this: frame-parallel
+    // featurization, then a per-key ordered merge.
+    Q("mm_audio_vad_segments", Seq("multimodal", "W3", "F1", "A12", "session"),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("docId").orderBy("wIdx")
+        Multimodal.vadWindows(s, Tables.documents(s, dir)).toDF()
+          .where(col("energy") >= 12000)
+          .withColumn("isl", col("wIdx") - row_number().over(w))
+          .groupBy(col("docId").as("doc_id"), col("isl"))
+          .agg(min("wIdx").as("seg_start"), max("wIdx").as("seg_end"),
+               count(lit(1)).as("n_windows"), sum("energy").as("tot_energy"))
+          .select("doc_id", "seg_start", "seg_end", "n_windows", "tot_energy")
+          .orderBy("doc_id", "seg_start")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    unnest(generate_series(0, CAST(length(text) AS INTEGER) - 1)) AS i, text
+             |  FROM documents),
+             |w AS (SELECT doc_id, CAST(i // 16 AS INTEGER) AS w_idx,
+             |        CAST(sum((unicode(text[CAST(i AS INTEGER) + 1]) - 96)
+             |                 * (unicode(text[CAST(i AS INTEGER) + 1]) - 96)) AS BIGINT) AS energy
+             |      FROM u WHERE i < (length(text) // 16) * 16 GROUP BY 1, 2),
+             |a AS (SELECT doc_id, w_idx, energy,
+             |        w_idx - row_number() OVER (PARTITION BY doc_id ORDER BY w_idx) AS isl
+             |      FROM w WHERE energy >= 12000)
+             |SELECT doc_id, min(w_idx) AS seg_start, max(w_idx) AS seg_end,
+             |  count(*) AS n_windows, CAST(sum(energy) AS BIGINT) AS tot_energy
+             |FROM a GROUP BY doc_id, isl ORDER BY doc_id, seg_start""".stripMargin),
+      note = "VAD-style segmentation: frame-parallel integer energy + islands merge into runs")
   )
 }

@@ -122,6 +122,19 @@ class OpsSpec extends AnyFunSuite {
     assert(meta.head.format == "fmtB" && meta.head.nBytes == 11)
   }
 
+  test("VAD windowing emits full frames only, with exact integer energies") {
+    // 35 bytes -> 2 full 16-byte frames, 3-byte tail dropped
+    val text = "a" * 16 + " " * 16 + "xyz"
+    val ws = Multimodal.vadWindows(spark, Seq((7L, text)).toDF("doc_id", "text"))
+      .collect().sortBy(_.wIdx)
+    assert(ws.map(_.wIdx).toSeq == Seq(0, 1))
+    assert(ws(0).energy == 16L * 1 * 1)     // 'a' = 97 -> (97-96)^2 = 1
+    assert(ws(1).energy == 16L * 64 * 64)   // ' ' = 32 -> (32-96)^2 = 4096
+    // empty / sub-frame payloads emit nothing
+    assert(Multimodal.vadWindows(spark,
+      Seq((8L, "short")).toDF("doc_id", "text")).collect().isEmpty)
+  }
+
   test("embedding-cosine near-dup keeps the earliest doc per cluster") {
     val out = SparkEntry.queries("dedup_embedding_cosine")(spark, "/root/testdata/sf0.001")
       .collect()
