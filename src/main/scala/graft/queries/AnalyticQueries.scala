@@ -359,9 +359,13 @@ object AnalyticQueries {
           .cache()
         val d0 = edges.sparkSession.range(1).select(lit("s1").as("node"), lit(0L).as("dist"))
         val d3 = (1 to 3).foldLeft(d0.toDF) { (d, _) =>
-          val relax = edges.join(d, edges("a") === d("node"))
+          // each round references the previous frontier TWICE (carry-over
+          // union + relax join); without a cache the uncached lineage
+          // doubles per round — 2^k−1 edge joins instead of k
+          val dc = d.cache()
+          val relax = edges.join(dc, edges("a") === dc("node"))
             .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
-          d.union(relax).groupBy("node").agg(min("dist").as("dist"))
+          dc.union(relax).groupBy("node").agg(min("dist").as("dist"))
         }
         d3.orderBy("node")
       },
