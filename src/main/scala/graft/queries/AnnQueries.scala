@@ -519,9 +519,11 @@ object AnnQueries {
           .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
           .select(col("vec_id"), col("label"), col("pos"),
                   expr("CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)").as("xs"))
+          .cache() // E-step distances, M-step sums, and old centroids all re-read it
         val centOld = xs.groupBy(col("label").as("c_label"), col("pos"))
           .agg(sum("xs").as("sxs"), count(lit(1)).as("n"))
           .select(col("c_label"), col("pos"), expr(meanFx).as("cx"))
+          .cache() // probed by the E-step and by the final shift join
         val assigned = xs.join(broadcast(centOld), "pos")
           .groupBy(col("vec_id"), col("c_label"))
           .agg(sum(expr("(xs - cx) * (xs - cx)")).as("d2"))
