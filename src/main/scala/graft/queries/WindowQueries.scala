@@ -153,6 +153,38 @@ object WindowQueries {
              |FROM events ORDER BY event_id""".stripMargin),
       note = "value-based RANGE frame (time interval), not a rows frame"),
 
+    // Trailing-window EXACT moving median — the robust analog of a moving
+    // average, by the same rank-not-interpolation contract as
+    // a_exact_quantiles: collect the trailing 7 values per row, sort, take
+    // the lower-median element. Engine-exact (array element, no float
+    // interpolation), and the per-row state is the frame itself (≤7
+    // values), so the window carries O(frame) memory however long the
+    // series grows — the streaming-safe robust smoother.
+    Q("w_moving_median", Seq("W2", "W3", "A13", "F8", "§2.10"),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("ts_us", "event_id")
+          .rowsBetween(-6, 0)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"),
+                  unix_micros(col("ts")).as("ts_us"),
+                  col("value").cast("double").as("v"))
+          .withColumn("vs", sort_array(collect_list(col("v")).over(w)))
+          .select(col("event_id"), col("event_type"), col("ts_us"),
+                  expr("element_at(vs, CAST((size(vs) + 1) DIV 2 AS INT))").as("med7"))
+          .orderBy("event_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+             |    list_sort(list(CAST(value AS DOUBLE)) OVER (
+             |      PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+             |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS vs
+             |  FROM events)
+             |SELECT event_id, event_type, ts_us,
+             |  vs[CAST((len(vs) + 1) // 2 AS INTEGER)] AS med7
+             |FROM t ORDER BY event_id""".stripMargin),
+      note = "trailing-7 exact moving median: rank-based, O(frame) window state"),
+
     // ROLLUP lattice: per-(type, day) totals plus per-type and grand
     // totals in ONE pass — Spark expands the grouping sets before the
     // aggregation, so partial aggregation still happens map-side; the
