@@ -773,6 +773,40 @@ object AnalyticQueries {
               |FROM r JOIN supplier ON l_suppkey = s_suppkey
               |WHERE total_d = (SELECT max(total_d) FROM r)
               |ORDER BY s_suppkey""".stripMargin),
-      note = "TPC-H Q15: decimal-exact argmax vs a broadcast one-row maximum")
+      note = "TPC-H Q15: decimal-exact argmax vs a broadcast one-row maximum"),
+
+    // TPC-H Q2 shape: cheapest supplier per part. The spec's correlated
+    // scalar subquery ("cost = MIN(cost) for this part") decorrelates into
+    // a per-part window rank over the shipping relation — one shuffle on
+    // partkey, rank-1 filter, deterministic tie-break on suppkey. The same
+    // plan at 100 TB: the window partitions by the join key the relation
+    // already shuffles on, so the argmin adds no extra exchange.
+    Q("q2_min_cost_supplier", Seq("J1", "F1", "W4", "A4"),
+      (s, dir) => {
+        val pk = Tables.part(s, dir)
+          .where(col("p_size") === 15 && col("p_type") === "ECONOMY")
+          .select(col("p_partkey"), col("p_brand"))
+        val ship = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+          .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("p_partkey").orderBy(col("s_acctbal"), col("s_suppkey"))
+        ship.withColumn("rk", row_number().over(w))
+          .where(col("rk") === 1)
+          .select(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+                  col("s_name"), col("s_acctbal"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal FROM (
+             |  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal,
+             |    row_number() OVER (PARTITION BY p_partkey
+             |                       ORDER BY s_acctbal, s_suppkey) AS rk
+             |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sh
+             |    JOIN part ON l_partkey = p_partkey
+             |    JOIN supplier ON l_suppkey = s_suppkey
+             |  WHERE p_size = 15 AND p_type = 'ECONOMY')
+             |WHERE rk = 1 ORDER BY p_partkey""".stripMargin),
+      note = "TPC-H Q2: correlated per-group MIN decorrelated to a window rank on the join key")
   )
 }

@@ -111,6 +111,35 @@ object StreamQueries {
              |ORDER BY p_id""".stripMargin),
       note = "stream-stream LEFT OUTER interval join: watermark eviction emits the null rows"),
 
+    // FULL OUTER completes the streaming join-mode matrix. The two sides
+    // evict on different horizons — a purchase is final when the watermark
+    // passes p_t (its match window points backward), a view only when it
+    // passes v_t + 1h (a later purchase could still claim it) — and the
+    // oracle replays both horizons against the final watermark.
+    Q("stream_interval_full_outer", Seq("§2.9", "J2", "F7", "F8"),
+      (s, dir) => StreamOps.streamStreamFullOuterJoin(s, dir),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type FROM events),
+             |p AS (SELECT event_id AS p_id, user_id, t_us AS p_us FROM e WHERE event_type = 'purchase'),
+             |v AS (SELECT event_id AS v_id, user_id AS v_user, t_us AS v_us FROM e WHERE event_type = 'view'),
+             |wm AS (SELECT least((SELECT max(p_us) FROM p), (SELECT max(v_us) FROM v))
+             |         - 86400000000 AS w),
+             |mp AS (SELECT p_id, p_us, count(v_id) AS n_matches
+             |       FROM p LEFT JOIN v
+             |         ON p.user_id = v_user AND v_us >= p_us - 3600000000 AND v_us < p_us
+             |       GROUP BY 1, 2),
+             |mv AS (SELECT v_id, v_us, count(p_id) AS n_matches
+             |       FROM v LEFT JOIN p
+             |         ON p.user_id = v_user AND v_us >= p_us - 3600000000 AND v_us < p_us
+             |       GROUP BY 1, 2)
+             |SELECT side, event_id, t_us, n_matches FROM (
+             |  SELECT 'p' AS side, p_id AS event_id, p_us AS t_us, n_matches
+             |  FROM mp, wm WHERE n_matches > 0 OR p_us < w
+             |  UNION ALL
+             |  SELECT 'v' AS side, v_id AS event_id, v_us AS t_us, n_matches
+             |  FROM mv, wm WHERE n_matches > 0 OR v_us + 3600000000 < w)
+             |ORDER BY side, event_id""".stripMargin),
+      note = "stream-stream FULL OUTER interval join: asymmetric eviction horizons per side"),
+
     Q("stream_dedup_fingerprint", Seq("§2.9", "dedup", "A10"),
       (s, dir) => StreamOps.streamingDedup(s, dir),
       Some("""SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,

@@ -309,6 +309,44 @@ object StreamOps {
       .orderBy("p_id")
   }
 
+  /** FULL OUTER stream–stream interval join — both sides' evictions emit
+    * null-extended rows, with ASYMMETRIC horizons: an unmatched purchase is
+    * final once the watermark passes its own time (views only precede it),
+    * but an unmatched view must wait a further hour (a purchase up to one
+    * hour later could still claim it). The batch oracle replays both
+    * horizons against the final watermark. Output is one row per event
+    * (side, id, n_matches) so the contract is closed-form. */
+  def streamStreamFullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.events(spark, dir) // sets nanosAsLong
+    val name = s"graft_ssfoj_${runCounter.incrementAndGet()}"
+    val src = spark.readStream
+      .schema(tableSchema(spark, s"$dir/events.parquet"))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("event_id"), col("user_id"),
+              expr(tsExpr(spark, dir)).as("t"), col("event_type"))
+    val p = src.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("t").as("p_t"))
+      .withWatermark("p_t", "1 day")
+    val v = src.where(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("t").as("v_t"))
+      .withWatermark("v_t", "1 day")
+    val joined = p.join(v,
+      expr("user_id = v_user AND v_t >= p_t - INTERVAL 1 HOUR AND v_t < p_t"),
+      "fullOuter")
+    drain(spark, name, joined.writeStream.outputMode("append").format("memory"))
+    val raw = spark.table(name)
+    val pSide = raw.where(col("p_id").isNotNull)
+      .groupBy(lit("p").as("side"), col("p_id").as("event_id"),
+               expr("unix_micros(p_t)").as("t_us"))
+      .agg(count(col("v_id")).as("n_matches"))
+    val vSide = raw.where(col("v_id").isNotNull)
+      .groupBy(lit("v").as("side"), col("v_id").as("event_id"),
+               expr("unix_micros(v_t)").as("t_us"))
+      .agg(count(col("p_id")).as("n_matches"))
+    pSide.union(vSide).orderBy("side", "event_id")
+  }
+
   /** Streaming ingest dedup — the training-data-pipeline crossover: as
     * document files land, fingerprint each (normalized md5, same codec as
     * the batch `text_fingerprint`) and hold per-fingerprint (min doc_id,

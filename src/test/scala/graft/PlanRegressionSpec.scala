@@ -278,6 +278,19 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("Q2's per-part argmin rides the join-key shuffle: window partitions by p_partkey, dims broadcast") {
+    val p = plan("q2_min_cost_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("row_number"), p)
+  }
+
+  test("moving median stays one window pass over the event-type partitioning") {
+    val p = plan("w_moving_median")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$p")
+  }
+
   test("Q15's max re-aggregates the cached supplier table; the argmax equality hash-joins the one-row max") {
     val p = plan("q15_top_supplier")
     assert("InMemoryTableScan".r.findAllIn(p).length == 2, p)
