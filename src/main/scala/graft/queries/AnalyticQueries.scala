@@ -807,6 +807,43 @@ object AnalyticQueries {
              |    JOIN supplier ON l_suppkey = s_suppkey
              |  WHERE p_size = 15 AND p_type = 'ECONOMY')
              |WHERE rk = 1 ORDER BY p_partkey""".stripMargin),
-      note = "TPC-H Q2: correlated per-group MIN decorrelated to a window rank on the join key")
+      note = "TPC-H Q2: correlated per-group MIN decorrelated to a window rank on the join key"),
+
+    // TPC-H Q9 shape: profit by supplier nation × order year. The spec's
+    // ps_supplycost is absent from this schema, so unit cost is modeled as
+    // p_retailprice/10 — deterministic and decimal-exact, which is what
+    // the operator test needs. Five-way star join where every dim
+    // (supplier, nation, part slice) broadcasts; the fact pays one shuffle
+    // into the (nation, year) aggregate. Profit = revenue − qty·cost
+    // accumulates in one decimal expression per row, map-side combined.
+    Q("q9_profit_rollup", Seq("J1", "A1", "P5", "P12"),
+      (s, dir) => {
+        val profitD = s"CAST(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec)) " +
+          s"- CAST(l_quantity AS $dec) * (CAST(p_retailprice AS $dec) / 10) AS DECIMAL(28,4))"
+        val pGreen = Tables.part(s, dir)
+          .where(col("p_type").isin("ECONOMY", "STANDARD"))
+          .select(col("p_partkey"), col("p_retailprice"))
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(pGreen), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg(expr(s"CAST(sum($profitD) AS DOUBLE)").as("profit"),
+               count(lit(1)).as("n_lines"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some(s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+              |  CAST(sum(CAST(CAST(l_extendedprice AS $dec) * (1 - CAST(l_discount AS $dec))
+              |        - CAST(l_quantity AS $dec) * (CAST(p_retailprice AS $dec) / 10) AS DECIMAL(28,4))) AS DOUBLE) AS profit,
+              |  count(*) AS n_lines
+              |FROM lineitem
+              |  JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN part ON l_partkey = p_partkey
+              |  JOIN supplier ON l_suppkey = s_suppkey
+              |  JOIN nation ON s_nationkey = n_nationkey
+              |WHERE p_type IN ('ECONOMY', 'STANDARD')
+              |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin),
+      note = "TPC-H Q9: five-way broadcast star join, decimal-exact profit, one fact shuffle")
   )
 }

@@ -278,6 +278,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("Q9's five-way star join broadcasts every dim; the fact shuffles once into the aggregate") {
+    val p = plan("q9_profit_rollup")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 2, s"expected <=2 hash exchanges, got $shuffles:\n$p")
+  }
+
   test("Q2's per-part argmin rides the join-key shuffle: window partitions by p_partkey, dims broadcast") {
     val p = plan("q2_min_cost_supplier")
     assert(p.contains("BroadcastHashJoin"), p)
