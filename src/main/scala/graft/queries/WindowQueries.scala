@@ -14,6 +14,18 @@ object WindowQueries {
   private val dec = "DECIMAL(18,2)"
   private val etypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Chunk span for the two-phase smoothers: one calendar day of epoch
+    * micros. Chunk count grows with the time range (not the data volume),
+    * so the boundary-stitch summary stays tiny at any SF while rows per
+    * (type, day) chunk stay executor-sized. */
+  private val dayUs = 86400L * 1000000L
+
+  /** Last n elements of arr, tolerating |arr| < n (Spark's slice with a
+    * negative start returns an empty array when the offset underruns the
+    * array, so the short case must be guarded, unlike DuckDB's clamp). */
+  private def lastN(arr: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    when(size(arr) <= n, arr).otherwise(slice(arr, -n, n))
+
   def all: Seq[Q] = Seq(
 
     // W2: lag-column widening — each row carries the values observed 1 and 2
@@ -155,23 +167,48 @@ object WindowQueries {
 
     // Trailing-window EXACT moving median — the robust analog of a moving
     // average, by the same rank-not-interpolation contract as
-    // a_exact_quantiles: collect the trailing 7 values per row, sort, take
-    // the lower-median element. Engine-exact (array element, no float
-    // interpolation), and the per-row state is the frame itself (≤7
-    // values), so the window carries O(frame) memory however long the
-    // series grows — the streaming-safe robust smoother.
+    // a_exact_quantiles. Two-phase plan: a window PARTITION BY event_type
+    // alone would funnel every row of a type through ONE task's sort (a
+    // handful of types — the low-cardinality-partition scale killer), so
+    // instead each series is chunked by calendar day and the heavy trailing
+    // window runs inside the high-cardinality (event_type, chunk)
+    // partition. Chunk boundaries are stitched through a per-chunk summary
+    // (one row per type×day) that carries each chunk's last 6 observations
+    // forward in chunk order; a row's out-of-chunk predecessors are always
+    // inside that carried tail, so boundary rows (rn ≤ 6) recover their
+    // exact global frame from carry ++ in-chunk prefix. The only
+    // event_type-partitioned window left runs over the summary (#days
+    // rows), not the data. Verified hash-identical to the oracle's single
+    // global window.
     Q("w_moving_median", Seq("W2", "W3", "A13", "F8", "§2.10"),
       (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("event_type").orderBy("ts_us", "event_id")
-          .rowsBetween(-6, 0)
-        Tables.events(s, dir)
+        val wc = Window.partitionBy("event_type", "chunk")
+          .orderBy("ts_us", "event_id")
+        // NULL values: Spark's collect_list drops them, DuckDB's list()
+        // keeps them — exclude explicitly on BOTH sides so the pair stays
+        // equivalent if the testdata ever grows NULLs.
+        val base = Tables.events(s, dir)
+          .where(col("value").isNotNull)
           .select(col("event_id"), col("event_type"),
                   unix_micros(col("ts")).as("ts_us"),
                   col("value").cast("double").as("v"))
-          .withColumn("vs", sort_array(collect_list(col("v")).over(w)))
+          .withColumn("chunk", expr(s"ts_us DIV $dayUs"))
+        val rows = base
+          .withColumn("rn", row_number().over(wc))
+          .withColumn("vs", collect_list(col("v")).over(wc.rowsBetween(-6, 0)))
+        val wS = Window.partitionBy("event_type").orderBy("chunk")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = base.groupBy("event_type", "chunk")
+          .agg(lastN(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("v")))), 6).as("tail6"))
+          .withColumn("prior", lastN(flatten(collect_list(col("tail6")).over(wS)), 6))
+          .select(col("event_type"), col("chunk"),
+                  transform(col("prior"), x => x.getField("v")).as("carry_vs"))
+        rows.join(broadcast(carry), Seq("event_type", "chunk"))
+          .withColumn("full",
+            when(col("rn") <= 6, lastN(concat(col("carry_vs"), col("vs")), 7))
+              .otherwise(col("vs")))
           .select(col("event_id"), col("event_type"), col("ts_us"),
-                  expr("element_at(vs, CAST((size(vs) + 1) DIV 2 AS INT))").as("med7"))
+                  expr("element_at(sort_array(full), CAST((size(full) + 1) DIV 2 AS INT))").as("med7"))
           .orderBy("event_id")
       },
       Some("""WITH t AS (
@@ -179,11 +216,11 @@ object WindowQueries {
              |    list_sort(list(CAST(value AS DOUBLE)) OVER (
              |      PARTITION BY event_type ORDER BY epoch_us(ts), event_id
              |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS vs
-             |  FROM events)
+             |  FROM events WHERE value IS NOT NULL)
              |SELECT event_id, event_type, ts_us,
              |  vs[CAST((len(vs) + 1) // 2 AS INTEGER)] AS med7
              |FROM t ORDER BY event_id""".stripMargin),
-      note = "trailing-7 exact moving median: rank-based, O(frame) window state"),
+      note = "trailing-7 exact moving median: two-phase (day-chunked window + carried-tail stitch), no low-cardinality data window"),
 
     // ROLLUP lattice: per-(type, day) totals plus per-type and grand
     // totals in ONE pass — Spark expands the grouping sets before the
@@ -271,24 +308,39 @@ object WindowQueries {
     // stage-5 forecasts consume exactly such per-zone series). The α=1/2
     // kernel is truncated at 10 taps and computed as Σ 2^(9-k)·cents_{t-k}
     // — the dyadic weights make the numerator an exact BIGINT at every
-    // parallelism, normalized once by (2¹⁰−1)·100. One user-partitioned
-    // window shuffle, 10 lag taps inside a single WindowExec — no
-    // self-joins, no per-tap passes.
+    // parallelism, normalized once by (2¹⁰−1)·100. Same two-phase shape as
+    // w_moving_median: the trailing-10 frame is collected inside the
+    // high-cardinality (event_type, day-chunk) window, and boundary rows
+    // (rn ≤ 9) splice in the previous chunks' carried tail-9; a row emits
+    // iff its stitched frame holds the full 10 taps — exactly the oracle's
+    // global rn ≥ 10. The fold weighs newest-first (2⁹ … 2⁰), all integer.
     Q("w_ema_trailing", Seq("W2", "W3", "A13", "session"),
       (s, dir) => {
-        val w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+        val wc = Window.partitionBy("event_type", "chunk")
+          .orderBy("ts_us", "event_id")
         val base = Tables.events(s, dir)
+          .where(col("value").isNotNull)
           .select(col("event_type"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
                   expr("CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)").as("cents"))
-        val num = (0 until 10).map { k =>
-          lag(col("cents"), k).over(w) * lit(1L << (9 - k))
-        }.reduce(_ + _)
-        base
-          .withColumn("num", num)
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") >= 10)
+          .withColumn("chunk", expr(s"ts_us DIV $dayUs"))
+        val rows = base
+          .withColumn("rn", row_number().over(wc))
+          .withColumn("cs", collect_list(col("cents")).over(wc.rowsBetween(-9, 0)))
+        val wS = Window.partitionBy("event_type").orderBy("chunk")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = base.groupBy("event_type", "chunk")
+          .agg(lastN(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("cents")))), 9).as("tail9"))
+          .withColumn("prior", lastN(flatten(collect_list(col("tail9")).over(wS)), 9))
+          .select(col("event_type"), col("chunk"),
+                  transform(col("prior"), x => x.getField("cents")).as("carry_cents"))
+        rows.join(broadcast(carry), Seq("event_type", "chunk"))
+          .withColumn("full",
+            when(col("rn") <= 9, lastN(concat(col("carry_cents"), col("cs")), 10))
+              .otherwise(col("cs")))
+          .where(size(col("full")) === 10)
           .select(col("event_type"), col("ts_us"), col("event_id"),
-                  (col("num").cast("double") / 102300.0).as("ema"))
+                  (expr("aggregate(reverse(full), 0L, (acc, x) -> acc * 2 + x)")
+                     .cast("double") / 102300.0).as("ema"))
           .orderBy("event_type", "ts_us", "event_id")
       },
       Some {
@@ -297,7 +349,7 @@ object WindowQueries {
         }.mkString(" + ")
         s"""WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
            |    CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
-           |  FROM events),
+           |  FROM events WHERE value IS NOT NULL),
            |l AS (SELECT event_type, ts_us, event_id,
            |    $taps AS num,
            |    row_number() OVER w AS rn
@@ -306,7 +358,7 @@ object WindowQueries {
            |  CAST(num AS DOUBLE) / 102300.0 AS ema
            |FROM l WHERE rn >= 10 ORDER BY 1, 2, 3""".stripMargin
       },
-      note = "10-tap dyadic-weight EMA: exact integer numerator, single window pass"),
+      note = "10-tap dyadic EMA: two-phase day-chunked frame + carried-tail stitch, exact integer numerator"),
 
     // Bounded top-k per group (graft.agg.TopKAgg, typed Aggregator) — W4's
     // scale form. The row_number() window the oracle uses sorts every

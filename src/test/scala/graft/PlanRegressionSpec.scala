@@ -293,10 +293,27 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("row_number"), p)
   }
 
-  test("moving median stays one window pass over the event-type partitioning") {
-    val p = plan("w_moving_median")
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$p")
+  test("smoothers keep every data-level window on (event_type, chunk); only the summary stitch may partition by type alone") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    for (q <- Seq("w_moving_median", "w_ema_trailing")) {
+      val exec = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val wins = exec.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$q lost its window operators:\n$exec")
+      wins.foreach { w =>
+        // a single-key (event_type-only) window is the 100-TB scale killer
+        // UNLESS it runs over the per-chunk summary, i.e. above an aggregate
+        if (w.partitionSpec.length < 2)
+          assert(w.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
+                 s"$q has a low-cardinality window over raw data:\n$exec")
+      }
+      assert(wins.exists(_.partitionSpec.length >= 2),
+             s"$q has no chunked data-level window:\n$exec")
+    }
   }
 
   test("Q15's max re-aggregates the cached supplier table; the argmax equality hash-joins the one-row max") {
