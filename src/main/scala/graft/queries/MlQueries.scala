@@ -84,6 +84,89 @@ object MlQueries {
       None,
       note = "rolling-origin GP refits (≤100/zone from halfway), lag-widened"),
 
+    // M4's SQL half, hash-checked: everything around the GP kernel — the
+    // expanding-origin run schedule (halfway = n/2, nruns = min(100,
+    // n−halfway), hind:43-51), the scatter of prediction k of run r into
+    // result row r+k / column k (hind:67-69), and the full output spine
+    // running 16 rows past the observed series (hind:81-95) — driven by a
+    // deterministic FIXTURE predictor instead of the GP: pred(r, k) =
+    // mean of the training prefix [0, halfway+r) + 16·k. The prefix mean
+    // folds as an exact DECIMAL window sum with ONE double division, so
+    // both engines agree bitwise; the unverified surface of M4 shrinks to
+    // the GP kernel alone (GoldenGwrSpec-style property tests cover that).
+    // Scale shape: one per-zone window pass, one (zone, row) groupBy, and
+    // a sequence-explode spine — all keyed by zone (high cardinality).
+    Q("m4_lag_assembly", Seq("M4", "W2", "W3", "F10", "§2.10"),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("zone").orderBy("d")
+        val ser = Tables.events(s, dir)
+          .groupBy(col("user_id").as("zone"), to_date(col("ts")).as("d"))
+          .agg(expr(s"sum(CAST(value AS $dec))").as("b"))
+        val stats = ser.groupBy("zone")
+          .agg(count(lit(1)).as("n"))
+          .where(col("n") >= 4)
+          .select(col("zone"), col("n"), expr("n DIV 2").as("halfway"),
+                  expr("least(100L, n - n DIV 2)").as("nruns"))
+        val runs = ser
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("csum", sum(col("b")).over(w))
+          .join(stats, Seq("zone"))
+          .where(col("rn") >= col("halfway") && col("rn") < col("halfway") + col("nruns"))
+          .select(col("zone"), (col("rn") - col("halfway")).as("run_r"),
+                  expr("CAST(csum AS DOUBLE) / CAST(rn AS DOUBLE)").as("em"))
+        val scattered = runs
+          .select(col("zone"), col("run_r"), col("em"),
+                  explode(sequence(lit(0L), lit(3L))).as("k"))
+          .groupBy(col("zone"), (col("run_r") + col("k")).as("i"))
+          .agg(max(when(col("k") === 0, col("em"))).as("lag0"),
+               max(when(col("k") === 1, col("em") + 16.0)).as("lag16"),
+               max(when(col("k") === 2, col("em") + 32.0)).as("lag32"),
+               max(when(col("k") === 3, col("em") + 48.0)).as("lag48"))
+        stats
+          .select(col("zone"), col("halfway"),
+                  explode(sequence(lit(0L), col("n") - col("halfway") + 15L)).as("i"))
+          .join(scattered, Seq("zone", "i"), "left")
+          .select(col("zone"), (col("halfway") + col("i")).as("series_idx"),
+                  col("lag0"), col("lag16"), col("lag32"), col("lag48"))
+          .orderBy("zone", "series_idx")
+      },
+      Some(s"""WITH ser AS (
+              |  SELECT user_id AS zone, CAST(ts AS DATE) AS d,
+              |    sum(CAST(value AS $dec)) AS b
+              |  FROM events GROUP BY 1, 2),
+              |stats AS (
+              |  SELECT zone, count(*) AS n, count(*) // 2 AS halfway,
+              |    least(100, count(*) - count(*) // 2) AS nruns
+              |  FROM ser GROUP BY zone HAVING count(*) >= 4),
+              |r AS (
+              |  SELECT zone, row_number() OVER w AS rn, sum(b) OVER w AS csum
+              |  FROM ser
+              |  WINDOW w AS (PARTITION BY zone ORDER BY d
+              |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              |runs AS (
+              |  SELECT r.zone, rn - halfway AS run_r,
+              |    CAST(csum AS DOUBLE) / CAST(rn AS DOUBLE) AS em
+              |  FROM r JOIN stats USING (zone)
+              |  WHERE rn >= halfway AND rn < halfway + nruns),
+              |sc AS (
+              |  SELECT zone, run_r + k.k AS i,
+              |    max(CASE WHEN k.k = 0 THEN em END) AS lag0,
+              |    max(CASE WHEN k.k = 1 THEN em + 16.0 END) AS lag16,
+              |    max(CASE WHEN k.k = 2 THEN em + 32.0 END) AS lag32,
+              |    max(CASE WHEN k.k = 3 THEN em + 48.0 END) AS lag48
+              |  FROM runs CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
+              |  GROUP BY 1, 2),
+              |spine AS (
+              |  SELECT zone, halfway,
+              |    unnest(range(0, n - halfway + 16)) AS i
+              |  FROM stats)
+              |SELECT spine.zone, halfway + spine.i AS series_idx,
+              |  lag0, lag16, lag32, lag48
+              |FROM spine LEFT JOIN sc ON sc.zone = spine.zone AND sc.i = spine.i
+              |ORDER BY 1, 2""".stripMargin),
+      note = "hindcast scatter/spine hash-checked with a fixture predictor; GP kernel stays golden-only"),
+
     // M2 + P6 + P7: GWR scoring. Scale design: GWR coefficients depend only
     // on the (quantized — P4) coordinates, so we fit one WLS system per
     // DISTINCT coordinate cell on the executors (broadcast calibration),

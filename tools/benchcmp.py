@@ -49,11 +49,25 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
+    def is_resource_error(e):
+        # only resource exhaustion is a legitimate "record at guard" outcome;
+        # binder/syntax/missing-function errors mean the oracle itself is
+        # broken and must fail the run, not fake a 180s data point
+        if isinstance(e, duckdb.OutOfMemoryException):
+            return True
+        msg = str(e).lower()
+        return ("memory" in msg or "temp_directory" in msg
+                or "temporary directory" in msg or "disk" in msg)
+
     rows = []
+    broken = []
     for name, sql in sorted(oracle.items()):
         best = None
+        err = None
         for _ in range(3):
-            timer = threading.Timer(GUARD_S, con.interrupt)
+            fired = []
+            timer = threading.Timer(GUARD_S, lambda: (fired.append(1),
+                                                      con.interrupt()))
             timer.start()
             t0 = time.time()
             try:
@@ -64,14 +78,40 @@ def main():
                 print(f"[benchcmp] {name}: interrupted at {dt:.0f}s (guard)",
                       file=sys.stderr, flush=True)
             except duckdb.Error as e:
+                if not is_resource_error(e):
+                    err = str(e)
+                    print(f"[benchcmp] {name}: ORACLE ERROR ({err[:120]})",
+                          file=sys.stderr, flush=True)
+                    timer.cancel()
+                    break
                 dt = max(time.time() - t0, GUARD_S)
-                print(f"[benchcmp] {name}: duckdb error ({str(e)[:80]}) — "
-                      f"recorded at {dt:.0f}s", file=sys.stderr, flush=True)
+                print(f"[benchcmp] {name}: duckdb resource error "
+                      f"({str(e)[:80]}) — recorded at {dt:.0f}s",
+                      file=sys.stderr, flush=True)
             finally:
                 timer.cancel()
+            if fired and dt < GUARD_S:
+                # the timer fired in the gap between execute() returning and
+                # cancel(): a stale interrupt is pending and would abort the
+                # next execute() near-instantly. Absorb it on a throwaway
+                # statement and discard this sample (its timing is suspect).
+                try:
+                    con.execute("SELECT 1").fetchall()
+                except duckdb.InterruptException:
+                    pass
+                continue
             best = dt if best is None else min(best, dt)
             if best >= GUARD_S:
                 break  # don't re-run a guarded query twice more
+        if err is not None:
+            broken.append((name, err))
+            continue
+        if best is None:
+            # every guarded sample was discarded by the fired-after-finish
+            # race (pathological); one unguarded run settles it
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            best = time.time() - t0
         sp = spark_times.get(name)
         rows.append((name, sp, best))
         print(f"[benchcmp] {name}: duckdb {best:.2f}s", file=sys.stderr, flush=True)
@@ -110,8 +150,17 @@ def main():
                      ", ".join(f"`{m}`" for m in missing))
         print(f"WARNING: {len(missing)} oracle queries missing from bench input: "
               f"{', '.join(missing)}", file=sys.stderr)
+    if broken:
+        lines.append("")
+        lines.append(f"ORACLE ERRORS ({len(broken)} queries, excluded): " +
+                     ", ".join(f"`{n}`" for n, _ in broken))
     open(out_md, "w").write("\n".join(lines) + "\n")
     print(f"spark {tot_sp:.1f}s vs duckdb {tot_dk:.1f}s over {len(rows)} queries -> {out_md}")
+    if broken:
+        # a broken oracle is a correctness bug upstream of any timing
+        for n, e in broken:
+            print(f"ORACLE ERROR {n}: {e[:200]}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
