@@ -33,8 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("forage_period_end"),
       new ExpressionInfo(classOf[graft.plans.ForagePeriodEnd].getName, "forage_period_end"),
-      (exprs: Seq[Expression]) =>
-        graft.plans.ForagePeriodEnd(exprs.head, exprs(1).eval().asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => graft.plans.ForagePeriod.builder(exprs)))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[graft.plans.VecDot].getName, "vec_dot"),

@@ -73,6 +73,35 @@ object Sinks {
     bos.toByteArray
   }
 
+  /** K6: the publish loop's decision tree (`import_biomass.py:66-76`): for
+    * each raster, probe the store — absent → create the image mosaic from
+    * the zip payload and enable the time dimension; present → harvest the
+    * granule zip into it. The transports are injected (same pattern as
+    * S5's `Fetch.run`), so the contract — probe-per-raster, first raster
+    * creates, the rest harvest — is testable without a GeoServer. */
+  sealed trait PublishAction
+  case object CreateMosaic extends PublishAction
+  case object HarvestGranule extends PublishAction
+  final case class PublishEntry(raster: String, action: PublishAction)
+
+  def publishMosaics(storeName: String,
+                     rasters: Seq[(String, Array[Byte])],
+                     storeExists: String => Boolean,
+                     create: (String, Array[Byte], String) => Unit,
+                     harvest: (String, Array[Byte]) => Unit): Seq[PublishEntry] =
+    rasters.map { case (tifName, tifBytes) =>
+      val zip = mosaicZip(tifName, tifBytes)
+      // re-probe per raster, like the reference's get_store inside the loop
+      // (imp:67): the FIRST raster's create makes the rest harvests
+      if (!storeExists(storeName)) {
+        create(storeName, zip, mosaicTimeDimensionXml(storeName))
+        PublishEntry(tifName, CreateMosaic)
+      } else {
+        harvest(storeName, zip)
+        PublishEntry(tifName, HarvestGranule)
+      }
+    }
+
   /** K6: the coverage-update body enabling the time dimension
     * (`tools.py:123-132`: DimensionInfo name=time, LIST presentation,
     * ISO8601 units) — the other half of the publish contract. */

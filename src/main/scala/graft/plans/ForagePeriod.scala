@@ -53,13 +53,29 @@ object ForagePeriod {
     end.toEpochDay.toInt
   }
 
+  /** Shared builder for both SQL registration routes (the
+    * `GraftExtensions` session injection and the per-query `register`):
+    * validates the anchor is a foldable non-null DATE instead of letting a
+    * NULL literal unbox silently to epoch day 0 (= anchor 1970-01-01)
+    * through `asInstanceOf[Int]`, or a mistyped literal throw an opaque
+    * ClassCastException at planning time. */
+  def builder(exprs: Seq[Expression]): ForagePeriodEnd = {
+    require(exprs.length == 2,
+      s"forage_period_end(date, anchorDate) takes 2 arguments, got ${exprs.length}")
+    val a = exprs(1)
+    require(a.foldable && a.dataType == DateType,
+      s"forage_period_end: anchor must be a foldable DATE literal, got ${a.dataType.simpleString}")
+    a.eval() match {
+      case n: java.lang.Number => ForagePeriodEnd(exprs.head, n.intValue())
+      case _ => throw new IllegalArgumentException(
+        "forage_period_end: anchor folded to NULL")
+    }
+  }
+
   /** SQL registration: `forage_period_end(dateCol, DATE 'anchor')`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "forage_period_end",
-      exprs => ForagePeriodEnd(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), // anchor must be a foldable date
-      "scala_udf")
+      "forage_period_end", builder, "scala_udf")
 }
 
 /** Codegen-capable scalar: DateType → DateType (period end), null before the

@@ -621,7 +621,11 @@ object AggQueries {
           .groupBy("term").agg(count(lit(1)).as("tf"))
           .withColumn("x", expr(graft.dedup.Hashing.sparkMd5Mod("term")))
           .withColumn("buckets", buckets)
-          .cache()
+          // localCheckpoint, not cache(): the blocks are reference-tracked
+          // and dropped by the ContextCleaner once the result materializes
+          // and this frame goes out of scope — a CacheManager entry would
+          // outlive the query until someone calls unpersist/clearCache
+          .localCheckpoint()
         val cm = tf
           .select(col("tf"), posexplode(col("buckets")).as(Seq("j", "bucket")))
           .groupBy("j", "bucket").agg(sum("tf").as("cell"))

@@ -238,10 +238,12 @@ object AnalyticQueries {
       },
       note = "3-iteration fixed-point PageRank on the trade graph: Pregel-shaped message rounds, bit-identical across engines"),
 
-    // Triangle counting on the TOP-K co-supply graph: each supplier links
-    // to its 5 strongest co-suppliers (most shared customers, ties by id),
-    // an edge surviving if either endpoint ranks it — the k-NN-graph
-    // construction that keeps |E| = O(k·|V|) however dense the raw
+    // Triangle counting on the TOP-K co-supply graph: co-pairs keep u < v,
+    // so each supplier ranks its top-5 strongest higher-id partners and
+    // separately its top-5 lower-id ones (most shared customers, ties by
+    // id) — up to 10 kept edges per supplier, an edge surviving if either
+    // endpoint ranks it in its direction. The k-NN-graph construction
+    // keeps |E| = O(2k·|V|) however dense the raw
     // co-occurrence gets (the unthresholded co-supply graph is COMPLETE on
     // this data: ~600 customers/supplier makes every pair share ≥3, and
     // counting C(n,3) triangles on a clique is a degenerate n³ grind, not

@@ -272,7 +272,10 @@ object DedupQueries {
               |  CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) AS jaccard
               |FROM pairs JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
               |WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5
-              |ORDER BY a_id, b_id""".stripMargin)),
+              |ORDER BY a_id, b_id""".stripMargin),
+      note = "AUDIT-ONLY exact truth baseline: deliberately shares no candidate stage with " +
+        "dedup_ngram_prefix / dedup_minhash_lsh so their outputs can be graded against it; " +
+        "the production paths are the prefix-filtered and banded twins"),
 
     // The 100 TB shape of the same operator: PPJoin-style positional prefix
     // filtering. Rank each doc's shingles rarest-first by global document
@@ -630,7 +633,10 @@ object DedupQueries {
     // dedup_minhash_lsh, so the buckets grade the production setting.
     Q("dedup_lsh_recall_audit", Seq("dedup", "sampling", "A9", "J2"),
       (s, dir) => {
-        val shd = shingles(s, dir).where(col("doc_id") % 2 === 0).cache()
+        // localCheckpoint, not cache(): reused four times below, and the
+        // blocks self-release via the ContextCleaner when the query ends
+        // (a cache() entry would linger until an explicit unpersist)
+        val shd = shingles(s, dir).where(col("doc_id") % 2 === 0).localCheckpoint()
         val counts = shd.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         val shared = shd.select(col("doc_id").as("a_id"), col("shingle"))
           .join(shd.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
