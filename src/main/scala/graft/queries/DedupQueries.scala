@@ -66,14 +66,64 @@ object DedupQueries {
     df
   }
 
-  /** Spark-side distinct word-3-gram shingles: (doc_id, shingle). */
-  private def shingles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  /** Distinct word-3-gram shingles of an arbitrary (doc_id, text) frame. */
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= 3)
       .select(col("doc_id"),
               explode(expr("transform(sequence(1, size(t)-2), i -> concat_ws(' ', slice(t, i, 3)))")).as("shingle"))
       .distinct()
+
+  /** Spark-side distinct word-3-gram shingles: (doc_id, shingle). */
+  private def shingles(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documents(s, dir))
+
+  /** Exact-dup group membership (rep = min doc_id per identical text):
+    * (rep, doc_id) rows, one per document. The near-dup pair queries
+    * collapse on this FIRST — on a dup-heavy corpus (the realistic
+    * web-crawl composition; sf1 carries ~10 copies of every text) pair
+    * candidate generation and similarity verification are quadratic in the
+    * copy count unless they run once per DISTINCT text. Keys shuffle as
+    * 16-byte md5 digests, never the text itself. */
+  private def dupMembers(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    // referenced 3-5 times per consumer (rep filter, expansion joins,
+    // intra self-join) and by several queries per bench pass: one cached
+    // instance via the session memo
+    FrameMemo(s, s"$dir#dup_members") {
+      val keyed = Tables.documents(s, dir)
+        .select(md5(col("text").cast("binary")).as("gid"), col("doc_id"))
+      val groups = keyed.groupBy("gid").agg(min("doc_id").as("rep"))
+      keyed.join(groups, "gid").select(col("rep"), col("doc_id"))
+    }
+
+  /** Expand rep-level Jaccard pairs (ra < rb, shared/na/nb/jaccard) to the
+    * id-level pair rows a direct all-docs join would emit — output-bound,
+    * no similarity recompute. Cross pairs reorient (na, nb) to follow the
+    * (least, greatest) id order; intra-group pairs (identical shingle
+    * sets) have shared = na = nb = n, so jaccard = n/n = 1.0 exactly in
+    * both engines. Groups whose text yields no shingles never reach repN
+    * and correctly emit nothing. */
+  private def expandJaccardPairs(repPairs: DataFrame, members: DataFrame,
+                                 repN: DataFrame): DataFrame = {
+    val cross = repPairs
+      .join(members.select(col("rep").as("ra"), col("doc_id").as("x")), "ra")
+      .join(members.select(col("rep").as("rb"), col("doc_id").as("y")), "rb")
+      .select(least(col("x"), col("y")).as("a_id"),
+              greatest(col("x"), col("y")).as("b_id"),
+              col("shared"),
+              when(col("x") < col("y"), col("na")).otherwise(col("nb")).as("na"),
+              when(col("x") < col("y"), col("nb")).otherwise(col("na")).as("nb"),
+              col("jaccard"))
+    val m = members.join(repN, "rep")
+    val intra = m.as("x").join(m.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+              col("x.n").as("shared"), col("x.n").as("na"), col("y.n").as("nb"),
+              (col("x.n").cast("double") /
+               (col("x.n") + col("y.n") - col("x.n"))).as("jaccard"))
+    cross.union(intra)
+  }
 
   private val duckShingles: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -239,7 +289,15 @@ object DedupQueries {
     // banded buckets bound the pair space by construction.
     Q("dedup_ngram_jaccard", Seq("dedup", "J1", "A12"),
       (s, dir) => {
-        val sh = shingles(s, dir).cache()
+        // exact-dup collapse first (dupMembers): the direct pair join runs
+        // once per DISTINCT text, and id-level rows are re-expanded at the
+        // end — row-identical to joining all docs, minus the quadratic
+        // copy-count blowup on a dup-heavy corpus.
+        val members = dupMembers(s, dir)
+        val reps = members.where(col("rep") === col("doc_id")).select("doc_id")
+        val sh = FrameMemo(s, s"$dir#rep_shingles") {
+          shinglesOf(Tables.documents(s, dir).join(reps, Seq("doc_id"), "left_semi"))
+        }
         val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         // the pair join only needs shingle IDENTITY, not the string: map
         // each joinable shingle (df >= 2 — singletons can't pair) to a
@@ -255,12 +313,15 @@ object DedupQueries {
                 col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .agg(count(lit(1)).as("shared"))
-        pairs
+        val repPairs = pairs
           .join(counts.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
           .join(counts.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
           .withColumn("jaccard", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
           .where(col("jaccard") >= 0.5)
-          .select("a_id", "b_id", "shared", "na", "nb", "jaccard")
+          .select(col("a_id").as("ra"), col("b_id").as("rb"),
+                  col("shared"), col("na"), col("nb"), col("jaccard"))
+        val repN = counts.select(col("doc_id").as("rep"), col("n_sh").as("n"))
+        expandJaccardPairs(repPairs, members, repN)
           .orderBy("a_id", "b_id")
       },
       Some(s"""WITH $duckShingles,
@@ -290,6 +351,14 @@ object DedupQueries {
     // is the one that scales.)
     Q("dedup_ngram_prefix", Seq("dedup", "J1", "A12", "skew"),
       (s, dir) => {
+        // exact-dup collapse first, like dedup_ngram_jaccard: the PPJoin
+        // prefix filter prunes LOW-similarity pairs, so it is powerless
+        // against exact copies (every copy pair is a true near-dup that
+        // must be emitted) — on a dup-heavy corpus the candidate space is
+        // quadratic in copies unless the filter runs on distinct texts
+        // with an output-bound expansion after the verify.
+        val members = dupMembers(s, dir)
+        val reps = members.where(col("rep") === col("doc_id")).select("doc_id")
         // One pass builds everything per-doc: shingles ranked rarest-first
         // (total order: df, then shingle — matching the oracle-proved prefix
         // bound), the doc's full shingle array, its size, and the prefix
@@ -311,7 +380,8 @@ object DedupQueries {
           // partitions, and take monotonically_increasing_id — partition-
           // major ids preserve the global sort and stay distinct, so
           // sorting id arrays IS the rarest-first PPJoin order.
-          val sh = shingles(s, dir)
+          val sh = shinglesOf(
+            Tables.documents(s, dir).join(reps, Seq("doc_id"), "left_semi"))
           val dict = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
             .repartitionByRange(32, col("df"), col("shingle"))
             .sortWithinPartitions("df", "shingle")
@@ -342,7 +412,7 @@ object DedupQueries {
                 col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .distinct()
-        cand
+        val repPairs = cand
           .join(docArr.select(col("doc_id").as("a_id"), col("shs").as("sa"),
                               col("n_sh").cast("long").as("na")), "a_id")
           .join(docArr.select(col("doc_id").as("b_id"), col("shs").as("sb"),
@@ -350,7 +420,10 @@ object DedupQueries {
           .withColumn("shared", size(array_intersect(col("sa"), col("sb"))).cast("long"))
           .withColumn("jaccard", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
           .where(col("jaccard") >= 0.5)
-          .select("a_id", "b_id", "shared", "na", "nb", "jaccard")
+          .select(col("a_id").as("ra"), col("b_id").as("rb"),
+                  col("shared"), col("na"), col("nb"), col("jaccard"))
+        val repN = docArr.select(col("doc_id").as("rep"), col("n_sh").cast("long").as("n"))
+        expandJaccardPairs(repPairs, members, repN)
           .orderBy("a_id", "b_id")
       },
       Some(s"""WITH $duckShingles,
@@ -572,18 +645,54 @@ object DedupQueries {
     Q("dedup_embedding_cosine", Seq("dedup", "similarity", "J2", "A13"),
       (s, dir) => {
         graft.plans.VecExprs.register(s)
-        // norms are per-vector, not per-pair: compute once before the join
-        // (the pair space is |cell|² — recomputing the fold there is the
-        // O(pairs·dim) term that matters at scale)
+        // Exact-dup collapse first, the vector analog of dupMembers: group
+        // identical (label, embedding) rows, pair DISTINCT vectors only,
+        // then expand verified rep pairs to vec_id pairs before the rollup
+        // — the O(pairs·dim) dot-product term runs once per distinct pair
+        // however many copies a crawl carries. Norms are per-vector, not
+        // per-pair, for the same reason. Intra-group pairs evaluate the
+        // SAME cos expression on the shared vector (sqrt(n·n) need not be
+        // exactly n in FP, so no lit(1.0) shortcut).
         val emb = Tables.embeddings(s, dir)
-          .withColumn("nrm", expr(embNorm("embedding")))
-        val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("qe"),
-                           col("nrm").as("na"), col("label"))
-        val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("be"),
-                           col("nrm").as("nb"), col("label"))
-        a.join(b, "label").where(col("a_id") < col("b_id"))
+        def groups = emb.groupBy(col("label"), col("embedding"))
+          .agg(min("vec_id").as("rep"))
+        // both frames are re-referenced 3-4 times below (pair sides,
+        // expansion joins, intra self-join) — one cached instance each
+        val members = FrameMemo(s, s"$dir#emb_members") {
+          emb.select("label", "embedding", "vec_id")
+            .join(groups, Seq("label", "embedding"))
+            .select(col("rep"), col("vec_id"))
+        }
+        val reps = FrameMemo(s, s"$dir#emb_reps") {
+          groups.withColumn("nrm", expr(embNorm("embedding")))
+        }
+        val a = reps.select(col("rep").as("ra"), col("embedding").as("qe"),
+                            col("nrm").as("na"), col("label"))
+        val b = reps.select(col("rep").as("rb"), col("embedding").as("be"),
+                            col("nrm").as("nb"), col("label"))
+        val repPairs = a.join(b, "label").where(col("ra") < col("rb"))
           .withColumn("cos_sim", expr(s"$embDot / sqrt(na * nb)"))
           .where(col("cos_sim") >= CosTau)
+          .select(col("label"), col("ra"), col("rb"), col("cos_sim"))
+        val cross = repPairs
+          .join(members.select(col("rep").as("ra"), col("vec_id").as("x")), "ra")
+          .join(members.select(col("rep").as("rb"), col("vec_id").as("y")), "rb")
+          .select(col("label"), least(col("x"), col("y")).as("a_id"),
+                  greatest(col("x"), col("y")).as("b_id"), col("cos_sim"))
+        val selfCos = reps
+          .select(col("label"), col("rep"), col("embedding").as("qe"),
+                  col("embedding").as("be"), col("nrm").as("na"), col("nrm").as("nb"))
+          .withColumn("cos_sim", expr(s"$embDot / sqrt(na * nb)"))
+          .where(col("cos_sim") >= CosTau)
+          .select(col("label"), col("rep"), col("cos_sim"))
+        val intra = members.as("x")
+          .join(members.as("y"),
+                col("x.rep") === col("y.rep") && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.rep").as("rep"), col("x.vec_id").as("a_id"),
+                  col("y.vec_id").as("b_id"))
+          .join(selfCos, "rep")
+          .select(col("label"), col("a_id"), col("b_id"), col("cos_sim"))
+        cross.union(intra)
           .groupBy(col("b_id").as("dup_id"), col("label"))
           .agg(min("a_id").as("keep_id"), count(lit(1)).as("n_matches"),
                round(max("cos_sim"), 6).as("max_cos"))

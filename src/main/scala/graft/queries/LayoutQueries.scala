@@ -141,6 +141,51 @@ object LayoutQueries {
               |  CAST(sum(CASE WHEN skip2 = 0 THEN n ELSE 0 END) AS BIGINT) AS rows_scanned_d2,
               |  CAST(sum(CASE WHEN skip3 = 0 THEN n ELSE 0 END) AS BIGINT) AS rows_scanned_both
               |FROM flags GROUP BY 1 ORDER BY 1""".stripMargin),
-      note = "zone-map skip audit: Z-order layout prunes both dims, single-dim layout only its own; integer-exact scan accounting")
+      note = "zone-map skip audit: Z-order layout prunes both dims, single-dim layout only its own; integer-exact scan accounting"),
+
+    // Bucketed co-located join — the 100 TB strategy for a big×big join
+    // that recurs on the same key: pre-hash BOTH tables into the same
+    // bucket layout on the join key at write time, so every later join on
+    // that key reads already-co-located buckets and plans a SortMergeJoin
+    // with NO shuffle exchange on either side (PlanRegressionSpec asserts
+    // zero exchanges under the join). repartition(nb, key) before the
+    // bucketed write aligns write tasks to buckets (same murmur3 hash both
+    // places → exactly one file per bucket) and sortBy pre-sorts each file.
+    // The merge hint pins the demonstration to SMJ even where a toy SF
+    // would broadcast. The oracle sees only the data contract: bucketing
+    // changes physical layout, never results.
+    Q("j_bucketed_colocated", Seq("J1", "K3", "F1", "§2.10"),
+      (s, dir) => {
+        val nb = 8
+        val orders = Tables.orders(s, dir).where(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        val lines = Tables.lineitem(s, dir).where(col("l_orderkey") % 7 === 0)
+          .select(col("l_orderkey"), col("l_quantity"))
+        orders.repartition(nb, col("o_orderkey"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
+          .option("path", graft.util.Scratch.fresh("bktord"))
+          .saveAsTable("bkt_orders")
+        lines.repartition(nb, col("l_orderkey"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
+          .option("path", graft.util.Scratch.fresh("bktli"))
+          .saveAsTable("bkt_lineitem")
+        val o = s.table("bkt_orders")
+        val l = s.table("bkt_lineitem")
+        o.hint("merge")
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_lines"),
+               expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("qty"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_lines,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey % 7 = 0
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin),
+      note = "bucketed-by-key co-located SortMergeJoin: zero exchange on either join side; one file per bucket, pre-sorted")
   )
 }

@@ -62,6 +62,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("bucketed co-located join: zero exchange on either join side") {
+    // the only hash exchange in the whole plan is the post-join groupBy —
+    // both SMJ inputs read already-bucketed files (plus the orderBy's range
+    // exchange); a regression that loses bucket pruning shows up as 3
+    val p = plan("j_bucketed_colocated")
+    assert(p.contains("SortMergeJoin"), p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange (the groupBy), got $hashEx:\n$p")
+  }
+
   test("native as-of join plans its custom exec with per-side sorts") {
     val p = plan("j_asof_native")
     assert(p.contains("AsOfJoin"), p)
