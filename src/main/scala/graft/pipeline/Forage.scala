@@ -76,11 +76,13 @@ object Forage {
     // rather than recompute the upstream composite 4×. CacheManager dedups
     // by canonicalized plan, so repeated pipeline runs share one entry.
     val input = combined.cache()
-    if (input.isEmpty) // F7 guard
+    // one action serves both the F7 empty guard and the calibration modulus
+    // (r5 ran isEmpty + count as two separate jobs over the composite)
+    val nRows = input.count()
+    if (nRows == 0L) // F7 guard
       return input.withColumn("pred", lit(0.0)).withColumn("biom", lit(0.0)).limit(0)
     import spark.implicits._
     val clean = input.na.fill(0.0, Seq("ndvi", "sm", "preci")) // P8
-    val nRows = clean.count()
     val calibSrc =
       if (nRows <= calibCap) clean
       else { // every m-th row by stable key hash — deterministic at any parallelism

@@ -846,6 +846,122 @@ object AnalyticQueries {
               |  JOIN nation ON s_nationkey = n_nationkey
               |WHERE p_type IN ('ECONOMY', 'STANDARD')
               |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin),
-      note = "TPC-H Q9: five-way broadcast star join, decimal-exact profit, one fact shuffle")
+      note = "TPC-H Q9: five-way broadcast star join, decimal-exact profit, one fact shuffle"),
+
+    // TPC-H Q12 shape: late-shipment priority split. The spec's
+    // l_shipmode/l_commitdate/l_receiptdate are absent from this schema,
+    // so the category axis is l_returnflag and "late" is modeled as
+    // shipping >60 days after the order date — which preserves the
+    // operator under test: a fact-fact equi-join whose residual is a
+    // cross-table date predicate, then a conditional two-way count
+    // (sum-of-CASE, the pivoted aggregate) per category. One shuffle on
+    // orderkey (AQE may broadcast the year-sliced side), map-side partials
+    // on the conditional sums.
+    Q("q12_late_priority", Seq("J1", "F1", "F6", "A12", "P18"),
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_orderpriority")
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.lineitem(s, dir)
+          .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+                 col("l_shipdate") <  lit("1999-01-01").cast("timestamp"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy("l_returnflag")
+          .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+               sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |  AND l_shipdate >= TIMESTAMP '1998-01-01'
+             |  AND l_shipdate <  TIMESTAMP '1999-01-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "TPC-H Q12: join-residual date predicate + conditional sum-of-CASE split (shipmode axis modeled by returnflag; lateness by ship-vs-order lag)"),
+
+    // TPC-H Q20 shape: the nested-IN chain — suppliers who shipped heavy
+    // volume of a name-sliced part family. ps_availqty is absent, so the
+    // spec's 0.5·availqty threshold is a constant (documented divergence);
+    // what survives is the operator: IN (IN (...)) decorrelates to a
+    // broadcast part semi-join pruning the fact BEFORE the (suppkey,
+    // partkey) aggregate, a HAVING on the aggregate, and a final left-semi
+    // into the dim — three semi levels, no subquery re-evaluation, and the
+    // only fact shuffle is the pre-pruned group-by.
+    Q("q20_excess_shippers", Seq("J6", "F7", "F4", "A1"),
+      (s, dir) => {
+        val pSmall = Tables.part(s, dir)
+          .where(col("p_name").like("small %")).select("p_partkey")
+        val heavy = Tables.lineitem(s, dir)
+          .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                 col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+          .join(broadcast(pSmall), col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy("l_suppkey", "l_partkey")
+          .agg(sum("l_quantity").as("qty"))
+          .where(col("qty") > 50.0)
+          .select("l_suppkey")
+        Tables.supplier(s, dir)
+          .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_name", "s_suppkey")
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_name, s_suppkey FROM supplier
+             |WHERE s_suppkey IN (
+             |  SELECT l_suppkey FROM lineitem
+             |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small %')
+             |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+             |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+             |  GROUP BY l_suppkey, l_partkey
+             |  HAVING sum(l_quantity) > 50)
+             |ORDER BY s_suppkey""".stripMargin),
+      note = "TPC-H Q20: nested-IN semi-join chain with a post-aggregate HAVING; part slice broadcasts, fact pruned before its only shuffle"),
+
+    // TPC-H Q21 shape: suppliers who kept multi-supplier orders waiting.
+    // commit/receipt dates are absent, so "late" is ship >90 days after
+    // order date (line-level lateness via the order join). The operator
+    // under test is the EXISTS + NOT EXISTS pair on the SAME fact: a
+    // left-semi (some other supplier in the order) then a left-anti (no
+    // other supplier was late) — both equi-joins on orderkey whose
+    // "different supplier" disequality rides as a residual, so each is one
+    // hash join, never a per-row subquery. The F-order line slice is
+    // computed once and reused three ways (l1/l2/l3) from a cached frame;
+    // at scale that is one fact join + three orderkey-partitioned passes
+    // over the same shuffled slice.
+    Q("q21_waiting_supplier", Seq("J6", "F7", "F6", "A12", "P18"),
+      (s, dir) => {
+        val o = Tables.orders(s, dir).where(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate")
+        val lf = FrameMemo(s, s"$dir#q21_f_lines") {
+          Tables.lineitem(s, dir)
+            .join(o, col("l_orderkey") === col("o_orderkey"))
+            .select(col("l_orderkey"), col("l_suppkey"),
+                    (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
+        }
+        val l1 = lf.where(col("late"))
+        val l2 = lf.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+        val l3 = lf.where(col("late"))
+          .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+        l1.join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"), "left_semi")
+          .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"), "left_anti")
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+      },
+      Some("""WITH lf AS (
+             |  SELECT l_orderkey, l_suppkey,
+             |         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderstatus = 'F')
+             |SELECT s_name, count(*) AS numwait
+             |FROM lf l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+             |WHERE l1.late
+             |  AND EXISTS (SELECT 1 FROM lf l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lf l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+             |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin),
+      note = "TPC-H Q21: EXISTS/NOT-EXISTS pair as semi+anti equi-joins with disequality residuals over one cached F-line slice")
   )
 }

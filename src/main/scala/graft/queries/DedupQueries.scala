@@ -745,7 +745,16 @@ object DedupQueries {
         // localCheckpoint, not cache(): reused four times below, and the
         // blocks self-release via the ContextCleaner when the query ends
         // (a cache() entry would linger until an explicit unpersist)
-        val shd = shingles(s, dir).where(col("doc_id") % 2 === 0).localCheckpoint()
+        //
+        // Exact-dup collapse FIRST (same discipline as the pair queries):
+        // recall is a property of distinct content, and on a dup-heavy
+        // corpus (sf1: ~10 copies per text) both the truth self-join and
+        // the band join are quadratic in copies unless the audit runs on
+        // one representative per text. The parity sample then thins reps.
+        val reps = Tables.documents(s, dir)
+          .groupBy("text").agg(min("doc_id").as("doc_id"))
+        val shd = shinglesOf(reps.select("doc_id", "text"))
+          .where(col("doc_id") % 2 === 0).localCheckpoint()
         val counts = shd.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         val shared = shd.select(col("doc_id").as("a_id"), col("shingle"))
           .join(shd.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
@@ -792,7 +801,10 @@ object DedupQueries {
           val key = (0 until 4).map(r => s"CAST(h${bnd * 4 + r} AS VARCHAR)").mkString(", '_', ")
           s"SELECT doc_id, $bnd AS band_idx, concat($key) AS band_key FROM sig"
         }.mkString("\n  UNION ALL ")
-        s"""WITH $duckShingles,
+        s"""WITH reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+           |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM reps),
+           |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+           |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks)),
            |shs AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
            |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shs GROUP BY 1),
            |shr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
@@ -820,7 +832,7 @@ object DedupQueries {
            |FROM truth t LEFT JOIN cand c ON t.a_id = c.a_id AND t.b_id = c.b_id
            |GROUP BY 1 ORDER BY 1""".stripMargin
       },
-      note = "per-bucket LSH recall vs exact truth on a parity sample; grades the production banding"),
+      note = "per-bucket LSH recall vs exact truth on a parity sample of distinct-text representatives (exact-dup collapse first); grades the production banding"),
 
     // Substring-level exact dedup — the span-surgery variant of document
     // dedup (the "deduplicating training data" family: remove repeated
