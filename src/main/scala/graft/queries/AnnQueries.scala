@@ -24,6 +24,7 @@ object AnnQueries {
     * and the bucket signs match bit-for-bit. */
   private val Dim = 64
   private val NumPlanes = 8
+  private val SemTau = 0.3 // component edge threshold (see dedup_semantic_components)
   private val planes: Seq[Array[Double]] = {
     var state = 0x9E3779B97F4A7C15L
     Seq.fill(NumPlanes)(Array.fill(Dim) {
@@ -565,6 +566,88 @@ object AnnQueries {
              |  CAST(sum((cn - cx) * (cn - cx)) AS BIGINT) AS shift_sq
              |FROM nc JOIN co ON co.c_label = nc.assigned AND co.pos = nc.pos
              |GROUP BY 1 ORDER BY 1""".stripMargin),
-      note = "integer-exact Lloyd iteration: broadcast E-step argmin, one-shuffle M-step, fixed-point shift diagnostic")
+      note = "integer-exact Lloyd iteration: broadcast E-step argmin, one-shuffle M-step, fixed-point shift diagnostic"),
+
+    // Semantic dedup at corpus scale — the composition a production
+    // pipeline actually runs: LSH-bucket the vectors (candidates only ever
+    // pair INSIDE a bucket — never all-pairs), verify candidates with the
+    // exact cosine, then close the verified edge set into connected
+    // components by min-label propagation so each semantic cluster keeps
+    // one representative. Exact-duplicate vectors collapse to a rep before
+    // the pair work (the vector analog of dupMembers: copies are the
+    // dominant duplicate mode in a crawl and would otherwise square the
+    // candidate space), and copy edges re-attach them to the rep's
+    // component afterwards. O(diameter) label rounds, lineage truncated
+    // per round; the oracle computes the same fixpoint via recursive CTE.
+    Q("dedup_semantic_components", Seq("dedup", "similarity", "J2", "W9", "§2.10"),
+      (s, dir) => {
+        graft.plans.VecExprs.register(s)
+        val emb = Tables.embeddings(s, dir)
+        val groups = emb.groupBy(col("embedding")).agg(min("vec_id").as("rep"))
+        val members = FrameMemo(s, s"$dir#sem_members") {
+          emb.select("embedding", "vec_id").join(groups, Seq("embedding"))
+            .select(col("rep"), col("vec_id"))
+        }
+        val reps = FrameMemo(s, s"$dir#sem_reps") {
+          groups.withColumn("bucket", expr(sparkBucket("embedding")))
+            .withColumn("nrm", expr(normExpr("embedding")))
+        }
+        val a = reps.select(col("rep").as("ra"), col("embedding").as("qe"),
+                            col("nrm").as("nq"), col("bucket"))
+        val b = reps.select(col("rep").as("rb"), col("embedding").as("be"),
+                            col("nrm").as("nb"), col("bucket"))
+        val repEdges = a.join(b, "bucket").where(col("ra") < col("rb"))
+          .where(expr(s"$dotExpr / sqrt(nq * nb)") >= SemTau)
+          .select(col("ra").as("x"), col("rb").as("y"))
+        val copyEdges = members.where(col("vec_id") =!= col("rep"))
+          .select(col("rep").as("x"), col("vec_id").as("y"))
+        val edges = repEdges.union(copyEdges)
+        val sym = edges.union(edges.select(col("y").as("x"), col("x").as("y")))
+          .localCheckpoint()
+        var labels = emb.select(col("vec_id"), col("vec_id").as("label")).localCheckpoint()
+        var changed = 1L
+        var rounds = 0
+        val maxRounds = 50 // O(component diameter); clusters are shallow
+        while (changed > 0 && rounds < maxRounds) {
+          val viaNbr = sym.join(labels, sym("x") === labels("vec_id"))
+            .groupBy(col("y")).agg(min("label").as("nl"))
+          val next = labels.as("l")
+            .join(viaNbr, col("l.vec_id") === viaNbr("y"), "left")
+            .select(col("l.vec_id").as("vec_id"),
+                    least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"))
+            .localCheckpoint() // truncate the iterative lineage
+          changed = next.as("n").join(labels.as("o"), "vec_id")
+            .where(col("n.label") =!= col("o.label")).count()
+          labels = next
+          rounds += 1
+        }
+        require(changed == 0,
+          s"semantic min-label propagation did not converge in $maxRounds rounds")
+        labels.select(col("vec_id"), col("label").as("cluster_id"),
+                      (col("vec_id") === col("label")).as("is_kept"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE
+              |e AS (SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket
+              |      FROM embeddings),
+              |g AS (SELECT embedding, min(vec_id) AS rep FROM e GROUP BY embedding),
+              |mem AS (SELECT g.rep, e.vec_id FROM e JOIN g ON e.embedding = g.embedding),
+              |r AS (SELECT g.rep, e.embedding, e.bucket FROM g JOIN e ON e.vec_id = g.rep),
+              |cand AS (SELECT x.rep AS ra, y.rep AS rb,
+              |    x.embedding AS qe, y.embedding AS be
+              |  FROM r x JOIN r y ON x.bucket = y.bucket AND x.rep < y.rep),
+              |pr AS (SELECT ra, rb FROM cand
+              |  WHERE $duckDot / sqrt((${duckNorm("qe")}) * (${duckNorm("be")})) >= $SemTau),
+              |ce AS (SELECT rep AS ra, vec_id AS rb FROM mem WHERE vec_id <> rep),
+              |edges AS (SELECT ra AS a, rb AS b FROM pr UNION SELECT ra, rb FROM ce
+              |          UNION SELECT rb, ra FROM pr UNION SELECT rb, ra FROM ce),
+              |reach(src, node) AS (
+              |  SELECT vec_id, vec_id FROM embeddings
+              |  UNION
+              |  SELECT r2.src, e2.b FROM reach r2 JOIN edges e2 ON r2.node = e2.a),
+              |labels AS (SELECT src AS vec_id, min(node) AS label FROM reach GROUP BY src)
+              |SELECT vec_id, label AS cluster_id, vec_id = label AS is_kept
+              |FROM labels ORDER BY vec_id""".stripMargin),
+      note = "semantic cluster dedup: LSH-bucketed candidates -> exact-cosine verify -> min-label components; never all-pairs, copies collapse before pair work")
   )
 }

@@ -186,6 +186,71 @@ object LayoutQueries {
              |WHERE o_orderkey % 7 = 0
              |GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin),
-      note = "bucketed-by-key co-located SortMergeJoin: zero exchange on either join side; one file per bucket, pre-sorted")
+      note = "bucketed-by-key co-located SortMergeJoin: zero exchange on either join side; one file per bucket, pre-sorted"),
+
+    // Range-partition balance audit — the write-layout twin of what
+    // `repartitionByRange` does internally: pick B-1 split points from a
+    // bounded deterministic sample, assign every row its range bucket with
+    // pure broadcast arithmetic, and report how even the buckets came out
+    // (balance_ratio = bucket share × B; 1.0 = perfectly even). At 100 TB
+    // this is the op you run BEFORE a globally-sorted write: boundaries
+    // from a ~1k-row sample, assignment map-side, the only shuffle is the
+    // per-bucket stats rollup. The sample is hash-thinned with a modulus
+    // derived from the row count (targeting ~1k rows at ANY scale — the
+    // same bounded-collect discipline as the GWR calibration cap), so the
+    // single-task sample sort never grows with the data. Seedless md5
+    // thinning keeps both engines on identical rows.
+    Q("layout_range_balance", Seq("F5", "A4", "sampling", "skew", "P4"),
+      (s, dir) => {
+        val B = 8
+        val k = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("id"),
+                  expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("key"))
+        val tot = k.agg(count(lit(1)).as("n"))
+        val samp = k
+          .withColumn("h", expr(graft.dedup.Hashing.sparkMd5Mod("CAST(id AS STRING)")))
+          .crossJoin(broadcast(tot))
+          .where(expr("h % GREATEST(1, CAST(ceil(n / 1000.0) AS BIGINT)) = 0"))
+          .select("key", "id")
+        val m = samp.agg(count(lit(1)).as("m"))
+        val ranked = samp // bounded (~1k rows): the one single-task sort, by design
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("key", "id")))
+        val bounds = s.range(1, B).select(col("id").as("j"))
+          .crossJoin(broadcast(m))
+          .withColumn("pos", expr(s"CAST(ceil(j * m / $B.0) AS BIGINT)"))
+          .join(ranked, col("rn") === col("pos"))
+          .select(col("j"), col("key").as("bound"))
+        val assigned = k
+          .join(broadcast(bounds), col("bound") <= col("key"), "left")
+          .groupBy("id", "key")
+          .agg(count(col("j")).as("bucket")) // #bounds ≤ key = range bucket id
+        assigned.groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+               min("key").as("min_key"), max("key").as("max_key"))
+          .crossJoin(broadcast(tot))
+          .withColumn("balance_ratio",
+                      round(col("n_rows").cast("double") * B / col("n"), 6))
+          .select("bucket", "n_rows", "min_key", "max_key", "balance_ratio")
+          .orderBy("bucket")
+      },
+      Some(s"""WITH k AS (SELECT o_orderkey AS id,
+              |    CAST(round(o_totalprice * 100) AS BIGINT) AS key FROM orders),
+              |tot AS (SELECT count(*) AS n FROM k),
+              |samp AS (SELECT key, id FROM k, tot
+              |  WHERE (${graft.dedup.Hashing.duckMd5Mod("CAST(id AS VARCHAR)")})
+              |        % GREATEST(1, CAST(ceil(n / 1000.0) AS BIGINT)) = 0),
+              |m AS (SELECT count(*) AS m FROM samp),
+              |r AS (SELECT key, row_number() OVER (ORDER BY key, id) AS rn FROM samp),
+              |b AS (SELECT j, r.key AS bound
+              |  FROM generate_series(1, 7) g(j) CROSS JOIN m
+              |  JOIN r ON r.rn = CAST(ceil(j * m / 8.0) AS BIGINT)),
+              |a AS (SELECT k.id, k.key, count(b.j) AS bucket
+              |  FROM k LEFT JOIN b ON b.bound <= k.key GROUP BY 1, 2)
+              |SELECT bucket, count(*) AS n_rows,
+              |  min(key) AS min_key, max(key) AS max_key,
+              |  round(CAST(count(*) AS DOUBLE) * 8 / n, 6) AS balance_ratio
+              |FROM a, tot GROUP BY bucket, n ORDER BY bucket""".stripMargin),
+      note = "repartitionByRange boundary audit: ~1k-row bounded sample -> B-1 split points, map-side bucket assignment, one stats shuffle; balance_ratio grades the layout")
   )
 }

@@ -184,6 +184,17 @@ object StreamQueries {
              |  count(DISTINCT event_type) AS n_types,
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
-      note = "transformWithState (Spark 4 API): named ValueState+MapState on RocksDB store")
+      note = "transformWithState (Spark 4 API): named ValueState+MapState on RocksDB store"),
+
+    Q("stream_cdc_upsert", Seq("§2.9", "cdc", "A11", "F9"),
+      (s, dir) => StreamOps.streamingCdcUpsert(s, dir),
+      Some("""SELECT user_id, event_type, ts_us, event_id, value, n_versions FROM (
+             |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value,
+             |    count(*) OVER (PARTITION BY user_id, event_type) AS n_versions,
+             |    row_number() OVER (PARTITION BY user_id, event_type
+             |                       ORDER BY ts DESC, event_id DESC) AS rk
+             |  FROM events) t
+             |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin),
+      note = "streaming log-compaction upsert: keyed max-by-version state, snapshot equals batch cdc_latest_by_key")
   )
 }

@@ -365,6 +365,48 @@ object StreamOps {
     spark.table(name).select("fp", "keep_id", "n_copies").orderBy("fp")
   }
 
+  /** Streaming CDC apply — log compaction as keyed state. Per
+    * (user_id, event_type) the state holds the winning version (max by
+    * (ts_us, event_id), the same total order as the batch
+    * `cdc_latest_by_key`) plus a version counter; the AvailableNow drain
+    * emits the final compacted snapshot, which equals the batch GROUP BY —
+    * the shared oracle. The fold is associative and commutative (max +
+    * count), so the per-key result is iterator-order-free at any
+    * partitioning, and the state is O(live keys) — the upsert-sink shape
+    * (Hudi/Delta MERGE, Kafka log compaction) at any volume. */
+  def streamingCdcUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    graft.core.Tables.events(spark, dir) // sets nanosAsLong
+    val name = s"graft_cdcu_${runCounter.incrementAndGet()}"
+    val stream = spark.readStream
+      .schema(tableSchema(spark, s"$dir/events.parquet"))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("event_type"),
+              unix_micros(expr(tsExpr(spark, dir))).as("ts_us"),
+              col("event_id"), col("value"))
+      .as[(Long, String, Long, Long, Double)]
+    val folded = stream.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[(Long, Long, Double, Long),
+                              (Long, String, Long, Long, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), it: Iterator[(Long, String, Long, Long, Double)],
+         state: GroupState[(Long, Long, Double, Long)]) =>
+          val s0 = state.getOption.getOrElse((Long.MinValue, Long.MinValue, 0.0, 0L))
+          val s1 = it.foldLeft(s0) { case ((ts, id, v, n), (_, _, ets, eid, ev)) =>
+            if (ets > ts || (ets == ts && eid > id)) (ets, eid, ev, n + 1)
+            else (ts, id, v, n + 1)
+          }
+          state.update(s1)
+          Iterator((key._1, key._2, s1._1, s1._2, s1._3, s1._4))
+      }
+    drain(spark, name,
+          folded.toDF("user_id", "event_type", "ts_us", "event_id", "value", "n_versions")
+            .writeStream.outputMode("append").format("memory"))
+    spark.table(name).orderBy("user_id", "event_type")
+  }
+
   /** Spark 4's `transformWithState` — the successor API to
     * flatMapGroupsWithState, with NAMED state variables on the RocksDB
     * store (the production state backend; the other six stream queries
