@@ -461,6 +461,51 @@ object CorpusQueries {
            |       ELSE 'test' END AS split
            |FROM labels ORDER BY doc_id""".stripMargin
       },
-      note = "train/val/test by CLUSTER hash: dup edges are intra-cluster, so cross-split leakage is structurally zero")
+      note = "train/val/test by CLUSTER hash: dup edges are intra-cluster, so cross-split leakage is structurally zero"),
+
+    // Systematic PPS (probability-proportional-to-size) sampling: walk the
+    // corpus in doc_id order, drop a marker every `step` tokens, keep every
+    // document a marker lands in — P(keep) ∝ token count, zero randomness,
+    // integer-exact, and a doc longer than `step` is kept with certainty
+    // (n_hits counts its markers, the PPS weight for downstream
+    // reweighting). The inclusion rule needs each doc's GLOBAL token prefix
+    // sum, which naively is one ORDER BY cum-sum — a single-task window at
+    // any scale. This runs it as the classic two-level distributed scan:
+    // per-chunk local cumsum (window partitioned by doc_id div 64 — chunk
+    // count GROWS with the data), chunk totals rolled into chunk offsets
+    // (one tiny window over #chunks rows — a 64× reduced problem; at
+    // extreme scale the same trick recurses), offsets joined back and added
+    // map-side. corpus_pack_shards' hash lanes dodge global order; this is
+    // the op you need when the order itself is the semantics.
+    Q("sample_pps_systematic", Seq("sampling", "W3", "W9", "A13", "corpus"),
+      (s, dir) => {
+        val step = 997L
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("chunk").orderBy("doc_id")
+        val wOff = org.apache.spark.sql.expressions.Window
+          .orderBy("chunk") // #chunks rows only: the reduced second level
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+                  size(split(col("text"), " ")).cast("long").as("tok"))
+          .withColumn("chunk", expr("doc_id div 64"))
+        val local = toks.withColumn("lcum", sum("tok").over(w))
+        val offsets = toks.groupBy("chunk").agg(sum("tok").as("ctot"))
+          .withColumn("off", coalesce(sum("ctot").over(wOff) - col("ctot"), lit(0L)))
+          .select("chunk", "off")
+        local.join(offsets, "chunk") // AQE broadcasts the chunk-count side
+          .withColumn("cum", col("off") + col("lcum"))
+          .withColumn("n_hits", expr(s"cum div $step - (cum - tok) div $step"))
+          .where(col("n_hits") > 0)
+          .select("doc_id", "tok", "cum", "n_hits")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+             |c AS (SELECT doc_id, tok,
+             |    CAST(sum(tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t)
+             |SELECT doc_id, tok, cum, cum // 997 - (cum - tok) // 997 AS n_hits
+             |FROM c WHERE cum // 997 - (cum - tok) // 997 > 0
+             |ORDER BY doc_id""".stripMargin),
+      note = "weighted sampling without randomness: token-stride markers over a two-level distributed prefix sum (no single-task global window)")
   )
 }

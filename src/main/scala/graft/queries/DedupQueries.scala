@@ -21,9 +21,9 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  private val NumPerms = 32
-  private val NumBands = 8 // × 4 rows/band
-  private val coefs = Hashing.coefficients(NumPerms)
+  private[graft] val NumPerms = 32
+  private[graft] val NumBands = 8 // × 4 rows/band
+  private[graft] val coefs = Hashing.coefficients(NumPerms)
 
   private val SimBits = 24
   private val SimBands = 4 // 6 bits each; hamming ≤ 3 ⇒ some band equal
@@ -64,6 +64,132 @@ object DedupQueries {
     // re-register so later uses inside one plan still share one scan
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
     df
+  }
+
+  /** The shared per-rep ranked shingle-array frame (doc_id, shs, n_sh,
+    * prefix), memoized via [[memoizedDocArr]]. Canonical PPJoin runs on an
+    * integer dictionary, not raw token strings: every downstream op (the
+    * candidate equi-join, distinct, array_intersect verify) hashes/compares
+    * fixed-width longs instead of ~20-byte strings — on a repetitive corpus
+    * (most shingles df≥2, candidate pairs ~ O(Σ df²)) that constant factor
+    * dominates the query. Ids are assigned order-preservingly in the
+    * (df, shingle) rank order WITHOUT a single-partition window:
+    * range-partition the vocabulary-sized df table, sort within partitions,
+    * and take monotonically_increasing_id — partition-major ids preserve
+    * the global sort and stay distinct, so sorting id arrays IS the
+    * rarest-first PPJoin order. `prefix` is the τ=0.5 Jaccard slice; the
+    * containment query re-slices it shorter (its bound is a sub-prefix). */
+  private def rankedDocArr(s: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame =
+    memoizedDocArr(s, dir) {
+      val reps = dupMembers(s, dir)
+        .where(col("rep") === col("doc_id")).select("doc_id")
+      val sh = shinglesOf(
+        Tables.documents(s, dir).join(reps, Seq("doc_id"), "left_semi"))
+      val dict = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .repartitionByRange(32, col("df"), col("shingle"))
+        .sortWithinPartitions("df", "shingle")
+        .withColumn("id", monotonically_increasing_id())
+        .select("shingle", "df", "id")
+      // dictionary-sized broadcast (vocabulary, not corpus); at a scale
+      // where the vocabulary outgrows broadcast this becomes a shuffle
+      // join on the shingle key — the rest of the plan is unchanged
+      sh.join(broadcast(dict), "shingle")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("id"), col("df")))).as("ranked"))
+        .select(col("doc_id"), col("ranked.id").as("shs"),
+                size(col("ranked")).as("n_sh"), col("ranked"))
+        .withColumn("prefix",
+          expr("slice(ranked, 1, cast(n_sh - ceil(n_sh * 0.5) + 1 AS int))"))
+        .drop("ranked")
+        .cache()
+    }
+
+  /** Per-doc MinHash state shared by the batch LSH query and the streaming
+    * ingest variant: the 32 permutation minima h0..h31 plus the doc's
+    * distinct shingle set. ONE groupBy builds it all — carrying the set
+    * here lets the exact-Jaccard verify be a pure column expression over
+    * the candidate join instead of two more shingle re-joins + a groupBy +
+    * two count joins. The per-doc set is bounded by document length, so
+    * the shuffle payload stays O(doc) at any corpus size. Memoized like
+    * dupMembers: both queries and repeated bench passes share one cached
+    * instance. */
+  private[graft] def minhashSig(s: org.apache.spark.sql.SparkSession,
+                                dir: String): DataFrame =
+    FrameMemo(s, s"$dir#minhash_sig") {
+      val sh = shingles(s, dir).withColumn("x", expr(Hashing.sparkMd5Mod("shingle")))
+      val minCols = coefs.zipWithIndex.map { case ((a, b), j) =>
+        min(expr(Hashing.permute("x", a, b))).as(s"h$j")
+      }
+      sh.groupBy("doc_id")
+        .agg(minCols.head, (minCols.tail :+ collect_set(col("shingle")).as("shset")): _*)
+    }
+
+  /** Exact verify over a candidate (a_id, b_id) frame: joins both sides'
+    * signatures and emits the canonical LSH output row (matches/est_sim
+    * from the 32 lanes, shared/jaccard exact from the shingle sets). */
+  private[graft] def minhashVerify(cand: DataFrame,
+                                   s: org.apache.spark.sql.SparkSession,
+                                   dir: String): DataFrame = {
+    val sig = minhashSig(s, dir)
+    val sigA = sig.select(col("doc_id").as("a_id"),
+      array((0 until NumPerms).map(j => col(s"h$j")): _*).as("ah"), col("shset").as("ash"))
+    val sigB = sig.select(col("doc_id").as("b_id"),
+      array((0 until NumPerms).map(j => col(s"h$j")): _*).as("bh"), col("shset").as("bsh"))
+    cand.join(sigA, "a_id").join(sigB, "b_id")
+      .withColumn("matches",
+        expr("aggregate(zip_with(ah, bh, (x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v)"))
+      .withColumn("shared", size(array_intersect(col("ash"), col("bsh"))).cast("long"))
+      .select(col("a_id"), col("b_id"), col("matches"),
+              (col("matches").cast("double") / NumPerms).as("est_sim"),
+              col("shared"),
+              (col("shared").cast("double") /
+                (size(col("ash")) + size(col("bsh")) - col("shared"))).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The full MinHash+LSH pipeline as one DuckDB statement — shared oracle
+    * of dedup_minhash_lsh and stream_minhash_lsh_ingest (the AvailableNow
+    * drain of the streaming banding state equals the batch banding by
+    * construction: candidates = pairs sharing any band bucket, order-free
+    * after the distinct). */
+  private[graft] lazy val duckMinhashLshSql: String = {
+    val x = Hashing.duckMd5Mod("shingle")
+    val minExprs = coefs.zipWithIndex.map { case ((a, b), j) =>
+      s"min(${Hashing.permute("x", a, b)}) AS h$j"
+    }.mkString(",\n    ")
+    val bandArms = (0 until NumBands).map { bnd =>
+      val key = (0 until 4).map(r => s"CAST(h${bnd * 4 + r} AS VARCHAR)").mkString(", '_', ")
+      s"SELECT doc_id, $bnd AS band_idx, concat($key) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val matches = (0 until NumPerms).map(j => s"CAST(sa.h$j = sb.h$j AS INTEGER)").mkString(" + ")
+    s"""WITH $duckShingles,
+       |shx AS (SELECT doc_id, shingle, $x AS x FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $minExprs
+       |  FROM shx GROUP BY doc_id),
+       |bands AS (
+       |  $bandArms),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM bands a JOIN bands b
+       |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |          AND a.doc_id < b.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |est AS (SELECT a_id, b_id, $matches AS matches
+       |        FROM cand JOIN sig sa ON a_id = sa.doc_id JOIN sig sb ON b_id = sb.doc_id),
+       |shr AS (SELECT c.a_id, c.b_id, count(*) AS shared
+       |        FROM cand c JOIN sh a ON c.a_id = a.doc_id
+       |                    JOIN sh b ON c.b_id = b.doc_id AND a.shingle = b.shingle
+       |        GROUP BY 1, 2)
+       |SELECT e.a_id, e.b_id, CAST(e.matches AS INTEGER) AS matches,
+       |  CAST(e.matches AS DOUBLE) / $NumPerms AS est_sim,
+       |  CAST(coalesce(shr.shared, 0) AS BIGINT) AS shared,
+       |  CAST(coalesce(shr.shared, 0) AS DOUBLE) / (ca.n_sh + cb.n_sh - coalesce(shr.shared, 0)) AS jaccard
+       |FROM est e
+       |  LEFT JOIN shr ON e.a_id = shr.a_id AND e.b_id = shr.b_id
+       |  JOIN cnt ca ON e.a_id = ca.doc_id
+       |  JOIN cnt cb ON e.b_id = cb.doc_id
+       |ORDER BY e.a_id, e.b_id""".stripMargin
   }
 
   /** Distinct word-3-gram shingles of an arbitrary (doc_id, text) frame. */
@@ -358,7 +484,6 @@ object DedupQueries {
         // quadratic in copies unless the filter runs on distinct texts
         // with an output-bound expansion after the verify.
         val members = dupMembers(s, dir)
-        val reps = members.where(col("rep") === col("doc_id")).select("doc_id")
         // One pass builds everything per-doc: shingles ranked rarest-first
         // (total order: df, then shingle — matching the oracle-proved prefix
         // bound), the doc's full shingle array, its size, and the prefix
@@ -368,38 +493,7 @@ object DedupQueries {
         // explode/regroup: candidate pairs join the two arrays by id and
         // `array_intersect` counts the shared shingles map-side (exact,
         // since shingles are distinct per doc).
-        val docArr = memoizedDocArr(s, dir) {
-          // Canonical PPJoin runs on an integer dictionary, not raw token
-          // strings: every downstream op (the candidate equi-join, distinct,
-          // array_intersect verify) hashes/compares fixed-width longs
-          // instead of ~20-byte strings — on a repetitive corpus (most
-          // shingles df≥2, candidate pairs ~ O(Σ df²)) that constant factor
-          // dominates the query. Ids are assigned order-preservingly in the
-          // (df, shingle) rank order WITHOUT a single-partition window:
-          // range-partition the vocabulary-sized df table, sort within
-          // partitions, and take monotonically_increasing_id — partition-
-          // major ids preserve the global sort and stay distinct, so
-          // sorting id arrays IS the rarest-first PPJoin order.
-          val sh = shinglesOf(
-            Tables.documents(s, dir).join(reps, Seq("doc_id"), "left_semi"))
-          val dict = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-            .repartitionByRange(32, col("df"), col("shingle"))
-            .sortWithinPartitions("df", "shingle")
-            .withColumn("id", monotonically_increasing_id())
-            .select("shingle", "df", "id")
-          // dictionary-sized broadcast (vocabulary, not corpus); at a scale
-          // where the vocabulary outgrows broadcast this becomes a shuffle
-          // join on the shingle key — the rest of the plan is unchanged
-          sh.join(broadcast(dict), "shingle")
-            .groupBy("doc_id")
-            .agg(sort_array(collect_list(struct(col("id"), col("df")))).as("ranked"))
-            .select(col("doc_id"), col("ranked.id").as("shs"),
-                    size(col("ranked")).as("n_sh"), col("ranked"))
-            .withColumn("prefix",
-              expr("slice(ranked, 1, cast(n_sh - ceil(n_sh * 0.5) + 1 AS int))"))
-            .drop("ranked")
-            .cache()
-        }
+        val docArr = rankedDocArr(s, dir)
         // prefix entries keep their df, so df=1 shingles — which can never
         // form a pair (nothing to equi-join with) — are dropped BEFORE the
         // self-join instead of being shuffled into it; on a mostly-unique
@@ -443,21 +537,7 @@ object DedupQueries {
     // exact Jaccard. The full pipeline is replicated in the oracle.
     Q("dedup_minhash_lsh", Seq("dedup", "J2", "W6"),
       (s, dir) => {
-        val sh = shingles(s, dir).withColumn("x", expr(Hashing.sparkMd5Mod("shingle")))
-        val minCols = coefs.zipWithIndex.map { case ((a, b), j) =>
-          min(expr(Hashing.permute("x", a, b))).as(s"h$j")
-        }
-        // ONE groupBy builds the whole per-doc state: the 32 min-hash
-        // lanes AND the (distinct) shingle set. Carrying the set here lets
-        // the exact-Jaccard verify below be a pure column expression over
-        // the candidate join instead of two more shingle re-joins + a
-        // groupBy + two count joins — the whole query is one candidate-
-        // generation exchange plus the two doc_id-keyed signature joins.
-        // The per-doc set is bounded by document length, so the extra
-        // shuffle payload stays O(doc) at any corpus size.
-        val sig = sh.groupBy("doc_id")
-          .agg(minCols.head, (minCols.tail :+ collect_set(col("shingle")).as("shset")): _*)
-          .cache() // reused: band keys + both sides of the verify join
+        val sig = minhashSig(s, dir)
         val bands = sig.select(col("doc_id"),
           explode(array((0 until NumBands).map { bnd =>
             struct(lit(bnd).as("band_idx"),
@@ -471,59 +551,9 @@ object DedupQueries {
                 col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .distinct()
-        val sigA = sig.select(col("doc_id").as("a_id"),
-          array((0 until NumPerms).map(j => col(s"h$j")): _*).as("ah"), col("shset").as("ash"))
-        val sigB = sig.select(col("doc_id").as("b_id"),
-          array((0 until NumPerms).map(j => col(s"h$j")): _*).as("bh"), col("shset").as("bsh"))
-        cand.join(sigA, "a_id").join(sigB, "b_id")
-          .withColumn("matches",
-            expr("aggregate(zip_with(ah, bh, (x, y) -> CAST(x = y AS INT)), 0, (acc, v) -> acc + v)"))
-          .withColumn("shared", size(array_intersect(col("ash"), col("bsh"))).cast("long"))
-          .select(col("a_id"), col("b_id"), col("matches"),
-                  (col("matches").cast("double") / NumPerms).as("est_sim"),
-                  col("shared"),
-                  (col("shared").cast("double") /
-                    (size(col("ash")) + size(col("bsh")) - col("shared"))).as("jaccard"))
-          .orderBy("a_id", "b_id")
+        minhashVerify(cand, s, dir)
       },
-      Some {
-        val x = Hashing.duckMd5Mod("shingle")
-        val minExprs = coefs.zipWithIndex.map { case ((a, b), j) =>
-          s"min(${Hashing.permute("x", a, b)}) AS h$j"
-        }.mkString(",\n    ")
-        val bandArms = (0 until NumBands).map { bnd =>
-          val key = (0 until 4).map(r => s"CAST(h${bnd * 4 + r} AS VARCHAR)").mkString(", '_', ")
-          s"SELECT doc_id, $bnd AS band_idx, concat($key) AS band_key FROM sig"
-        }.mkString("\n  UNION ALL ")
-        val matches = (0 until NumPerms).map(j => s"CAST(sa.h$j = sb.h$j AS INTEGER)").mkString(" + ")
-        s"""WITH $duckShingles,
-           |shx AS (SELECT doc_id, shingle, $x AS x FROM sh),
-           |sig AS (SELECT doc_id,
-           |    $minExprs
-           |  FROM shx GROUP BY doc_id),
-           |bands AS (
-           |  $bandArms),
-           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |         FROM bands a JOIN bands b
-           |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           |          AND a.doc_id < b.doc_id),
-           |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-           |est AS (SELECT a_id, b_id, $matches AS matches
-           |        FROM cand JOIN sig sa ON a_id = sa.doc_id JOIN sig sb ON b_id = sb.doc_id),
-           |shr AS (SELECT c.a_id, c.b_id, count(*) AS shared
-           |        FROM cand c JOIN sh a ON c.a_id = a.doc_id
-           |                    JOIN sh b ON c.b_id = b.doc_id AND a.shingle = b.shingle
-           |        GROUP BY 1, 2)
-           |SELECT e.a_id, e.b_id, CAST(e.matches AS INTEGER) AS matches,
-           |  CAST(e.matches AS DOUBLE) / $NumPerms AS est_sim,
-           |  CAST(coalesce(shr.shared, 0) AS BIGINT) AS shared,
-           |  CAST(coalesce(shr.shared, 0) AS DOUBLE) / (ca.n_sh + cb.n_sh - coalesce(shr.shared, 0)) AS jaccard
-           |FROM est e
-           |  LEFT JOIN shr ON e.a_id = shr.a_id AND e.b_id = shr.b_id
-           |  JOIN cnt ca ON e.a_id = ca.doc_id
-           |  JOIN cnt cb ON e.b_id = cb.doc_id
-           |ORDER BY e.a_id, e.b_id""".stripMargin
-      }),
+      Some(duckMinhashLshSql)),
 
     // SimHash: 24-bit signature from count-weighted token-hash bits; banded
     // Hamming-distance join (4 bands of 6 bits — pigeonhole-complete for
@@ -1011,6 +1041,80 @@ object DedupQueries {
               |LEFT JOIN nb ON d.doc_id = nb.doc_id
               |LEFT JOIN wd ON d.doc_id = wd.doc_id
               |ORDER BY d.doc_id""".stripMargin),
-      note = "daily-ingest dedup: delta-sided exact/near screens vs base + keep-first within delta; no base-vs-base pairs")
+      note = "daily-ingest dedup: delta-sided exact/near screens vs base + keep-first within delta; no base-vs-base pairs"),
+
+    // Asymmetric CONTAINMENT dedup: C(inner→outer) = |sh(A)∩sh(B)| /
+    // |sh(A)| ≥ 0.7 finds documents mostly embedded in another (quote
+    // farms, boilerplate-wrapped reposts, doc-in-doc inclusions) that
+    // symmetric Jaccard misses whenever the outer doc is much larger —
+    // the set-based complement of the positional dedup_substring_spans.
+    // Scale plan: inner docs probe with only their rarest
+    // n − ⌈τ·n⌉ + 1 shingles (pigeonhole: a contained doc misses at most
+    // n − ⌈τ·n⌉ of its own shingles, so ANY subset one larger must hit
+    // the index — order-free completeness, rarest-first for candidate
+    // economy; a sub-slice of the shared τ=0.5 ranked prefix), against the
+    // full inverted index of shingle ids. Candidates dedup, then one
+    // array_intersect verify per pair. Copies collapse to reps first and
+    // directed pairs re-expand after, so the probe/verify volume is per
+    // DISTINCT text. Oracle = the direct θ-join (completeness proof).
+    Q("dedup_containment_prefix", Seq("dedup", "J1", "A12", "skew", "§2.10"),
+      (s, dir) => {
+        val tau = 0.7
+        val members = dupMembers(s, dir)
+        val docArr = rankedDocArr(s, dir)
+        val probe = docArr
+          .select(col("doc_id"),
+                  expr(s"slice(prefix, 1, cast(n_sh - ceil(n_sh * $tau) + 1 AS int))").as("cpre"))
+          .select(col("doc_id"), explode(col("cpre")).as("p"))
+          .where(col("p.df") >= 2) // df=1 can only self-match
+          .select(col("doc_id").as("inner_id"), col("p.id").as("sid"))
+        val index = docArr
+          .select(col("doc_id").as("outer_id"), explode(col("shs")).as("sid"))
+        val cand = probe.join(index, "sid")
+          .where(col("inner_id") =!= col("outer_id"))
+          .select("inner_id", "outer_id").distinct()
+        val repPairs = cand
+          .join(docArr.select(col("doc_id").as("inner_id"), col("shs").as("sa"),
+                              col("n_sh").cast("long").as("n_inner")), "inner_id")
+          .join(docArr.select(col("doc_id").as("outer_id"), col("shs").as("sb"),
+                              col("n_sh").cast("long").as("n_outer")), "outer_id")
+          .withColumn("shared", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          .withColumn("containment", col("shared").cast("double") / col("n_inner"))
+          .where(col("containment") >= tau)
+          .select(col("inner_id").as("ra"), col("outer_id").as("rb"),
+                  col("shared"), col("n_inner"), col("n_outer"), col("containment"))
+        // directed expansion over exact-dup groups: cross pairs keep their
+        // direction; intra-group ordered pairs are exact copies, so
+        // containment is n/n = 1.0 bit-exactly in both engines
+        val cross = repPairs
+          .join(members.select(col("rep").as("ra"), col("doc_id").as("inner_id")), "ra")
+          .join(members.select(col("rep").as("rb"), col("doc_id").as("outer_id")), "rb")
+          .select("inner_id", "outer_id", "shared", "n_inner", "n_outer", "containment")
+        val repN = docArr.select(col("doc_id").as("rep"), col("n_sh").cast("long").as("n"))
+        val m = members.join(repN, "rep")
+        val intra = m.as("x")
+          .join(m.as("y"),
+                col("x.rep") === col("y.rep") && col("x.doc_id") =!= col("y.doc_id"))
+          .select(col("x.doc_id").as("inner_id"), col("y.doc_id").as("outer_id"),
+                  col("x.n").as("shared"), col("x.n").as("n_inner"),
+                  col("y.n").as("n_outer"),
+                  (col("x.n").cast("double") / col("x.n")).as("containment"))
+        cross.union(intra).orderBy("inner_id", "outer_id")
+      },
+      Some(s"""WITH $duckShingles,
+              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |pairs AS (SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+              |    count(*) AS shared
+              |  FROM sh a JOIN sh b
+              |    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT inner_id, outer_id, shared, ci.n_sh AS n_inner,
+              |  co.n_sh AS n_outer,
+              |  CAST(shared AS DOUBLE) / ci.n_sh AS containment
+              |FROM pairs JOIN cnt ci ON inner_id = ci.doc_id
+              |JOIN cnt co ON outer_id = co.doc_id
+              |WHERE CAST(shared AS DOUBLE) / ci.n_sh >= 0.7
+              |ORDER BY inner_id, outer_id""".stripMargin),
+      note = "asymmetric containment (doc-in-doc) dedup: pigeonhole probe prefix vs full inverted index, candidates-only verify; oracle = direct theta-join")
   )
 }

@@ -337,6 +337,56 @@ object JoinQueries {
              |SELECT a_id, b_id, CAST(levenshtein(ka, kb) AS INTEGER) AS dist
              |FROM cand WHERE levenshtein(ka, kb) <= 3
              |ORDER BY a_id, b_id""".stripMargin),
-      note = "fuzzy string join: exact-dup collapse, then positional-chunk blocking (pigeonhole-lossless for substitutions) + Levenshtein once per distinct key pair")
+      note = "fuzzy string join: exact-dup collapse, then positional-chunk blocking (pigeonhole-lossless for substitutions) + Levenshtein once per distinct key pair"),
+
+    // Interval-overlap join — two sets of time intervals matched on
+    // "periods intersect", the genomics/session/outage-window shape that a
+    // naive engine runs as a per-user cross join with a θ-predicate. The
+    // scale plan is grid bucketing: every interval registers in each
+    // 1-hour bucket it touches (≤ 2 here, since spans are < 1h by
+    // construction), candidates come from an EQUI-join on
+    // (user_id, bucket) — high-cardinality keys, per-bucket density bounds
+    // the pair space — and the exact predicate verifies candidates only.
+    // A pair sharing both buckets would dup, so candidates dedup before
+    // the overlap projection. Intervals are integer microseconds derived
+    // deterministically from (ts, event_id), engine-exact; view windows ×
+    // purchase windows per user model attribution overlap. The oracle is
+    // the direct θ-join — equality proves the bucketing loses nothing.
+    Q("j_interval_overlap", Seq("J2", "F8", "W1", "session", "§2.10"),
+      (s, dir) => {
+        val W = 3600L * 1000000L // 1-hour grid, microseconds
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+                  unix_micros(col("ts")).as("s_us"))
+          .withColumn("e_us",
+            col("s_us") + expr("(600 + (event_id % 50) * 60) * 1000000"))
+        def side(t: String, p: String) = ev.where(col("event_type") === t)
+          .select(col("user_id"), col("event_id").as(s"${p}_id"),
+                  col("s_us").as(s"s$p"), col("e_us").as(s"e$p"))
+        val a = side("view", "a")
+          .withColumn("bucket", explode(expr(s"sequence(sa div $W, ea div $W)")))
+        val b = side("purchase", "b")
+          .withColumn("bucket", explode(expr(s"sequence(sb div $W, eb div $W)")))
+        a.join(b, Seq("user_id", "bucket"))
+          .where(col("sa") <= col("eb") && col("sb") <= col("ea"))
+          .select(col("user_id"), col("a_id"), col("b_id"),
+                  col("sa"), col("ea"), col("sb"), col("eb"))
+          .distinct() // a pair can meet in 2 shared buckets
+          .select(col("user_id"), col("a_id"), col("b_id"),
+                  (least(col("ea"), col("eb")) -
+                   greatest(col("sa"), col("sb"))).as("overlap_us"))
+          .orderBy("user_id", "a_id", "b_id")
+      },
+      Some("""WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS sa,
+             |    epoch_us(ts) + (600 + (event_id % 50) * 60) * 1000000 AS ea
+             |  FROM events WHERE event_type = 'view'),
+             |b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS sb,
+             |    epoch_us(ts) + (600 + (event_id % 50) * 60) * 1000000 AS eb
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT a.user_id, a_id, b_id,
+             |  least(ea, eb) - greatest(sa, sb) AS overlap_us
+             |FROM a JOIN b ON a.user_id = b.user_id AND sa <= eb AND sb <= ea
+             |ORDER BY 1, 2, 3""".stripMargin),
+      note = "interval-overlap join via 1-hour grid bucketing: equi-join candidates, exact verify; oracle = direct theta-join (completeness proof)")
   )
 }

@@ -195,6 +195,11 @@ object StreamQueries {
              |                       ORDER BY ts DESC, event_id DESC) AS rk
              |  FROM events) t
              |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin),
-      note = "streaming log-compaction upsert: keyed max-by-version state, snapshot equals batch cdc_latest_by_key")
+      note = "streaming log-compaction upsert: keyed max-by-version state, snapshot equals batch cdc_latest_by_key"),
+
+    Q("stream_minhash_lsh_ingest", Seq("§2.9", "dedup", "J2", "§2.10"),
+      (s, dir) => StreamOps.streamingMinhashLshIngest(s, dir),
+      Some(DedupQueries.duckMinhashLshSql),
+      note = "streaming near-dup dedup at ingest: map-side minhash signatures, keyed band-bucket state emits collisions on arrival; shares the batch LSH oracle (stream/batch parity)")
   )
 }

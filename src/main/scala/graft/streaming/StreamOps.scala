@@ -407,6 +407,71 @@ object StreamOps {
     spark.table(name).orderBy("user_id", "event_type")
   }
 
+  /** Streaming MinHash-LSH near-dup dedup — dedupe the crawl AS IT ARRIVES,
+    * the production ingest shape: signatures are computed map-side (no
+    * streaming aggregation — each row's 32 permutation minima fold over its
+    * own shingle array, so the only stateful stage is the banding), and
+    * per-(band_idx, band_key) keyed state holds the bucket's membership;
+    * every arriving doc emits candidate pairs against the docs already in
+    * its buckets. State is O(bucket membership) — bounded by near-dup
+    * density, the same quantity that bounds the batch join's output. The
+    * AvailableNow drain's accumulated candidate set equals batch banding
+    * by construction (pairs sharing ANY band bucket, order-free after the
+    * distinct), so the exact-Jaccard verify and the DuckDB oracle are
+    * SHARED with dedup_minhash_lsh — the stream/batch parity proof.
+    * New-arrival ids are sorted before pairing for deterministic output
+    * under any micro-batch iterator order. */
+  def streamingMinhashLshIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.dedup.Hashing
+    import graft.queries.DedupQueries
+    val name = s"graft_lshing_${runCounter.incrementAndGet()}"
+    // md5-mod each shingle once, then each lane is an array_min fold over
+    // the pre-hashed values — 1 md5 + 32 integer folds per doc, map-side
+    val laneExprs = DedupQueries.coefs.zipWithIndex.map { case ((a, b), j) =>
+      s"array_min(transform(xs, x -> ${Hashing.permute("x", a, b)})) AS h$j"
+    }
+    val bandStructs = (0 until DedupQueries.NumBands).map { bnd =>
+      val key = (4 * bnd until 4 * bnd + 4).map(r => s"h$r").mkString(", ")
+      s"struct($bnd AS band_idx, concat_ws('_', $key) AS band_key)"
+    }.mkString(", ")
+    val stream = spark.readStream
+      .schema(tableSchema(spark, s"$dir/documents.parquet"))
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 3)
+      .withColumn("shs",
+        expr("transform(sequence(1, size(t)-2), i -> concat_ws(' ', slice(t, i, 3)))"))
+      .withColumn("xs",
+        expr(s"transform(shs, s -> (${Hashing.sparkMd5Mod("s")}))"))
+      .selectExpr(Seq("doc_id") ++ laneExprs: _*)
+      .selectExpr("doc_id", s"explode(array($bandStructs)) AS band")
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+      .as[(Long, Int, String)]
+    val pairs = stream.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[List[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), it: Iterator[(Long, Int, String)],
+         state: GroupState[List[Long]]) =>
+          val prior = state.getOption.getOrElse(Nil)
+          val fresh = it.map(_._1).toList.sorted
+          state.update(prior ::: fresh)
+          val vsPrior = for (n <- fresh; p <- prior)
+            yield (math.min(n, p), math.max(n, p))
+          val intra = for {
+            i <- fresh.indices.toList; k <- (i + 1) until fresh.size
+          } yield (fresh(i), fresh(k))
+          (vsPrior ::: intra).iterator
+      }
+    drain(spark, name,
+          pairs.toDF("a_id", "b_id")
+            .writeStream.outputMode("append").format("memory"))
+    val cand = spark.table(name).distinct()
+    DedupQueries.minhashVerify(cand, spark, dir)
+  }
+
   /** Spark 4's `transformWithState` — the successor API to
     * flatMapGroupsWithState, with NAMED state variables on the RocksDB
     * store (the production state backend; the other six stream queries

@@ -326,6 +326,40 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("PPS sampling: no unpartitioned window over raw data, only over chunk totals") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val exec = SparkEntry.queries("sample_pps_systematic")(spark, dir)
+      .queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val wins = exec.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"lost the window operators:\n$exec")
+    wins.foreach { w =>
+      // the single-task window is allowed ONLY on the 64×-reduced chunk
+      // totals (i.e. above an aggregate), never over the document rows
+      if (w.partitionSpec.isEmpty)
+        assert(w.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
+               s"global window over raw data:\n$exec")
+    }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+           s"no chunk-partitioned data window:\n$exec")
+  }
+
+  test("interval overlap join is an equi-join on the grid, never a nested loop") {
+    val p = plan("j_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+             || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("containment dedup joins candidates by shingle id, never a nested loop") {
+    val p = plan("dedup_containment_prefix")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("Q15's max re-aggregates the cached supplier table; the argmax equality hash-joins the one-row max") {
     val p = plan("q15_top_supplier")
     assert("InMemoryTableScan".r.findAllIn(p).length == 2, p)

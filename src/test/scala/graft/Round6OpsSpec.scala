@@ -50,6 +50,90 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(kept < byId.size, "no multi-member cluster formed")
   }
 
+  test("PPS sampling: marker count conserved, long docs kept with certainty") {
+    val out = SparkEntry.queries("sample_pps_systematic")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val total = docs.map(_._2).sum
+    // systematic sampling drops exactly floor(total/step) markers, each in
+    // exactly one doc — the two-phase prefix sum must conserve them all
+    assert(out.map(_.getAs[Long]("n_hits")).sum == total / 997)
+    val picked = out.map(_.getAs[Long]("doc_id")).toSet
+    docs.filter(_._2 >= 997).foreach { case (id, tok) =>
+      assert(picked.contains(id), s"doc $id with $tok tokens must be certain")
+    }
+  }
+
+  test("interval overlap: bucketed join equals the direct theta-join") {
+    val out = SparkEntry.queries("j_interval_overlap")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("overlap_us") >= 0L))
+    // brute-force reference at test SF: collect both sides, nested loop
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              unix_micros(col("ts")).as("s"))
+      .withColumn("e", col("s") + expr("(600 + (event_id % 50) * 60) * 1000000"))
+      .collect()
+    val views = ev.filter(_.getAs[String]("event_type") == "view")
+    val buys = ev.filter(_.getAs[String]("event_type") == "purchase")
+      .groupBy(_.getAs[Long]("user_id"))
+    val expected = views.flatMap { a =>
+      buys.getOrElse(a.getAs[Long]("user_id"), Array.empty[org.apache.spark.sql.Row]).collect {
+        case b if a.getAs[Long]("s") <= b.getAs[Long]("e") &&
+                  b.getAs[Long]("s") <= a.getAs[Long]("e") =>
+          (a.getAs[Long]("user_id"), a.getAs[Long]("event_id"), b.getAs[Long]("event_id"))
+      }
+    }.toSet
+    assert(out.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("a_id"),
+                         r.getAs[Long]("b_id"))).toSet == expected)
+  }
+
+  test("containment dedup: asymmetric, copies contained both ways at 1.0") {
+    val out = SparkEntry.queries("dedup_containment_prefix")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Double]("containment") >= 0.7))
+    val pairs = out.map(r => (r.getAs[Long]("inner_id"), r.getAs[Long]("outer_id"))).toSet
+    // exact copies (when the SF carries any — sf1 does, sf0.01 may not):
+    // both directions present, containment exactly 1.0
+    val copies = spark.read.parquet(s"$sf/documents.parquet")
+      .where(size(split(col("text"), " ")) >= 3)
+      .groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .where(size(col("ids")) > 1).collect()
+    copies.foreach { r =>
+      val ids = r.getAs[Seq[Long]]("ids")
+      for (x <- ids; y <- ids if x != y) assert(pairs.contains((x, y)))
+    }
+    // completeness of the pigeonhole probe prefix, independent of the
+    // DuckDB oracle: a direct (unfiltered) shingle join must find exactly
+    // the same directed pair set
+    val sh = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(t)-2), i -> concat_ws(' ', slice(t, i, 3)))")).as("s"))
+      .distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val direct = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("o"))
+      .agg(count(lit(1)).as("shared"))
+      .join(cnt.select(col("doc_id").as("i"), col("n")), "i")
+      .where(col("shared").cast("double") / col("n") >= 0.7)
+      .select("i", "o").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == direct, "prefix filter dropped or invented a pair")
+  }
+
+  test("streaming LSH ingest emits exactly the batch banding's pairs") {
+    val streamed = SparkEntry.queries("stream_minhash_lsh_ingest")(spark, sf)
+      .collect().map(_.toSeq.mkString("|")).sorted
+    val batch = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .collect().map(_.toSeq.mkString("|")).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch), "stream/batch LSH parity broken")
+  }
+
   test("streaming CDC upsert snapshot equals the batch log compaction") {
     val streamed = SparkEntry.queries("stream_cdc_upsert")(spark, sf)
       .collect().map(_.toSeq.mkString("|")).sorted
