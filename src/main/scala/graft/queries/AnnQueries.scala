@@ -604,7 +604,14 @@ object AnnQueries {
         val edges = repEdges.union(copyEdges)
         val sym = edges.union(edges.select(col("y").as("x"), col("x").as("y")))
           .localCheckpoint()
-        var labels = emb.select(col("vec_id"), col("vec_id").as("label")).localCheckpoint()
+        // Iterate ONLY over edge endpoints: at corpus scale near-dup edges
+        // are sparse, so |V_edges| << |V| — isolated vectors are fixpoints
+        // from round 0 and re-attach with their own label after
+        // convergence, instead of flowing through every join, checkpoint
+        // and changed-count of every round. (sym is symmetric, so x alone
+        // covers all endpoints.)
+        val touched = sym.select(col("x").as("vec_id")).distinct()
+        var labels = touched.withColumn("label", col("vec_id")).localCheckpoint()
         var changed = 1L
         var rounds = 0
         val maxRounds = 50 // O(component diameter); clusters are shallow
@@ -623,8 +630,10 @@ object AnnQueries {
         }
         require(changed == 0,
           s"semantic min-label propagation did not converge in $maxRounds rounds")
-        labels.select(col("vec_id"), col("label").as("cluster_id"),
-                      (col("vec_id") === col("label")).as("is_kept"))
+        emb.select("vec_id").join(labels, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+                  coalesce(col("label"), col("vec_id")).as("cluster_id"),
+                  (col("vec_id") === coalesce(col("label"), col("vec_id"))).as("is_kept"))
           .orderBy("vec_id")
       },
       Some(s"""WITH RECURSIVE
