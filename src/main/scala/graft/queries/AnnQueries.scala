@@ -46,11 +46,17 @@ object AnnQueries {
       s"(CAST($dot >= 0 AS INT) * ${1 << j})"
     }.mkString(" + ")
 
-  /** DuckDB: same fold order over a literal list. */
+  /** DuckDB: native list_dot_product against the literal plane. The earlier
+    * list_transform lambda form re-constructed the 64-element literal list
+    * PER LAMBDA INVOCATION (64×64×8 constructions per row — 11s for 2000
+    * rows at sf0.1, and the recursive-CTE oracle re-evaluated it every
+    * fixpoint iteration → 180s guard hits); the native kernel evaluates the
+    * constant once. Verified bucket-for-bucket identical to the lambda fold
+    * on sf0.01 and sf0.1 (sign of an exact dyadic×float product sum). */
   private def duckBucket(vecCol: String): String =
     (0 until NumPlanes).map { j =>
-      val dot = s"list_sum(list_transform(generate_series(1, $Dim), " +
-        s"i -> CAST($vecCol[i] AS DOUBLE) * ([${planeLits(planes(j))}])[i]))"
+      val dot = s"list_dot_product(CAST($vecCol AS DOUBLE[]), " +
+        s"CAST([${planeLits(planes(j))}] AS DOUBLE[]))"
       s"(CAST($dot >= 0 AS INTEGER) * ${1 << j})"
     }.mkString(" + ")
 
@@ -637,7 +643,7 @@ object AnnQueries {
           .orderBy("vec_id")
       },
       Some(s"""WITH RECURSIVE
-              |e AS (SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket
+              |e AS MATERIALIZED (SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket
               |      FROM embeddings),
               |g AS (SELECT embedding, min(vec_id) AS rep FROM e GROUP BY embedding),
               |mem AS (SELECT g.rep, e.vec_id FROM e JOIN g ON e.embedding = g.embedding),
@@ -648,7 +654,7 @@ object AnnQueries {
               |pr AS (SELECT ra, rb FROM cand
               |  WHERE $duckDot / sqrt((${duckNorm("qe")}) * (${duckNorm("be")})) >= $SemTau),
               |ce AS (SELECT rep AS ra, vec_id AS rb FROM mem WHERE vec_id <> rep),
-              |edges AS (SELECT ra AS a, rb AS b FROM pr UNION SELECT ra, rb FROM ce
+              |edges AS MATERIALIZED (SELECT ra AS a, rb AS b FROM pr UNION SELECT ra, rb FROM ce
               |          UNION SELECT rb, ra FROM pr UNION SELECT rb, ra FROM ce),
               |reach(src, node) AS (
               |  SELECT vec_id, vec_id FROM embeddings

@@ -71,10 +71,11 @@ object StreamQueries {
 
     Q("stream_static_enrich", Seq("§2.9", "J1", "A1", "cdc"),
       (s, dir) => StreamOps.streamStaticEnrich(s, dir),
-      Some("""SELECT c_mktsegment, count(*) AS n,
+      Some("""WITH nc AS MATERIALIZED (SELECT count(*) AS n_cust FROM customer)
+             |SELECT c_mktsegment, count(*) AS n,
              |  CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-             |FROM events e
-             |JOIN customer c ON c.c_custkey = e.user_id % (SELECT count(*) FROM customer) + 1
+             |FROM events e CROSS JOIN nc
+             |JOIN customer c ON c.c_custkey = e.user_id % n_cust + 1
              |GROUP BY 1 ORDER BY 1""".stripMargin),
       note = "stream-static broadcast enrichment join: stateless, dim re-broadcast per batch"),
 
