@@ -8,14 +8,28 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Dev-only subset filter (regex on query name); unset = full registry.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    val spark = SparkSession.builder()
+    // Shuffle blocks on tmpfs, uncompressed: same rationale as the stream
+    // harness's /dev/shm checkpoints — the cluster-shape analog is NVMe-
+    // local shuffle storage, and at bench SFs the LZ4 round-trip plus disk
+    // write latency is pure fixed overhead (measured −9% on the full
+    // registry at sf0.1; sf1 shuffle volume is well under the tmpfs bound).
+    val localDir = new java.io.File("/dev/shm/graft_spark_local")
+    localDir.mkdirs()
+    var builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", localDir.getPath)
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // dev A/B lever: SPARK_GRAFT_EXTRA_CONF="k1=v1;k2=v2"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder = builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen and the table file cache once, outside the timed
     // region: the first job in a fresh session otherwise pays ~5-10s of

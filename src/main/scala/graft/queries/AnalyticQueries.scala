@@ -205,19 +205,24 @@ object AnalyticQueries {
         val half = l.join(o, l("l_orderkey") === o("o_orderkey"))
           .select(concat(lit("s"), col("l_suppkey")).as("a"),
                   concat(lit("c"), col("o_custkey")).as("b"))
-          .distinct()
-        val edges = half.union(half.select(col("b").as("a"), col("a").as("b"))).cache()
-        val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg")).cache()
-        val r0 = deg.withColumn("rank", lit(1000000L))
+          .distinct().cache()
+        val edges = half.union(half.select(col("b").as("a"), col("a").as("b")))
+        val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        // Attach each source's out-degree to its edges ONCE: the rank state
+        // then stays a bare (node, rank) pair, and every iteration is one
+        // join + one aggregation — the deg re-join per round (a third
+        // shuffle that scaled with |V| every iteration) is gone.
+        val edgesD = edges.join(deg, edges("a") === deg("node"))
+          .select(col("a"), col("b"), col("deg")).cache()
+        val r0 = deg.select(col("node"), lit(1000000L).as("rank"))
         val r3 = (1 to 3).foldLeft(r0) { (prev, _) =>
-          edges.join(prev, edges("a") === prev("node"))
+          edgesD.join(prev, edgesD("a") === prev("node"))
             .select(col("b").as("node"), expr("rank div deg").as("contrib"))
             .groupBy("node").agg(sum("contrib").as("in_sum"))
-            .join(deg, "node")
-            .select(col("node"), col("deg"),
+            .select(col("node"),
                     (lit(150000L) + expr("(85 * in_sum) div 100")).as("rank"))
         }
-        r3.select(col("node"), col("rank")).orderBy(col("rank").desc, col("node"))
+        r3.orderBy(col("rank").desc, col("node"))
       },
       Some {
         def step(k: Int): String =

@@ -624,14 +624,18 @@ object AnnQueries {
         while (changed > 0 && rounds < maxRounds) {
           val viaNbr = sym.join(labels, sym("x") === labels("vec_id"))
             .groupBy(col("y")).agg(min("label").as("nl"))
+          // change detection rides INSIDE the round's checkpoint (a label
+          // only ever decreases, so "nl < label" IS "label changed") — the
+          // convergence count is a filter over the already-materialized
+          // frame, not a second next⋈labels shuffle per round.
           val next = labels.as("l")
             .join(viaNbr, col("l.vec_id") === viaNbr("y"), "left")
             .select(col("l.vec_id").as("vec_id"),
-                    least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"))
+                    least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"),
+                    (col("nl") < col("l.label")).as("chg"))
             .localCheckpoint() // truncate the iterative lineage
-          changed = next.as("n").join(labels.as("o"), "vec_id")
-            .where(col("n.label") =!= col("o.label")).count()
-          labels = next
+          changed = next.where(col("chg")).count()
+          labels = next.select("vec_id", "label")
           rounds += 1
         }
         require(changed == 0,
