@@ -506,6 +506,41 @@ object CorpusQueries {
              |SELECT doc_id, tok, cum, cum // 997 - (cum - tok) // 997 AS n_hits
              |FROM c WHERE cum // 997 - (cum - tok) // 997 > 0
              |ORDER BY doc_id""".stripMargin),
-      note = "weighted sampling without randomness: token-stride markers over a two-level distributed prefix sum (no single-task global window)")
+      note = "weighted sampling without randomness: token-stride markers over a two-level distributed prefix sum (no single-task global window)"),
+
+    // N-gram novelty scoring — the incremental-crawl curation signal: how
+    // much of a document's content is FIRST SEEN in that document (vs
+    // already contributed by any earlier doc)? Boilerplate-heavy or
+    // template pages score near 0, genuinely new text near 1; pipelines
+    // cut or downweight the low tail before training. Attribution is by
+    // doc_id order (min doc_id per shingle = its first occurrence), so the
+    // score is deterministic and engine-exact. Plan: gram table → min-per-
+    // gram rollup (map-side partials absorb hot boilerplate grams) → one
+    // gram-keyed join back → per-doc count rollup. Every stage is keyed by
+    // gram or doc — no pair join, no window, no global order; the hot-gram
+    // skew lands in an AGGREGATION (partial-combine safe), never a join
+    // fanout, because the rollup reduces each gram to one row before the
+    // join.
+    Q("corpus_ngram_novelty", Seq("corpus", "dedup", "A1", "A12", "J1"),
+      (s, dir) => {
+        val sh = shingles(s, dir)
+        val first = sh.groupBy("shingle").agg(min("doc_id").as("fdoc"))
+        sh.join(first, "shingle")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+               sum(when(col("fdoc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
+          .select("doc_id", "n_grams", "n_novel", "novelty")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckShingles,
+              |f AS (SELECT shingle, min(doc_id) AS fdoc FROM sh GROUP BY 1)
+              |SELECT sh.doc_id, count(*) AS n_grams,
+              |  CAST(sum(CASE WHEN f.fdoc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+              |  CAST(sum(CASE WHEN f.fdoc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / count(*) AS novelty
+              |FROM sh JOIN f USING (shingle)
+              |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin),
+      note = "first-occurrence novelty per doc: min-doc-per-gram rollup + one gram-keyed join; boilerplate skew absorbed by map-side partials, no pair join")
   )
 }
