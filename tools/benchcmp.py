@@ -135,6 +135,10 @@ def main():
         "super-linearly on a single node. Compare `BENCHCMP.md` (sf0.1) with",
         "`BENCHCMP_sf1.md` (sf1) — same queries, same honest oracles, opposite",
         "winners. That crossover, not either single total, is the 100 TB story.",
+        "The work/floor decomposition rows at the bottom make the same point",
+        "inside one SF: on queries where DuckDB itself does measurable work",
+        "the engines are close; the rest of the gap is Spark's fixed per-query",
+        "floor times the query count.",
         "",
         "| query | spark s | duckdb s | spark/duckdb |",
         "|---|---|---|---|",
@@ -168,6 +172,26 @@ def main():
                      f"**{b_dk:.1f}** | **{b_sp / b_dk:.1f}×** |")
         lines.append(f"| **streaming subset ({len(st)}, oracle = batch replay)** "
                      f"| **{st_sp:.1f}** | **{st_dk:.1f}** | — |")
+    # floor decomposition: at bench SF most oracle rows sit at DuckDB's
+    # ~0.01s floor while Spark pays its fixed ~0.1-0.3s job overhead — a
+    # constant that does not grow with data (see the sf1 crossover). Split
+    # the batch set at the point where DuckDB itself does measurable work,
+    # so the table separates "engine speed on real work" from "fixed
+    # scheduling floor times query count".
+    ba = [(n, s, d) for n, s, d in rows
+          if s is not None and not n.startswith("stream_")]
+    for thr in (0.1,):
+        work = [(n, s, d) for n, s, d in ba if d >= thr]
+        flo = [(n, s, d) for n, s, d in ba if d < thr]
+        if work and flo:
+            w_sp, w_dk = sum(s for _, s, _ in work), sum(d for *_, d in work)
+            f_sp, f_dk = sum(s for _, s, _ in flo), sum(d for *_, d in flo)
+            lines.append(
+                f"| **work-dominated batch (duckdb ≥ {thr}s; {len(work)})** | "
+                f"**{w_sp:.1f}** | **{w_dk:.1f}** | **{w_sp / w_dk:.1f}×** |")
+            lines.append(
+                f"| **floor-dominated batch (duckdb < {thr}s; {len(flo)})** | "
+                f"**{f_sp:.1f}** | **{f_dk:.1f}** | fixed overhead |")
     if missing:
         lines.append("")
         lines.append(f"NOT in the bench input ({len(missing)} oracle queries "
