@@ -343,6 +343,70 @@ object CoreQueries {
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       note = "date-partitioned sink + pruned re-read vs source-of-truth oracle"),
 
+    // NDJSON (JSON-lines) round trip over the DOCUMENTS table — the corpus
+    // interchange format every large-scale text pipeline ingests and emits
+    // (one JSON object per line, newline-delimited, splittable). The text
+    // column carries arbitrary corpus strings, so this is specifically a
+    // test of the sink's escaping (quotes, backslashes, control chars,
+    // non-ASCII) and of the reader's decode: any character the sink writes
+    // non-reversibly fails the hash against the oracle, which reads the
+    // source table and never sees the files. Explicit read schema, like
+    // every inter-stage hop here: JSON carries no types, so re-read without
+    // one would silently widen/narrow. Distributed shape: write is one task
+    // per partition, read is a splittable line scan — no shuffle until the
+    // output sort.
+    Q("k_jsonl_roundtrip", Seq("K1", "S3", "P13", "P15"),
+      (s, dir) => {
+        val out = graft.util.Scratch.fresh("kjsonl")
+        Tables.documents(s, dir)
+          .where(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").json(out)
+        s.read.schema("doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT")
+          .json(out)
+          .select(col("doc_id"), length(col("text")).as("len_back"),
+                  col("lang"), col("n_chars"),
+                  substring(col("text"), 1, 12).as("head12"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, length(text) AS len_back, lang, n_chars,
+             |  substring(text, 1, 12) AS head12
+             |FROM documents WHERE doc_id % 7 = 0
+             |ORDER BY doc_id""".stripMargin),
+      note = "NDJSON corpus round trip: sink escaping + schema-pinned re-read vs source-of-truth oracle"),
+
+    // ORC round trip — the second columnar at-rest format (native Spark
+    // source, same DataSource V1/V2 machinery as parquet: predicate
+    // pushdown, column pruning, vectorized read). The re-read applies a
+    // filter that must reach the ORC reader as a pushed predicate and a
+    // two-column projection that must prune the schema — the format
+    // interoperability contract a mixed-lake deployment (parquet + ORC
+    // tables side by side) depends on. Decimals go through the sink at
+    // exact scale; the oracle reads the parquet source, so any type
+    // mangling in the ORC writer/reader path fails the hash.
+    Q("k_orc_roundtrip", Seq("K1", "S6", "F1", "P15"),
+      (s, dir) => {
+        val out = graft.util.Scratch.fresh("korc")
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+                  expr(s"CAST(o_totalprice AS $dec)").as("total"),
+                  to_date(col("o_orderdate")).as("d"))
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .where(col("d") >= lit("1995-01-01") && col("d") < lit("1996-01-01"))
+          .groupBy("d")
+          .agg(count(lit(1)).as("n"),
+               expr(s"CAST(CAST(sum(total) AS $dec) AS DOUBLE)").as("sum_total"))
+          .orderBy("d")
+      },
+      Some(s"""SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+              |  CAST(CAST(sum(CAST(o_totalprice AS $dec)) AS $dec) AS DOUBLE) AS sum_total
+              |FROM orders
+              |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+              |  AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "ORC sink + pushed-filter pruned re-read vs parquet source-of-truth oracle"),
+
     // S5 idempotent dated-URL ingest (data_extraction_v2.py:184-217),
     // exercised end-to-end against a deterministic fake transport and
     // in-memory file state so the whole skip/404/failure decision tree is
