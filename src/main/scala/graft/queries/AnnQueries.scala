@@ -667,6 +667,93 @@ object AnnQueries {
               |labels AS (SELECT src AS vec_id, min(node) AS label FROM reach GROUP BY src)
               |SELECT vec_id, label AS cluster_id, vec_id = label AS is_kept
               |FROM labels ORDER BY vec_id""".stripMargin),
-      note = "semantic cluster dedup: LSH-bucketed candidates -> exact-cosine verify -> min-label components; never all-pairs, copies collapse before pair work")
+      note = "semantic cluster dedup: LSH-bucketed candidates -> exact-cosine verify -> min-label components; never all-pairs, copies collapse before pair work"),
+
+    // Hybrid retrieval with reciprocal-rank fusion — the production
+    // retrieval shape (RAG, hard-negative mining, semantic dedup review
+    // queues): a dense ranker (embedding cosine) and a lexical ranker
+    // (distinct-token Jaccard against the query doc) disagree in useful
+    // ways, and RRF fuses them using only the RANKS: rrf = 1/(60+r_dense)
+    // + 1/(60+r_lex). Ranks kill the score-scale mismatch and — here —
+    // every float subtlety: the fused score is a sum of two exact IEEE
+    // divisions of small integers, so hash-exactness doesn't depend on the
+    // rankers' score precision at all, only their orderings (both already
+    // engine-exact: vec_dot's left fold, integer token counts). Queries
+    // are the four lowest ids, fused over the full candidate grid as the
+    // exact baseline (same declared role as ann_cosine_topk's BNLJ); at
+    // 100 TB each ranker feeds its own bounded top-k (IVF probe, prefix-
+    // filtered lexical candidates) and the fusion is a rank equi-join —
+    // the grid here exists only to make the oracle total.
+    Q("ann_rrf_hybrid", Seq("similarity", "text", "J2", "W4"),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.plans.VecExprs.register(s)
+        val emb = Tables.embeddings(s, dir).withColumn("nrm", expr(normExpr("embedding")))
+        val q = emb.where(col("vec_id") < 4)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("nq"))
+        val b = emb.select(col("vec_id").as("bid"), col("embedding").as("be"), col("nrm").as("nb"))
+        val dense = q.crossJoin(b).where(col("qid") =!= col("bid"))
+          .withColumn("cos_sim", expr(s"$dotExpr / sqrt(nq * nb)"))
+          .select("qid", "bid", "cos_sim")
+        // lexical: distinct-token Jaccard of each candidate against the
+        // query doc's token set (documents.doc_id ≡ embeddings.vec_id)
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term")).distinct()
+        val ntok = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+        val qtok = tok.where(col("doc_id") < 4)
+          .select(col("doc_id").as("qid"), col("term"))
+        val shared = tok.join(broadcast(qtok), "term")
+          .where(col("qid") =!= col("doc_id"))
+          .groupBy(col("qid"), col("doc_id").as("bid"))
+          .agg(count(lit(1)).as("shared"))
+        val lex = shared
+          .join(ntok.select(col("doc_id").as("qid"), col("nt").as("nq_t")), "qid")
+          .join(ntok.select(col("doc_id").as("bid"), col("nt").as("nb_t")), "bid")
+          .select(col("qid"), col("bid"),
+                  (col("shared").cast("double") / (col("nq_t") + col("nb_t") - col("shared"))).as("jac"))
+        val wd = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("bid"))
+        val wl = Window.partitionBy("qid").orderBy(col("jac").desc, col("bid"))
+        val fused = dense.withColumn("r_dense", row_number().over(wd))
+          .join(lex, Seq("qid", "bid"), "left")
+          .withColumn("jac", coalesce(col("jac"), lit(0.0)))
+          .withColumn("r_lex", row_number().over(wl))
+          .withColumn("rrf", expr("1.0 / (60.0 + CAST(r_dense AS DOUBLE)) + 1.0 / (60.0 + CAST(r_lex AS DOUBLE))"))
+        val wf = Window.partitionBy("qid").orderBy(col("rrf").desc, col("bid"))
+        fused.withColumn("rank", row_number().over(wf))
+          .where(col("rank") <= 10)
+          .select(col("qid"), col("rank").cast("int").as("rank"), col("bid"),
+                  col("r_dense").cast("int").as("r_dense"),
+                  col("r_lex").cast("int").as("r_lex"), col("rrf"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+              |b AS (SELECT vec_id AS bid, embedding AS be FROM embeddings),
+              |dense AS (SELECT qid, bid,
+              |    $duckDot / sqrt((${duckNorm("qe")}) * (${duckNorm("be")})) AS cos_sim
+              |  FROM q, b WHERE qid <> bid),
+              |tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+              |ntok AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY 1),
+              |shared AS (SELECT qt.doc_id AS qid, t.doc_id AS bid, count(*) AS shared
+              |  FROM tok t JOIN (SELECT doc_id, term FROM tok WHERE doc_id < 4) qt USING (term)
+              |  WHERE qt.doc_id <> t.doc_id GROUP BY 1, 2),
+              |lex AS (SELECT s.qid, s.bid,
+              |    CAST(s.shared AS DOUBLE) / (nq.nt + nb.nt - s.shared) AS jac
+              |  FROM shared s JOIN ntok nq ON nq.doc_id = s.qid
+              |  JOIN ntok nb ON nb.doc_id = s.bid),
+              |fused AS (
+              |  SELECT d.qid, d.bid,
+              |    row_number() OVER (PARTITION BY d.qid ORDER BY d.cos_sim DESC, d.bid) AS r_dense,
+              |    row_number() OVER (PARTITION BY d.qid ORDER BY coalesce(l.jac, 0.0) DESC, d.bid) AS r_lex
+              |  FROM dense d LEFT JOIN lex l ON l.qid = d.qid AND l.bid = d.bid)
+              |SELECT qid, CAST(rank AS INTEGER) AS rank, bid,
+              |  CAST(r_dense AS INTEGER) AS r_dense, CAST(r_lex AS INTEGER) AS r_lex, rrf
+              |FROM (
+              |  SELECT qid, bid, r_dense, r_lex,
+              |    1.0 / (60.0 + CAST(r_dense AS DOUBLE)) + 1.0 / (60.0 + CAST(r_lex AS DOUBLE)) AS rrf,
+              |    row_number() OVER (PARTITION BY qid ORDER BY
+              |      1.0 / (60.0 + CAST(r_dense AS DOUBLE)) + 1.0 / (60.0 + CAST(r_lex AS DOUBLE)) DESC, bid) AS rank
+              |  FROM fused) t
+              |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin),
+      note = "reciprocal-rank fusion of dense cosine and lexical Jaccard ranks; fused score is exact small-integer arithmetic, independent of ranker score precision")
   )
 }

@@ -577,6 +577,100 @@ object TextQueries {
            |WHERE length(word) >= 1
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
-      note = "learned-merge application over the dictionary (O(vocab) rewriting), broadcast join to the stream; double-space boundary trick keeps replace() engine-exact")
+      note = "learned-merge application over the dictionary (O(vocab) rewriting), broadcast join to the stream; double-space boundary trick keeps replace() engine-exact"),
+
+    // BM25 top-k retrieval — the lexical ranking half of every corpus
+    // search / contamination-check / hard-negative-mining pipeline. Four
+    // fixed term queries are scored against the whole corpus with the
+    // Okapi saturation form (k1=1.2, b=0.75). Engine-exactness: the
+    // textbook idf's ln() differs in the last ulp across libms (same issue
+    // as tfidf_top_terms), so the idf factor is the RATIONAL Robertson
+    // core (N - df + 0.5)/(df + 0.5) — strictly monotone in the textbook
+    // idf, identical ranking, and composed purely of IEEE +,*,/ that both
+    // engines round identically. Per-query scores are summed in FIXED
+    // textual order over pivoted per-term columns (a float sum over a
+    // groupBy would be partition-order-dependent). Scale shape: tf/df
+    // stats are shuffle aggregations with map-side partials; query-term
+    // filtering happens BEFORE the tf shuffle so only rows for the ~10
+    // query terms move; the pivot is one more keyed aggregation and top-k
+    // is a per-query window over score-filtered docs — no pair joins, no
+    // global sort.
+    Q("text_bm25_topk", Seq("text", "similarity", "A1", "W4", "F4"),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val queries = Seq( // query_id -> terms (fixed order = summation order)
+          1 -> Seq("spark", "join"),
+          2 -> Seq("hash", "table", "scan"),
+          3 -> Seq("window", "agg"),
+          4 -> Seq("vector", "stream", "merge"))
+        val qterms = queries.flatMap(_._2).distinct
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val glob = dl.agg(count(lit(1)).as("n_docs"),
+                          (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+        val tf = toks.where(col("term").isin(qterms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val sc = tf.join(dl, "doc_id").join(broadcast(df), "term")
+          .crossJoin(broadcast(glob))
+          .withColumn("sc", expr(bm25Sc))
+        val pivot = sc.groupBy("doc_id")
+          .agg(max(when(col("term") === qterms.head, col("sc"))).as(s"s_${qterms.head}"),
+               qterms.tail.map(t => max(when(col("term") === t, col("sc"))).as(s"s_$t")): _*)
+        // all four query scores in ONE pass over the pivot (a per-query
+        // union would re-evaluate the whole stats chain per branch):
+        // explode a literal array of (query_id, fixed-order sum) structs
+        val qStructs = queries.map { case (qid, terms) =>
+          struct(lit(qid).as("query_id"),
+                 expr(terms.map(t => s"coalesce(s_$t, 0.0)").mkString(" + ")).as("score"))
+        }
+        val perQuery = pivot
+          .select(col("doc_id"), explode(array(qStructs: _*)).as("q"))
+          .select(col("q.query_id").as("query_id"), col("doc_id"), col("q.score").as("score"))
+          .where(col("score") > 0)
+        val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+        perQuery.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 10)
+          .select(col("query_id"), col("rank").cast("int").as("rank"),
+                  col("doc_id"), col("score"))
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val queries = Seq(1 -> Seq("spark", "join"), 2 -> Seq("hash", "table", "scan"),
+                          3 -> Seq("window", "agg"), 4 -> Seq("vector", "stream", "merge"))
+        val qterms = queries.flatMap(_._2).distinct
+        val inList = qterms.map(t => s"'$t'").mkString(", ")
+        val pivCols = qterms.map(t => s"max(CASE WHEN term = '$t' THEN sc END) AS s_$t").mkString(",\n  ")
+        val qRows = queries.map { case (qid, terms) =>
+          val sum = terms.map(t => s"coalesce(s_$t, 0.0)").mkString(" + ")
+          s"SELECT $qid AS query_id, doc_id, $sum AS score FROM piv"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+           |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+           |gstat AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           |       WHERE term IN ($inList) GROUP BY 1, 2),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |sc AS (SELECT tf.doc_id, tf.term, $bm25Sc AS sc
+           |       FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN gstat),
+           |piv AS (SELECT doc_id,
+           |  $pivCols
+           |  FROM sc GROUP BY doc_id),
+           |q AS ($qRows)
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score FROM (
+           |  SELECT query_id, doc_id, score,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           |  FROM q WHERE score > 0) t
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      },
+      note = "Okapi BM25 top-10 for 4 fixed term queries; rational Robertson idf keeps it libm-free and engine-exact; term filter before the tf shuffle, fixed-order pivot sum")
   )
+
+  /** Okapi BM25 per-(doc, term) score with the rational Robertson idf —
+    * identical textual form on both engines so every IEEE +,*,/ rounds the
+    * same way. Columns: tf, df, dl BIGINT; n_docs BIGINT; avgdl DOUBLE. */
+  private val bm25Sc: String =
+    "((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * " +
+    "((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))"
 }
