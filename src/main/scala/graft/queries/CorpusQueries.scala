@@ -541,6 +541,57 @@ object CorpusQueries {
               |    / count(*) AS novelty
               |FROM sh JOIN f USING (shingle)
               |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin),
-      note = "first-occurrence novelty per doc: min-doc-per-gram rollup + one gram-keyed join; boilerplate skew absorbed by map-side partials, no pair join")
+      note = "first-occurrence novelty per doc: min-doc-per-gram rollup + one gram-keyed join; boilerplate skew absorbed by map-side partials, no pair join"),
+
+    // Deterministic epoch shuffle — reproducible training-data ordering:
+    // every epoch re-permutes the corpus by md5(epoch:doc_id) so any worker
+    // can recompute any epoch's order from scratch (resume, audit, exact
+    // replay), with no RNG state to persist. Position assignment is a
+    // GLOBAL rank over the hash order — the op where the order itself is
+    // the semantics — done as the two-level scan, like
+    // sample_pps_systematic: the first two hex chars of the hash are the
+    // bucket (256 fixed buckets whose LEXICOGRAPHIC order equals the hash
+    // order's prefix, so bucket-major + in-bucket rank IS the global
+    // rank), in-bucket ranks come from bucket-partitioned windows (corpus-
+    // scaled parallelism), and bucket offsets from one tiny window over
+    // ≤256×epochs rows. No single-task global sort at any scale; shard
+    // boundaries then fall out of integer division on the position.
+    Q("corpus_epoch_shuffle", Seq("corpus", "sampling", "W3", "P17", "§2.10"),
+      (s, dir) => {
+        val wB = org.apache.spark.sql.expressions.Window
+          .partitionBy("epoch", "bucket").orderBy("h", "doc_id")
+        val wOff = org.apache.spark.sql.expressions.Window
+          .partitionBy("epoch").orderBy("bucket")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val ranked = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(expr("array(0, 1)")).as("epoch"))
+          .withColumn("h", md5(concat_ws(":", col("epoch"), col("doc_id"))))
+          .withColumn("bucket", substring(col("h"), 1, 2))
+          .withColumn("rn", row_number().over(wB))
+        val offsets = ranked.groupBy("epoch", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum("cnt").over(wOff), lit(0L)))
+          .select("epoch", "bucket", "off")
+        ranked.join(offsets, Seq("epoch", "bucket"))
+          .withColumn("pos", col("off") + col("rn"))
+          .withColumn("shard_id", expr("(pos - 1) div 64"))
+          .select("epoch", "doc_id", "pos", "shard_id")
+          .orderBy("epoch", "pos")
+      },
+      Some("""WITH r AS (
+             |  SELECT epoch, doc_id, md5(epoch || ':' || doc_id) AS h
+             |  FROM documents, (SELECT unnest([0, 1]) AS epoch)),
+             |b AS (SELECT epoch, doc_id, h, substr(h, 1, 2) AS bucket,
+             |        row_number() OVER (PARTITION BY epoch, substr(h, 1, 2)
+             |                           ORDER BY h, doc_id) AS rn
+             |      FROM r),
+             |o AS (SELECT epoch, bucket,
+             |        CAST(coalesce(sum(cnt) OVER (PARTITION BY epoch ORDER BY bucket
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+             |      FROM (SELECT epoch, bucket, count(*) AS cnt FROM b GROUP BY 1, 2) c)
+             |SELECT b.epoch, b.doc_id, o.off + b.rn AS pos, (o.off + b.rn - 1) // 64 AS shard_id
+             |FROM b JOIN o ON b.epoch = o.epoch AND b.bucket = o.bucket
+             |ORDER BY b.epoch, pos""".stripMargin),
+      note = "reproducible per-epoch permutation by md5(epoch:doc_id); hex-prefix buckets make bucket-major + in-bucket rank the exact global rank — two-level, no single-task sort")
   )
 }

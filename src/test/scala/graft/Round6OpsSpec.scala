@@ -142,4 +142,27 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(streamed.length == batch.length)
     assert(streamed.sameElements(batch), "stream/batch parity broken")
   }
+
+  test("epoch shuffle: per-epoch permutation, full shards, decorrelated epochs") {
+    val out = SparkEntry.queries("corpus_epoch_shuffle")(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    val byEpoch = out.groupBy(_.getAs[Int]("epoch"))
+    assert(byEpoch.keySet == Set(0, 1))
+    byEpoch.foreach { case (e, rows) =>
+      // the two-level rank yields an exact 1..N permutation
+      assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to n),
+             s"epoch $e positions are not a permutation")
+      // every shard except the last is exactly full
+      val sizes = rows.groupBy(_.getAs[Long]("shard_id")).map { case (sid, rs) => sid -> rs.length }
+      val last = sizes.keys.max
+      sizes.foreach { case (sid, sz) => if (sid != last) assert(sz == 64, s"shard $sid size $sz") }
+      // each doc appears exactly once
+      assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == n.toInt)
+    }
+    // reshuffling actually happened: the two epoch orders disagree for
+    // nearly every doc (identical orders would mean the epoch key is dead)
+    val p0 = byEpoch(0).map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
+    val moved = byEpoch(1).count(r => p0(r.getAs[Long]("doc_id")) != r.getAs[Long]("pos"))
+    assert(moved > n * 0.95, s"only $moved of $n docs moved between epochs")
+  }
 }
