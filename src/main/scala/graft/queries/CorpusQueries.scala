@@ -592,6 +592,69 @@ object CorpusQueries {
              |SELECT b.epoch, b.doc_id, o.off + b.rn AS pos, (o.off + b.rn - 1) // 64 AS shard_id
              |FROM b JOIN o ON b.epoch = o.epoch AND b.bucket = o.bucket
              |ORDER BY b.epoch, pos""".stripMargin),
-      note = "reproducible per-epoch permutation by md5(epoch:doc_id); hex-prefix buckets make bucket-major + in-bucket rank the exact global rank — two-level, no single-task sort")
+      note = "reproducible per-epoch permutation by md5(epoch:doc_id); hex-prefix buckets make bucket-major + in-bucket rank the exact global rank — two-level, no single-task sort"),
+
+    // Contamination REMOVAL — the verb after corpus_contamination's detect:
+    // every token covered by any 3-gram the doc shares with the held-out
+    // eval set is cut, and the cleaned text re-assembled in token order.
+    // Span semantics: a bench gram starting at position i condemns
+    // positions i..i+2; overlapping grams merge naturally through the
+    // DISTINCT covered-position set (no interval algebra needed at the
+    // token granularity). Plan: positional grams (map-side) → broadcast
+    // bench-gram semi-join → covered positions (explode 3, distinct) →
+    // anti-join tokens → per-doc ordered re-concat via array_sort of
+    // (pos, tok) structs (deterministic, no collect_list order reliance).
+    // Everything is keyed by doc or gram; the bench side is small by
+    // construction (broadcast), so the corpus never pair-joins.
+    Q("corpus_decontaminate", Seq("corpus", "dedup", "J6", "F7", "A12"),
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+        val grams = base.where(size(col("t")) >= 3)
+          .select(col("doc_id"), explode(
+            expr("transform(sequence(1, size(t)-2), i -> struct(i AS start, concat_ws(' ', slice(t, i, 3)) AS gram))")).as("g"))
+          .select(col("doc_id"), col("g.start"), col("g.gram"))
+        val bench = grams.where(col("doc_id") % 97 === 0)
+          .select("gram").distinct()
+        val covered = grams.where(col("doc_id") % 97 =!= 0)
+          .join(broadcast(bench), "gram")
+          .select(col("doc_id"), explode(expr("sequence(start, start + 2)")).as("pos"))
+          .distinct()
+        val toks = base.where(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), posexplode(col("t")).as(Seq("pos0", "tok")))
+          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+        val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+               expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok))").as("clean_text"))
+        toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tok"),
+                  (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+                  coalesce(col("clean_text"), lit("")).as("clean_text"))
+          .where(col("n_removed") >= 1)
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |g AS (SELECT doc_id, i AS start, array_to_string(t[i:i+2], ' ') AS gram
+             |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+             |            FROM base WHERE len(t) >= 3)),
+             |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+             |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(start, start + 2)) AS pos
+             |        FROM g SEMI JOIN bench USING (gram) WHERE doc_id % 97 <> 0),
+             |toks AS (SELECT doc_id, i AS pos, t[i] AS tok
+             |         FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+             |               FROM base WHERE doc_id % 97 <> 0)),
+             |kept AS (SELECT doc_id, count(*) AS n_kept,
+             |           string_agg(tok, ' ' ORDER BY pos) AS clean_text
+             |         FROM toks ANTI JOIN cov USING (doc_id, pos) GROUP BY 1),
+             |tot AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1)
+             |SELECT t.doc_id, t.n_tok,
+             |  t.n_tok - coalesce(k.n_kept, 0) AS n_removed,
+             |  coalesce(k.clean_text, '') AS clean_text
+             |FROM tot t LEFT JOIN kept k USING (doc_id)
+             |WHERE t.n_tok - coalesce(k.n_kept, 0) >= 1
+             |ORDER BY t.doc_id""".stripMargin),
+      note = "span removal after the contamination screen: broadcast bench grams, DISTINCT covered positions merge overlaps, anti-join + ordered re-concat rebuilds clean text")
   )
 }

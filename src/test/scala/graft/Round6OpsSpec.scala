@@ -143,6 +143,21 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch), "stream/batch parity broken")
   }
 
+  test("decontaminate: flagged set matches the screen, token accounting exact") {
+    val removed = SparkEntry.queries("corpus_decontaminate")(spark, sf).collect()
+    val flagged = SparkEntry.queries("corpus_contamination")(spark, sf)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // a doc loses tokens iff the screen flags it (shared gram <=> covered span)
+    assert(removed.map(_.getAs[Long]("doc_id")).toSet == flagged)
+    removed.foreach { r =>
+      val clean = r.getAs[String]("clean_text")
+      val keptToks = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(keptToks == r.getAs[Long]("n_tok") - r.getAs[Long]("n_removed"),
+             s"doc ${r.getAs[Long]("doc_id")}: clean_text token count drifts")
+      assert(r.getAs[Long]("n_removed") >= 3, "a covered span is at least one 3-gram")
+    }
+  }
+
   test("epoch shuffle: per-epoch permutation, full shards, decorrelated epochs") {
     val out = SparkEntry.queries("corpus_epoch_shuffle")(spark, sf).collect()
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
