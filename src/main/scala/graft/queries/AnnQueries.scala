@@ -754,6 +754,54 @@ object AnnQueries {
               |      1.0 / (60.0 + CAST(r_dense AS DOUBLE)) + 1.0 / (60.0 + CAST(r_lex AS DOUBLE)) DESC, bid) AS rank
               |  FROM fused) t
               |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin),
-      note = "reciprocal-rank fusion of dense cosine and lexical Jaccard ranks; fused score is exact small-integer arithmetic, independent of ranker score precision")
+      note = "reciprocal-rank fusion of dense cosine and lexical Jaccard ranks; fused score is exact small-integer arithmetic, independent of ranker score precision"),
+
+    // Per-vector symmetric int8 scalar quantization — the embedding-STORAGE
+    // scale path: a 100 TB float32 embedding store is 25 TB at int8 with
+    // ~1% recall loss, and every major vector engine (FAISS SQ8, Lucene
+    // KnnByteVectorField) ships exactly this codec. scale = amax/127 per
+    // vector; q_i = floor(x_i/scale + 0.5) (explicit half-up — both
+    // engines' floor is deterministic, unlike their round() tie rules on
+    // doubles). Emits the quantized checksum/norm, saturation count and max
+    // reconstruction error; every double is produced by the same op order
+    // on both engines, so the comparison is bit-exact with NO rounding.
+    //
+    // Scale: embarrassingly parallel per-row map (all codegen'd HOFs), no
+    // shuffle at all before the final sort.
+    Q("ann_int8_quantize", Seq("ann", "P15", "§2.10"),
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .selectExpr("vec_id", "label",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+          .selectExpr("vec_id", "label", "v",
+            "array_max(transform(v, x -> abs(x))) AS amax")
+          .selectExpr("vec_id", "label", "v",
+            "IF(amax = 0.0D, 1.0D, amax / 127.0D) AS scale")
+          .selectExpr("vec_id", "label", "v", "scale",
+            "transform(v, x -> CAST(floor(x / scale + 0.5D) AS INT)) AS qv")
+          .selectExpr("vec_id", "label", "scale",
+            "aggregate(qv, 0L, (a, x) -> a + x) AS qsum",
+            "aggregate(qv, 0L, (a, x) -> a + CAST(x AS BIGINT) * x) AS qnorm",
+            "CAST(size(filter(qv, x -> abs(x) = 127)) AS BIGINT) AS sat_n",
+            "array_max(zip_with(v, qv, (x, q) -> abs(x - q * scale))) AS err_max")
+          .orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |a AS (SELECT vec_id, label, v,
+             |    list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+             |sc AS (SELECT vec_id, label, v,
+             |    CASE WHEN amax = 0.0 THEN 1.0 ELSE amax / 127.0 END AS scale FROM a),
+             |q AS (SELECT vec_id, label, v, scale,
+             |    list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS qv
+             |  FROM sc)
+             |SELECT vec_id, label, scale,
+             |  CAST(list_sum(qv) AS BIGINT) AS qsum,
+             |  CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS qnorm,
+             |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS sat_n,
+             |  list_max(list_transform(generate_series(1, len(v)),
+             |    i -> abs(v[i] - qv[i] * scale))) AS err_max
+             |FROM q ORDER BY vec_id""".stripMargin),
+      note = "per-vector symmetric int8 quantization (FAISS-SQ8 shape) + saturation/reconstruction audit; shuffle-free per-row map, bit-exact across engines")
   )
 }

@@ -1183,6 +1183,103 @@ object DedupQueries {
               |JOIN cnt co ON outer_id = co.doc_id
               |WHERE CAST(shared AS DOUBLE) / ci.n_sh >= 0.7
               |ORDER BY inner_id, outer_id""".stripMargin),
-      note = "asymmetric containment (doc-in-doc) dedup: pigeonhole probe prefix vs full inverted index, candidates-only verify; oracle = direct theta-join")
+      note = "asymmetric containment (doc-in-doc) dedup: pigeonhole probe prefix vs full inverted index, candidates-only verify; oracle = direct theta-join"),
+
+    // URL-canonicalization dedup — the FIRST stage of every web-corpus
+    // pipeline (before any content hashing): the same page is crawled under
+    // scheme/host-case variants, www. prefixes, trailing slashes, tracking
+    // params (utm_*, ref=) and reordered query strings; canonicalize, then
+    // keep the best copy per canonical URL. The harness documents table has
+    // no URL column, so a deterministic synthesized URL (3 surface variants
+    // per (source, doc_id%100, doc_id%5, lang) page identity — moduli all
+    // divide 100, so docs 100 apart share an identity at every SF) feeds the
+    // REAL canonicalizer; both engines build and canonicalize the same
+    // strings, so the collapse is hash-checked end-to-end.
+    //
+    // Scale: pure per-row string work (split_part/regexp/HOFs, all
+    // codegen'd) + one groupBy(canonical) — a single shuffle on a
+    // high-cardinality key. The keep-best rank runs inside that partition.
+    Q("dedup_url_canonical", Seq("dedup", "P13", "A10", "F8"),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val urlExpr =
+          """CASE CAST(doc_id % 3 AS INT)
+            |  WHEN 0 THEN concat('HTTPS://WWW.', upper(source), '.EXAMPLE.COM/p/',
+            |    CAST(doc_id % 100 AS STRING), '/?utm_source=feed&q=', lang,
+            |    '&id=', CAST(doc_id % 5 AS STRING), '#top')
+            |  WHEN 1 THEN concat('https://', source, '.example.com/p/',
+            |    CAST(doc_id % 100 AS STRING), '?id=', CAST(doc_id % 5 AS STRING), '&q=', lang)
+            |  ELSE concat('https://www.', source, '.example.com/p/',
+            |    CAST(doc_id % 100 AS STRING), '/?q=', lang,
+            |    '&id=', CAST(doc_id % 5 AS STRING), '&ref=tw')
+            |END""".stripMargin
+        val u = Tables.documents(s, dir)
+          .selectExpr("doc_id", "n_chars", s"$urlExpr AS url")
+          // canonicalize: lower scheme+host, strip www., drop fragment,
+          // strip trailing slash, drop tracking params, sort the rest
+          .selectExpr("doc_id", "n_chars",
+            "lower(split_part(url, '://', 1)) AS scheme",
+            "split_part(split_part(url, '://', 2), '#', 1) AS nofrag")
+          .selectExpr("doc_id", "n_chars", "scheme",
+            "split_part(nofrag, '?', 1) AS hostpath",
+            "split_part(nofrag, '?', 2) AS query")
+          .selectExpr("doc_id", "n_chars", "scheme",
+            "regexp_replace(lower(split_part(hostpath, '/', 1)), '^www\\\\.', '') AS host",
+            """regexp_replace(CASE WHEN instr(hostpath, '/') = 0 THEN ''
+              |  ELSE substr(hostpath, instr(hostpath, '/')) END, '/+$', '') AS path""".stripMargin,
+            """array_join(array_sort(filter(split(query, '&'),
+              |  p -> NOT (startswith(p, 'utm_') OR startswith(p, 'ref=')))), '&') AS params""".stripMargin)
+          .selectExpr("doc_id", "n_chars",
+            """concat(scheme, '://', host, path,
+              |  IF(params = '', '', concat('?', params))) AS canon""".stripMargin)
+        val w = Window.partitionBy("canon")
+        val byBest = Window.partitionBy("canon")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        u.withColumn("rn", row_number().over(byBest))
+          .withColumn("n_dups", count(lit(1)).over(w))
+          .where(col("rn") === 1)
+          .select(col("canon"), col("doc_id").as("keep_id"),
+                  col("n_chars").as("best_chars"), col("n_dups"))
+          .orderBy("canon")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, n_chars,
+             |    CASE CAST(doc_id % 3 AS INT)
+             |      WHEN 0 THEN 'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM/p/' ||
+             |        (doc_id % 100) || '/?utm_source=feed&q=' || lang ||
+             |        '&id=' || (doc_id % 5) || '#top'
+             |      WHEN 1 THEN 'https://' || source || '.example.com/p/' ||
+             |        (doc_id % 100) || '?id=' || (doc_id % 5) || '&q=' || lang
+             |      ELSE 'https://www.' || source || '.example.com/p/' ||
+             |        (doc_id % 100) || '/?q=' || lang ||
+             |        '&id=' || (doc_id % 5) || '&ref=tw'
+             |    END AS url
+             |  FROM documents),
+             |p1 AS (SELECT doc_id, n_chars,
+             |    lower(split_part(url, '://', 1)) AS scheme,
+             |    split_part(split_part(url, '://', 2), '#', 1) AS nofrag
+             |  FROM u),
+             |p2 AS (SELECT doc_id, n_chars, scheme,
+             |    split_part(nofrag, '?', 1) AS hostpath,
+             |    split_part(nofrag, '?', 2) AS query
+             |  FROM p1),
+             |p3 AS (SELECT doc_id, n_chars, scheme,
+             |    regexp_replace(lower(split_part(hostpath, '/', 1)), '^www\.', '') AS host,
+             |    regexp_replace(CASE WHEN strpos(hostpath, '/') = 0 THEN ''
+             |      ELSE substr(hostpath, strpos(hostpath, '/')) END, '/+$', '') AS path,
+             |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+             |      p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=')))), '&') AS params
+             |  FROM p2),
+             |c AS (SELECT doc_id, n_chars,
+             |    scheme || '://' || host || path ||
+             |      CASE WHEN params = '' THEN '' ELSE '?' || params END AS canon
+             |  FROM p3),
+             |r AS (SELECT canon, doc_id, n_chars,
+             |    row_number() OVER (PARTITION BY canon ORDER BY n_chars DESC, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY canon) AS n_dups
+             |  FROM c)
+             |SELECT canon, doc_id AS keep_id, n_chars AS best_chars, n_dups
+             |FROM r WHERE rn = 1 ORDER BY canon""".stripMargin),
+      note = "URL canonicalization (lower scheme/host, strip www./fragment/trailing-slash/tracking params, sort query) + keep-best per canonical — web-pipeline stage-0 dedup; one high-card shuffle")
   )
 }

@@ -148,6 +148,14 @@ object StreamQueries {
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
       note = "streaming ingest dedup: fingerprint-keyed min/count state, AvailableNow drain"),
 
+    Q("stream_dedup_within_watermark", Seq("§2.9", "dedup", "A10", "F6"),
+      (s, dir) => StreamOps.streamingDedupWithinWatermark(s, dir),
+      // single-batch drain ⇒ no state expires mid-run ⇒ equals batch DISTINCT
+      Some("""SELECT d, count(*) AS n_keys FROM (
+             |  SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS d FROM events)
+             |GROUP BY d ORDER BY d""".stripMargin),
+      note = "dropDuplicatesWithinWatermark: state TTL'd by the event-time watermark — O(horizon) state, not O(all-time keys); re-admission after expiry pinned in DedupStreamSpec"),
+
     Q("stream_session_window", Seq("§2.9", "session", "F6", "W1"),
       (s, dir) => StreamOps.sessionWindowAgg(s, dir),
       // batch equivalent: gap sessionization (new session at gap >= 30min —

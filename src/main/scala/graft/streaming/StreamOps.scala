@@ -365,6 +365,43 @@ object StreamOps {
     spark.table(name).select("fp", "keep_id", "n_copies").orderBy("fp")
   }
 
+  /** Watermark-BOUNDED streaming dedup — `dropDuplicatesWithinWatermark`.
+    *
+    * `streamingDedup` above holds one state row per fingerprint forever:
+    * exact, but state grows with the all-time key count — at 100 TB of
+    * ingest that store never stops growing. The bounded variant is the
+    * production shape for "the same record re-sent within a horizon"
+    * (at-least-once ingest retries, crawler re-visits): state for a key is
+    * dropped once the event-time watermark passes it, so the store holds
+    * only the horizon's keys, independent of total history. The trade is
+    * semantic: a duplicate arriving after the horizon is treated as new —
+    * DedupSpec pins exactly that re-admission behavior on a 3-batch
+    * MemoryStream; see also SURVEY §2.9.
+    *
+    * Keys here are (user_id, event_type, event day). Only key columns are
+    * kept before the dedup so which physical row survives is irrelevant;
+    * the single-file AvailableNow drain is one micro-batch, so no state
+    * expires mid-run and the result equals the batch DISTINCT — the oracle.
+    */
+  def streamingDedupWithinWatermark(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.events(spark, dir) // sets nanosAsLong before footer read
+    val name = s"graft_dedup_wm_${runCounter.incrementAndGet()}"
+    val stream = spark.readStream
+      .schema(tableSchema(spark, s"$dir/events.parquet"))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(expr(tsExpr(spark, dir)).as("ts"), col("user_id"), col("event_type"))
+      .withColumn("d", to_date(col("ts")))
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "d")
+      .select("user_id", "event_type", "d")
+    drain(spark, name, stream.writeStream.outputMode("append").format("memory"))
+    spark.table(name)
+      .groupBy("d")
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy("d")
+  }
+
   /** Streaming CDC apply — log compaction as keyed state. Per
     * (user_id, event_type) the state holds the winning version (max by
     * (ts_us, event_id), the same total order as the batch
