@@ -360,6 +360,19 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("int8 quantization is a shuffle-free map (only the output sort exchanges)") {
+    val p = plan("ann_int8_quantize")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("URL-canonical dedup shuffles only on the high-card canonical key") {
+    val p = plan("dedup_url_canonical")
+    val hash = "Exchange hashpartitioning\\(canon".r.findAllIn(p).length
+    assert(hash >= 1, s"expected the window to partition by canon:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("Q15's max re-aggregates the cached supplier table; the argmax equality hash-joins the one-row max") {
     val p = plan("q15_top_supplier")
     assert("InMemoryTableScan".r.findAllIn(p).length == 2, p)
