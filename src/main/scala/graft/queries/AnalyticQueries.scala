@@ -365,7 +365,7 @@ object AnalyticQueries {
         val edges = half.union(half.select(col("b").as("a"), col("a").as("b"), col("w")))
           .cache()
         val d0 = edges.sparkSession.range(1).select(lit("s1").as("node"), lit(0L).as("dist"))
-        val d3 = (1 to 3).foldLeft(d0.toDF) { (d, _) =>
+        val d3 = (1 to 3).foldLeft(d0.toDF()) { (d, _) =>
           // each round references the previous frontier TWICE (carry-over
           // union + relax join); without a cache the uncached lineage
           // doubles per round — 2^k−1 edge joins instead of k
@@ -967,6 +967,30 @@ object AnalyticQueries {
              |  AND NOT EXISTS (SELECT 1 FROM lf l3
              |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
              |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin),
-      note = "TPC-H Q21: EXISTS/NOT-EXISTS pair as semi+anti equi-joins with disequality residuals over one cached F-line slice")
+      note = "TPC-H Q21: EXISTS/NOT-EXISTS pair as semi+anti equi-joins with disequality residuals over one cached F-line slice"),
+
+    // k-anonymity audit — the privacy gate a training corpus passes before
+    // release: group rows by their quasi-identifier tuple (here event day ×
+    // type × coarse value bucket); any equivalence class smaller than k
+    // re-identifies its members and must be suppressed or generalized.
+    // Emits every class with its size and the suppression verdict (k=5),
+    // so the downstream filter is a broadcast-able keep-list.
+    //
+    // Scale: one high-cardinality groupBy (the class key) with map-side
+    // partials; class count is bounded by the QI domain, not row volume.
+    Q("privacy_k_anonymity", Seq("A10", "F8", "P5", "dedup"),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"), col("event_type"),
+                   expr("CAST(floor(value / 50.0D) AS INT)").as("v_bucket"))
+          .agg(count(lit(1)).as("class_size"))
+          .withColumn("suppressed", col("class_size") < 5)
+          .orderBy("d", "event_type", "v_bucket"),
+      Some("""SELECT CAST(ts AS DATE) AS d, event_type,
+             |  CAST(floor(value / 50.0) AS INTEGER) AS v_bucket,
+             |  count(*) AS class_size, count(*) < 5 AS suppressed
+             |FROM events GROUP BY 1, 2, 3
+             |ORDER BY 1, 2, 3""".stripMargin),
+      note = "quasi-identifier equivalence classes with k=5 suppression verdicts — the pre-release privacy audit; single map-side-partial shuffle on the class key")
   )
 }

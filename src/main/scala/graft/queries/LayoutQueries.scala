@@ -380,7 +380,44 @@ object LayoutQueries {
               |  CAST(sum(pairs) AS BIGINT) AS pred_pairs,
               |  CAST(max(pairs) AS BIGINT) AS max_per_key
               |FROM p GROUP BY 1 ORDER BY 1""".stripMargin),
-      note = "exact join-size prediction from count profiles (sum of a_k*b_k), never materializing the join; log2 buckets expose which keys drive the output")
+      note = "exact join-size prediction from count profiles (sum of a_k*b_k), never materializing the join; log2 buckets expose which keys drive the output"),
+
+    // Schema-evolution scan: a 100 TB lake is written over years — old
+    // files lack columns newer files carry. The engine must read BOTH
+    // generations in one scan, null-filling the missing columns, without
+    // rewriting history. Two generations of the documents table are
+    // written under one root (gen=1: 3 columns; gen=2: adds lang +
+    // n_bytes_est), then a single mergeSchema read aggregates across them.
+    // The oracle recomputes the same facts from the unsplit source table.
+    //
+    // Scale: schema merge is a footer-only planning step (per-file, no
+    // data movement); the scan itself stays columnar with null backfill.
+    Q("layout_schema_evolution", Seq("S6", "P12", "P15", "A10"),
+      (s, dir) => {
+        val out = graft.util.Scratch.fresh("schevo")
+        val docs = Tables.documents(s, dir)
+        docs.where(col("doc_id") % 2 === 0)
+          .select("doc_id", "source", "n_chars")
+          .write.mode("overwrite").parquet(s"$out/gen=1")
+        docs.where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("source"), col("n_chars"), col("lang"),
+                  (col("n_chars") * 2).as("n_bytes_est"))
+          .write.mode("overwrite").parquet(s"$out/gen=2")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               count(col("lang")).as("n_with_lang"),
+               sum("n_chars").as("sum_chars"),
+               sum(coalesce(col("n_bytes_est"), lit(0L))).as("sum_bytes_est"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_lang,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars * 2 ELSE 0 END) AS BIGINT)
+             |    AS sum_bytes_est
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+      note = "mergeSchema scan over two written generations (columns added over time): null backfill for old files, one columnar read; merge cost is footer-only")
   )
 
   /** floor(log2(n)) for n >= 1 as a descending integer CASE ladder —

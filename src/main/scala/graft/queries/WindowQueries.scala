@@ -725,6 +725,68 @@ object WindowQueries {
              |FROM m
              |WHERE event_type = 'click' AND tp IS NOT NULL AND tn IS NOT NULL
              |ORDER BY event_id""".stripMargin),
-      note = "gap-fill by linear interpolation between surrounding observations: one interleaved sort per key, ignore-nulls frames both directions, integer until the single lerp expression")
+      note = "gap-fill by linear interpolation between surrounding observations: one interleaved sort per key, ignore-nulls frames both directions, integer until the single lerp expression"),
+
+    // Classical additive seasonal decomposition (value = trend + seasonal +
+    // remainder) over the per-type daily series — the forecasting pre-step
+    // for exactly the kind of seasonal signal the reference models (NDVI
+    // 16-day cycles, hind:41-79's per-zone series). Trend is a centered
+    // 7-day moving average; the seasonal index is the weekday mean of the
+    // detrended residual; remainder is what the GP/GWR stage would model.
+    //
+    // Float determinism: the daily total is an exact DECIMAL sum (order-
+    // free); trend = exact decimal frame sum / count (ONE double division);
+    // the weekday mean folds residuals in d-order via
+    // aggregate(array_sort(collect_list(...))) so partial-agg order can't
+    // perturb the double sum — DuckDB's list(resid ORDER BY d) + list_sum
+    // is the same left fold (the dot-product queries' proven pattern).
+    //
+    // Scale: the heavy shuffle keys on (event_type, day) — high-card; the
+    // windows run over the AGGREGATED series (#types × #days rows), and the
+    // seasonal join broadcasts #types × 7 rows.
+    Q("w_seasonal_decompose", Seq("W2", "A1", "A13", "F8", "P5"),
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))").as("tot"))
+        val wTrend = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+        val t = daily
+          .withColumn("trend",
+            sum("tot").over(wTrend).cast("double") / count(lit(1)).over(wTrend))
+          .withColumn("daily", col("tot").cast("double"))
+          .withColumn("resid", col("daily") - col("trend"))
+          .withColumn("dow", expr("weekday(d)"))
+        val seas = t.groupBy("event_type", "dow")
+          .agg(expr("""aggregate(array_sort(collect_list(struct(d, resid))),
+                      |  CAST(0.0 AS DOUBLE), (a, x) -> a + x.resid)""".stripMargin).as("rs"),
+               count(lit(1)).as("n"))
+          .withColumn("seasonal", col("rs") / col("n"))
+          .select("event_type", "dow", "seasonal")
+        t.join(broadcast(seas), Seq("event_type", "dow"))
+          .select(col("event_type"), col("d"), col("daily"), col("trend"),
+                  col("seasonal"), (col("resid") - col("seasonal")).as("remainder"))
+          .orderBy("event_type", "d")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS d,
+             |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS tot
+             |  FROM events GROUP BY 1, 2),
+             |t AS (
+             |  SELECT event_type, d, CAST(tot AS DOUBLE) AS daily,
+             |    CAST(sum(tot) OVER w AS DOUBLE) / count(*) OVER w AS trend,
+             |    isodow(d) - 1 AS dow
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+             |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |r AS (SELECT *, daily - trend AS resid FROM t),
+             |sx AS (
+             |  SELECT event_type, dow,
+             |    list_sum(list(resid ORDER BY d)) / count(*) AS seasonal
+             |  FROM r GROUP BY 1, 2)
+             |SELECT r.event_type, r.d, r.daily, r.trend, sx.seasonal,
+             |  r.resid - sx.seasonal AS remainder
+             |FROM r JOIN sx ON r.event_type = sx.event_type AND r.dow = sx.dow
+             |ORDER BY r.event_type, r.d""".stripMargin),
+      note = "additive trend/seasonal/remainder decomposition: decimal-exact daily sums, centered MA trend, d-ordered residual fold for the weekday index; windows over the aggregated series only")
   )
 }

@@ -180,4 +180,38 @@ class Round6OpsSpec extends AnyFunSuite {
     val moved = byEpoch(1).count(r => p0(r.getAs[Long]("doc_id")) != r.getAs[Long]("pos"))
     assert(moved > n * 0.95, s"only $moved of $n docs moved between epochs")
   }
+
+  test("seasonal decomposition: components reconstruct the daily series") {
+    val out = SparkEntry.queries("w_seasonal_decompose")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val daily = r.getAs[Double]("daily")
+      val rebuilt = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("remainder")
+      assert(math.abs(daily - rebuilt) < 1e-6 * math.max(1.0, math.abs(daily)),
+             s"$daily != $rebuilt for ${r.getAs[String]("event_type")} ${r.get(1)}")
+    }
+    // the decomposition actually moved signal: seasonal isn't identically 0
+    assert(out.exists(r => math.abs(r.getAs[Double]("seasonal")) > 1e-9))
+  }
+
+  test("schema evolution: merged scan covers both generations, lang only in gen2") {
+    val out = SparkEntry.queries("layout_schema_evolution")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val oddDocs = docs.where(org.apache.spark.sql.functions.expr("doc_id % 2 = 1")).count()
+    assert(out.map(_.getAs[Long]("n_with_lang")).sum == oddDocs)
+  }
+
+  test("k-anonymity: classes partition the table; verdict matches the threshold") {
+    val out = SparkEntry.queries("privacy_k_anonymity")(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(out.map(_.getAs[Long]("class_size")).sum == total)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("suppressed") == (r.getAs[Long]("class_size") < 5))
+    }
+    // the audit bites on real data: both verdicts occur
+    assert(out.exists(_.getAs[Boolean]("suppressed")) &&
+           out.exists(!_.getAs[Boolean]("suppressed")))
+  }
 }
