@@ -253,7 +253,57 @@ object MlQueries {
               |g AS (SELECT ${olsSums.mkString(", ")} FROM t),
               |d AS (SELECT *, ${olsDets.mkString(", ")} FROM g)
               |SELECT ${olsOut.mkString(", ")} FROM d""".stripMargin),
-      note = "one-pass OLS: exact-integer Gram summary + in-plan Cramer solve, identical double op tree on both engines")
+      note = "one-pass OLS: exact-integer Gram summary + in-plan Cramer solve, identical double op tree on both engines"),
+
+    // Forecast-skill scorecard against the persistence baseline — the
+    // evaluation half of the reference's hindcast loop (hind:81-95 scores
+    // per-origin forecasts against observed biomass): every forecaster must
+    // beat "tomorrow equals today". For horizons 1/2/4/8 days, the lag-h
+    // persistence forecast of the per-type daily series is scored by
+    // MAE / RMSE / bias. Daily totals are decimal-exact; the error folds
+    // run in d-order over a sorted collected array, so every double is
+    // partial-agg-order-free and matches DuckDB's ordered list_sum bitwise.
+    //
+    // Scale: the shifted join is an equi-join on (event_type, date);
+    // horizons are a 4-row broadcast; metric groups are #types × #horizons.
+    Q("m_skill_persistence", Seq("M4", "W2", "A1", "A13"),
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(expr("CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)")
+            .as("daily"))
+        val hs = s.range(1).selectExpr("explode(array(1, 2, 4, 8)) AS h")
+        daily.crossJoin(broadcast(hs))
+          .withColumn("d_prev", expr("date_add(d, -h)"))
+          .join(daily.select(col("event_type"), col("d").as("d_prev"),
+                             col("daily").as("prev")),
+                Seq("event_type", "d_prev"))
+          .withColumn("e", col("daily") - col("prev"))
+          .groupBy("event_type", "h")
+          .agg(expr("array_sort(collect_list(struct(d, e)))").as("arr"))
+          .selectExpr("event_type", "CAST(h AS INT) AS horizon",
+            "CAST(size(arr) AS BIGINT) AS n",
+            "aggregate(arr, CAST(0.0 AS DOUBLE), (a, x) -> a + abs(x.e)) / size(arr) AS mae",
+            "sqrt(aggregate(arr, CAST(0.0 AS DOUBLE), (a, x) -> a + x.e * x.e) / size(arr)) AS rmse",
+            "aggregate(arr, CAST(0.0 AS DOUBLE), (a, x) -> a + x.e) / size(arr) AS bias")
+          .orderBy("event_type", "horizon")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS d,
+             |    CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS daily
+             |  FROM events GROUP BY 1, 2),
+             |h AS (SELECT unnest([1, 2, 4, 8]) AS h),
+             |j AS (SELECT a.event_type, h.h, a.d, a.daily - b.daily AS e
+             |  FROM daily a CROSS JOIN h
+             |  JOIN daily b ON b.event_type = a.event_type AND b.d = a.d - h.h),
+             |g AS (SELECT event_type, h, list(e ORDER BY d) AS le, count(*) AS n
+             |  FROM j GROUP BY 1, 2)
+             |SELECT event_type, CAST(h AS INTEGER) AS horizon, CAST(n AS BIGINT) AS n,
+             |  list_sum(list_transform(le, x -> abs(x))) / n AS mae,
+             |  sqrt(list_sum(list_transform(le, x -> x * x)) / n) AS rmse,
+             |  list_sum(le) / n AS bias
+             |FROM g ORDER BY event_type, horizon""".stripMargin),
+      note = "persistence-baseline skill scorecard (MAE/RMSE/bias per type x horizon): the hindcast evaluation shape; d-ordered error folds keep every double bit-deterministic")
   )
 
   /** `ml_ols_normal_eq` shares these exact SQL strings between the Spark

@@ -123,7 +123,62 @@ object PipelineQueries {
       },
       Some(prefixOracle(
         s"CAST($ScoreB0 AS DOUBLE) + CAST($ScoreB1 AS DOUBLE) * sm + CAST($ScoreB2 AS DOUBLE) * preci")),
-      note = "hash-checked stages 1+2(fixed-coefficient WLS)+3+4; only the GWR fit + GP stay rows-only")
+      note = "hash-checked stages 1+2(fixed-coefficient WLS)+3+4; only the GWR fit + GP stay rows-only"),
+
+    // K4/K5 REST payloads, oracle-checked END TO END: the reference POSTs
+    // `[{extId, mean(rounded, null-if-NaN), date}]` rows to its aggregates
+    // and forecasts endpoints (`BiomassAggregate.py:367-395`,
+    // `BiomassForecast.py:104-144`); `Sinks.restPayload` is that contract
+    // and these queries push its actual JSON bytes through the hash gate.
+    // Cross-engine JSON determinism: per-key means are a decimal-exact sum
+    // divided ONCE, then pre-quantized to the payload precision with an
+    // explicit floor(x*10^p + 0.5)/10^p — the SAME double op tree on both
+    // engines. restPayload's own round() then sees a value half-an-ulp from
+    // a p-dp decimal, never near a tie, so Spark's BigDecimal HALF_UP and
+    // DuckDB's multiply-round agree (a raw mean CAN land exactly on a tie:
+    // 67.49125 at sf0.1 rounded differently before the pre-quantize).
+    // Both engines emit shortest-round-trip doubles with identical field
+    // order — verified by the hash, which is the point.
+    Q("k4_rest_payload", Seq("K4", "A1", "P7", "P15"),
+      (s, dir) => {
+        val agg = Tables.events(s, dir)
+          .groupBy(col("user_id").as("extId"), to_date(col("ts")).as("date"))
+          .agg((expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)")
+            / count(lit(1))).as("mean0"))
+          .withColumn("mean", expr("floor(mean0 * 1000000.0D + 0.5D) / 1000000.0D"))
+        graft.pipeline.Sinks.restPayload(agg.select("extId", "mean", "date"), 6)
+          .orderBy("payload")
+      },
+      Some("""WITH a AS (
+             |  SELECT user_id AS extId, CAST(ts AS DATE) AS d,
+             |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean0
+             |  FROM events GROUP BY 1, 2),
+             |b AS (SELECT extId, d, floor(mean0 * 1000000.0 + 0.5) / 1000000.0 AS mean FROM a)
+             |SELECT to_json(struct_pack(extId := extId, mean := round(mean, 6),
+             |                           date := d)) AS payload
+             |FROM b ORDER BY payload""".stripMargin),
+      note = "K4 trends payload (6 dp) as emitted JSON bytes vs a DuckDB-built oracle payload — transport stays external, the contract is hash-checked"),
+
+    Q("k5_forecast_payload", Seq("K5", "M4", "P18", "P7"),
+      (s, dir) => {
+        val agg = Tables.events(s, dir)
+          .groupBy(col("user_id").as("extId"), to_date(col("ts")).as("d"))
+          .agg((expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)")
+            / count(lit(1))).as("mean0"))
+          .withColumn("mean", expr("floor(mean0 * 10000.0D + 0.5D) / 10000.0D"))
+          // 1-day-ahead persistence forecast: today's mean posted for tomorrow
+          .select(col("extId"), col("mean"), date_add(col("d"), 1).as("date"))
+        graft.pipeline.Sinks.restPayload(agg, 4).orderBy("payload")
+      },
+      Some("""WITH a AS (
+             |  SELECT user_id AS extId, CAST(ts AS DATE) + 1 AS d,
+             |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean0
+             |  FROM events GROUP BY 1, CAST(ts AS DATE)),
+             |b AS (SELECT extId, d, floor(mean0 * 10000.0 + 0.5) / 10000.0 AS mean FROM a)
+             |SELECT to_json(struct_pack(extId := extId, mean := round(mean, 4),
+             |                           date := d)) AS payload
+             |FROM b ORDER BY payload""".stripMargin),
+      note = "K5 forecasts payload (4 dp) with the 1-day persistence forecast date shift; same hash-checked JSON contract as k4")
   )
 
   // fixed scoring coefficients for the hash-checked stage-2 variant —
