@@ -655,6 +655,55 @@ object CorpusQueries {
              |FROM tot t LEFT JOIN kept k USING (doc_id)
              |WHERE t.n_tok - coalesce(k.n_kept, 0) >= 1
              |ORDER BY t.doc_id""".stripMargin),
-      note = "span removal after the contamination screen: broadcast bench grams, DISTINCT covered positions merge overlaps, anti-join + ordered re-concat rebuilds clean text")
+      note = "span removal after the contamination screen: broadcast bench grams, DISTINCT covered positions merge overlaps, anti-join + ordered re-concat rebuilds clean text"),
+
+    // Priority sampling (Duffield–Lund–Thorup, JACM 2007): weighted
+    // without-replacement sampling whose k-sample supports UNBIASED
+    // subset-sum estimates — the principled way to downsample a weighted
+    // corpus (weight = doc length here) while keeping any subgroup's total
+    // estimable from the sample alone. Each doc draws priority w/u with u
+    // uniform in (0,1]; the k highest priorities are kept; every kept
+    // doc's estimator is max(w, τ) with τ the (k+1)-th priority.
+    // Randomness is the seedless 48-bit md5(doc_id) (u = (h+1)/2^48), so
+    // the sample is bit-reproducible on any engine and any rerun; the
+    // priority uses ONLY IEEE division — correctly rounded in every
+    // conforming engine — never log/pow, whose libm rounding differs
+    // across platforms and would break hash-exact cross-engine parity.
+    // Plan: the top-(k+1) selection is TakeOrderedAndProject — per-
+    // partition heap top-k + driver merge of (k+1)×#partitions candidate
+    // rows, no global sort and no shuffle of the corpus — THE selection
+    // shape at 100 TB. The rank/τ windows after it run on k+1 = 129 rows
+    // by construction (the post-limit set), not on the data.
+    Q("sample_weighted_priority", Seq("sampling", "corpus", "A13", "W4", "F9", "§2.10"),
+      (s, dir) => {
+        val k = 128
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.orderBy(col("pri").desc, col("doc_id"))
+        val wAll = Window.orderBy(col("pri").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+          .withColumn("h", expr(graft.dedup.Hashing.sparkMd5Raw("CAST(doc_id AS STRING)")))
+          .withColumn("pri", col("w").cast("double") / (col("h") + lit(1L)).cast("double"))
+          .orderBy(col("pri").desc, col("doc_id")).limit(k + 1)
+          .withColumn("rk", row_number().over(wOrd))
+          .withColumn("tau",
+            when(count(lit(1)).over(wAll) === k + 1, min(col("pri")).over(wAll))
+              .otherwise(lit(0.0)))
+          .where(col("rk") <= k)
+          .select(col("doc_id"), col("w"), col("pri"),
+                  greatest(col("w").cast("double"), col("tau")).as("w_est"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH p AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+              |    CAST(n_chars AS DOUBLE)
+              |      / CAST(${graft.dedup.Hashing.duckMd5Raw("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE) AS pri
+              |  FROM documents),
+              |t AS (SELECT doc_id, w, pri,
+              |    row_number() OVER (ORDER BY pri DESC, doc_id) AS rk FROM p),
+              |tau AS (SELECT coalesce(max(pri), 0.0) AS tau FROM t WHERE rk = 129)
+              |SELECT doc_id, w, pri, greatest(CAST(w AS DOUBLE), tau.tau) AS w_est
+              |FROM t, tau WHERE rk <= 128 ORDER BY doc_id""".stripMargin),
+      note = "Duffield–Lund–Thorup priority sample (k=128, weight = n_chars, u from seedless md5): TakeOrderedAndProject top-(k+1), rank/τ windows on the 129-row survivor set only; division-only priorities keep cross-engine bit parity")
   )
 }

@@ -214,4 +214,29 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(out.exists(_.getAs[Boolean]("suppressed")) &&
            out.exists(!_.getAs[Boolean]("suppressed")))
   }
+
+  test("priority sampling: exact top-128 by priority, estimator = max(w, tau)") {
+    val out = SparkEntry.queries("sample_weighted_priority")(spark, sf).collect()
+    assert(out.length == 128)
+    // independent recomputation of every doc's priority through a FULL
+    // sort (a different physical plan than the query's
+    // TakeOrderedAndProject top-k), ranked with the same tiebreak
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+              (col("n_chars").cast("double") /
+                (expr(graft.dedup.Hashing.sparkMd5Raw("CAST(doc_id AS STRING)")) + lit(1L)).cast("double"))
+                .as("pri"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, pri) => (-pri, id) }
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == all.take(128).map(_._1).toSet,
+           "kept set must be exactly the 128 highest priorities")
+    val tau = all(128)._2 // (k+1)-th priority
+    val priOf = all.toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(priOf(id) >= tau, s"kept doc $id priority below threshold")
+      assert(r.getAs[Double]("w_est") == math.max(r.getAs[Long]("w").toDouble, tau),
+             s"doc $id estimator must be max(w, tau)")
+    }
+  }
 }
