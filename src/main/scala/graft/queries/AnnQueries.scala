@@ -802,6 +802,81 @@ object AnnQueries {
              |  list_max(list_transform(generate_series(1, len(v)),
              |    i -> abs(v[i] - qv[i] * scale))) AS err_max
              |FROM q ORDER BY vec_id""".stripMargin),
-      note = "per-vector symmetric int8 quantization (FAISS-SQ8 shape) + saturation/reconstruction audit; shuffle-free per-row map, bit-exact across engines")
+      note = "per-vector symmetric int8 quantization (FAISS-SQ8 shape) + saturation/reconstruction audit; shuffle-free per-row map, bit-exact across engines"),
+
+    // Greedy k-center coreset (farthest-point sampling) — the diversity-
+    // selection primitive of data pruning / active learning: pick the
+    // point farthest from everything selected so far, k times, giving a
+    // 2-approximation of the optimal k-center cover (Gonzalez 1985). The
+    // selected ids plus each step's distance-at-selection (the shrinking
+    // coverage radius) summarize how spread-out the corpus is and which
+    // docs anchor that spread. Greedy FPS is inherently sequential in k,
+    // so the driver loop is the algorithm, not a scale compromise: each
+    // of the k-1 steps is ONE distributed argmax scan (TakeOrderedAndProject
+    // of a single row) against the memoized norm-precomputed base, and the
+    // only driver state is the k picked vectors (k·dim doubles). d² is
+    // assembled as nx - 2·dot + nc from per-point norms computed ONCE —
+    // each step adds O(n·dim) dot work, never re-deriving norms. All
+    // arithmetic is ordered-fold dot products + IEEE add/mul (the
+    // vec_dot ≡ list_sum(list_transform) pairing proven bit-exact by the
+    // cosine queries), so selection is hash-reproducible cross-engine.
+    Q("sample_kcenter_coreset", Seq("sampling", "similarity", "W4", "A13", "§2.10"),
+      (s, dir) => {
+        graft.plans.VecExprs.register(s)
+        val k = 8
+        val base = FrameMemo(s, s"$dir#kcenter_base") {
+          Tables.embeddings(s, dir)
+            .select(col("vec_id"), col("embedding"),
+                    expr(normExpr("embedding")).as("nx"))
+        }
+        // ordered-fold dot against a literal center (mirrors duckDot's
+        // index-order list_sum exactly)
+        def d2To(c: Array[Double], nc: Double): org.apache.spark.sql.Column = {
+          val lits = c.mkString("array(", "D, ", "D)")
+          col("nx") - lit(2.0) * expr(
+            s"aggregate(zip_with(embedding, $lits, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)") + lit(nc)
+        }
+        def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+          r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+        val seed = base.orderBy("vec_id").limit(1).collect()(0)
+        var picked = List((seed.getLong(0), 0.0))
+        var c = vecOf(seed)
+        var nc = c.foldLeft(0.0)((a, v) => a + v * v)
+        var cur = base.withColumn("dmin", d2To(c, nc))
+        for (_ <- 2 to k) {
+          val nxt = cur.orderBy(col("dmin").desc, col("vec_id")).limit(1).collect()(0)
+          picked = (nxt.getLong(0), nxt.getAs[Double]("dmin")) :: picked
+          c = vecOf(nxt)
+          nc = c.foldLeft(0.0)((a, v) => a + v * v)
+          cur = cur.withColumn("dmin", least(col("dmin"), d2To(c, nc)))
+        }
+        val rows = picked.reverse.zipWithIndex.map { case ((id, d), i) => (i + 1, id, d) }
+        import s.implicits._
+        rows.toDF("rk", "vec_id", "d2sel").orderBy("rk")
+      },
+      Some {
+        val dot = (a: String, b: String) =>
+          s"list_sum(list_transform(generate_series(1, len($a.embedding)), " +
+          s"i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"
+        val steps = (2 to 8).map { j =>
+          s"""c$j AS (SELECT vec_id, embedding, nx, dmin FROM d${j - 1}
+             |  ORDER BY dmin DESC, vec_id LIMIT 1),
+             |d$j AS (SELECT d.vec_id, d.embedding, d.nx,
+             |    least(d.dmin, d.nx - 2 * ${dot("d", s"c$j")} + c$j.nx) AS dmin
+             |  FROM d${j - 1} d, c$j)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH en AS (SELECT vec_id, embedding,
+           |    ${duckNorm("embedding")} AS nx FROM embeddings),
+           |c1 AS (SELECT vec_id, embedding, nx FROM en ORDER BY vec_id LIMIT 1),
+           |d1 AS (SELECT en.vec_id, en.embedding, en.nx,
+           |    en.nx - 2 * ${dot("en", "c1")} + c1.nx AS dmin
+           |  FROM en, c1),
+           |$steps
+           |SELECT CAST(rk AS INTEGER) AS rk, vec_id, d2sel FROM (
+           |  SELECT 1 AS rk, vec_id, 0.0 AS d2sel FROM c1
+           |${(2 to 8).map(j => s"  UNION ALL SELECT $j, vec_id, dmin FROM c$j").mkString("\n")}
+           |) ORDER BY rk""".stripMargin
+      },
+      note = "Gonzalez greedy k-center (k=8) over embeddings: per-step distributed argmax (TakeOrderedAndProject of 1 row) on a norm-precomputed memoized base; driver state = k vectors only; division-free IEEE arithmetic keeps cross-engine bit parity")
   )
 }

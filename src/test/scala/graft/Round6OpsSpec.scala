@@ -215,6 +215,29 @@ class Round6OpsSpec extends AnyFunSuite {
            out.exists(!_.getAs[Boolean]("suppressed")))
   }
 
+  test("k-center coreset: radius nonincreasing, step 2 is the true farthest point") {
+    val out = SparkEntry.queries("sample_kcenter_coreset")(spark, sf)
+      .collect().sortBy(_.getAs[Int]("rk"))
+    assert(out.length == 8)
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length == 8, "centers distinct")
+    // the coverage radius can only shrink as centers are added
+    out.drop(1).sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("d2sel") >= b.getAs[Double]("d2sel"),
+             s"radius grew between rk ${a.getAs[Int]("rk")} and ${b.getAs[Int]("rk")}")
+      case _ => ()
+    }
+    // independent check of the first greedy step: rank-2 must be the point
+    // with maximal squared distance from the seed (computed per-component
+    // here, not via the query's norm/dot assembly)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val seedV = emb(out(0).getAs[Long]("vec_id"))
+    val far = emb.map { case (id, v) =>
+      id -> v.zip(seedV).map { case (x, c) => (x - c) * (x - c) }.sum
+    }.toSeq.sortBy { case (id, d) => (-d, id) }.head
+    assert(out(1).getAs[Long]("vec_id") == far._1, "step 2 must be the farthest point")
+  }
+
   test("priority sampling: exact top-128 by priority, estimator = max(w, tau)") {
     val out = SparkEntry.queries("sample_weighted_priority")(spark, sf).collect()
     assert(out.length == 128)
