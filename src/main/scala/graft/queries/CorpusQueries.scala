@@ -704,6 +704,79 @@ object CorpusQueries {
               |tau AS (SELECT coalesce(max(pri), 0.0) AS tau FROM t WHERE rk = 129)
               |SELECT doc_id, w, pri, greatest(CAST(w AS DOUBLE), tau.tau) AS w_est
               |FROM t, tau WHERE rk <= 128 ORDER BY doc_id""".stripMargin),
-      note = "Duffield–Lund–Thorup priority sample (k=128, weight = n_chars, u from seedless md5): TakeOrderedAndProject top-(k+1), rank/τ windows on the 129-row survivor set only; division-only priorities keep cross-engine bit parity")
+      note = "Duffield–Lund–Thorup priority sample (k=128, weight = n_chars, u from seedless md5): TakeOrderedAndProject top-(k+1), rank/τ windows on the 129-row survivor set only; division-only priorities keep cross-engine bit parity"),
+
+    // Neyman-allocation stratified sampling — the eval-set construction
+    // rule from survey statistics: a fixed label budget k is split across
+    // strata ∝ N_h·S_h (size × within-stratum std dev of doc length), so
+    // variable strata get proportionally more of the budget and the
+    // stratified mean's variance is minimized (Neyman 1934). Numerics are
+    // engineered for cross-engine bit parity AND order-freedom at any
+    // parallelism: the variance comes from exact BIGINT (n·Σx² − (Σx)²)
+    // with ONE double division, and the weights are 10-bit fixed-point
+    // quantized (wq = ⌊n·s·1024⌋) so every downstream step — total,
+    // integer-division base quota, largest-remainder top-up — is pure
+    // integer arithmetic: no float accumulation whose summation ORDER
+    // could differ between a 1000-partition shuffle and a single-node
+    // scan. Plan: one combiner groupBy over the corpus (exact integer
+    // partials), ~#strata-row windows for the allocation, then a
+    // broadcast join + per-stratum hash-rank window (stratum-parallel)
+    // picks the docs — one fact pass plus one rank pass at any scale.
+    Q("sample_neyman_alloc", Seq("sampling", "corpus", "A1", "A13", "W9", "F9"),
+      (s, dir) => {
+        val k = 100
+        import org.apache.spark.sql.expressions.Window
+        val wFull = Window.orderBy("source")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val alloc = docs.groupBy("source")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sm"),
+               sum(col("n_chars") * col("n_chars")).as("sq"))
+          .withColumn("sh", sqrt(when(col("n") > 1,
+            (col("n") * col("sq") - col("sm") * col("sm")).cast("double") /
+              (col("n") * (col("n") - 1)).cast("double")).otherwise(lit(0.0))))
+          .withColumn("wq", floor(col("n").cast("double") * col("sh") * lit(1024.0)).cast("long"))
+          .withColumn("wtot", sum("wq").over(wFull))
+          .withColumn("base", expr(s"($k * wq) DIV wtot"))
+          .withColumn("rem", expr(s"($k * wq) % wtot"))
+          .withColumn("spent", sum("base").over(wFull))
+          .withColumn("rrk", row_number().over(
+            Window.orderBy(col("rem").desc, col("source"))))
+          .withColumn("alloc",
+            col("base") + when(col("rrk") <= lit(k) - col("spent"), 1L).otherwise(0L))
+          .select("source", "n", "sh", "alloc")
+        val ranked = docs
+          .withColumn("hr", expr(graft.dedup.Hashing.sparkMd5Raw("CAST(doc_id AS STRING)")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("source").orderBy(col("hr"), col("doc_id"))))
+        ranked.join(broadcast(alloc), "source")
+          .where(col("rk") <= col("alloc"))
+          .select(col("source"), col("n").as("n_docs"), col("sh").as("s_chars"),
+                  col("alloc"), col("doc_id"), col("rk"))
+          .orderBy("source", "rk")
+      },
+      Some(s"""WITH st AS (SELECT source, count(*) AS n, sum(n_chars) AS sm,
+              |    sum(n_chars * n_chars) AS sq FROM documents GROUP BY 1),
+              |w AS (SELECT source, n,
+              |    sqrt(CASE WHEN n > 1 THEN CAST(n * sq - sm * sm AS DOUBLE)
+              |      / CAST(n * (n - 1) AS DOUBLE) ELSE 0.0 END) AS sh FROM st),
+              |q AS (SELECT source, n, sh,
+              |    CAST(floor(CAST(n AS DOUBLE) * sh * 1024.0) AS BIGINT) AS wq FROM w),
+              |a AS (SELECT source, n, sh, wq,
+              |    CAST((100 * wq) // CAST(sum(wq) OVER () AS BIGINT) AS BIGINT) AS base,
+              |    CAST((100 * wq) % CAST(sum(wq) OVER () AS BIGINT) AS BIGINT) AS rem FROM q),
+              |b AS (SELECT source, n, sh, base, rem,
+              |    CAST(sum(base) OVER () AS BIGINT) AS spent,
+              |    row_number() OVER (ORDER BY rem DESC, source) AS rrk FROM a),
+              |al AS (SELECT source, n, sh,
+              |    base + CASE WHEN rrk <= 100 - spent THEN 1 ELSE 0 END AS alloc FROM b),
+              |sel AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
+              |    ORDER BY ${graft.dedup.Hashing.duckMd5Raw("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+              |  FROM documents)
+              |SELECT s.source, a.n AS n_docs, a.sh AS s_chars, a.alloc, s.doc_id, s.rk
+              |FROM sel s JOIN al a USING (source) WHERE s.rk <= a.alloc
+              |ORDER BY source, rk""".stripMargin),
+      note = "Neyman budget split (k=100, ∝ N_h·S_h) + largest-remainder rounding in pure fixed-point integer arithmetic (order-free at any parallelism); selection = per-stratum seedless-hash rank, one combiner pass + one window pass")
   )
 }

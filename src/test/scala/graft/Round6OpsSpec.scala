@@ -215,6 +215,33 @@ class Round6OpsSpec extends AnyFunSuite {
            out.exists(!_.getAs[Boolean]("suppressed")))
   }
 
+  test("Neyman allocation: budget exactly spent, quotas within 1 of exact shares") {
+    val out = SparkEntry.queries("sample_neyman_alloc")(spark, sf).collect()
+    val byStr = out.groupBy(_.getAs[String]("source"))
+    // the full budget is spent: per-stratum selections sum to k
+    assert(out.length == 100)
+    byStr.foreach { case (src, rows) =>
+      val alloc = rows.head.getAs[Long]("alloc")
+      assert(rows.length == alloc, s"$src emitted ${rows.length} of $alloc docs")
+      // ranks are contiguous from 1 (the hash-rank selection is a prefix)
+      assert(rows.map(_.getAs[Int]("rk")).sorted.sameElements(1 to alloc.toInt),
+             s"$src ranks not a 1..alloc prefix")
+    }
+    // largest-remainder rounding keeps every quota within 1 of the exact
+    // real-valued Neyman share n_h*s_h / sum * k
+    val shares = byStr.map { case (src, rows) =>
+      val r = rows.head
+      src -> (r.getAs[Long]("n_docs") * r.getAs[Double]("s_chars"),
+              r.getAs[Long]("alloc"))
+    }
+    val wsum = shares.values.map(_._1).sum
+    shares.foreach { case (src, (w, alloc)) =>
+      val exact = 100.0 * w / wsum
+      assert(math.abs(alloc - exact) <= 1.0 + 1e-9,
+             s"$src alloc $alloc vs exact share $exact")
+    }
+  }
+
   test("k-center coreset: radius nonincreasing, step 2 is the true farthest point") {
     val out = SparkEntry.queries("sample_kcenter_coreset")(spark, sf)
       .collect().sortBy(_.getAs[Int]("rk"))
