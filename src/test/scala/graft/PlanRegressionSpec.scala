@@ -381,4 +381,35 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"), p)
   }
+
+  test("priority sampling selects via top-k, never a global sort exchange") {
+    val p = plan("sample_weighted_priority")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // zero exchanges: the corpus is never shuffled, only heap-scanned
+    assert(!p.contains("Exchange hashpartitioning") &&
+           !p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("Neyman sampling broadcasts the allocation and shuffles only on the stratum/stats keys") {
+    val p = plan("sample_neyman_alloc")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("k-center's per-step argmax is a top-1 heap scan of the cached base, not a sort") {
+    val p = plan("sample_kcenter_coreset")
+    // the returned frame is the driver-assembled 8-row result; the plan to
+    // guard is the step scan itself
+    val stepPlan = {
+      import org.apache.spark.sql.functions._
+      graft.plans.VecExprs.register(spark)
+      val base = spark.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("nx", expr("vec_dot(embedding, embedding)"))
+        .withColumn("dmin", col("nx"))
+      base.orderBy(col("dmin").desc, col("vec_id")).limit(1)
+        .queryExecution.executedPlan.toString
+    }
+    assert(stepPlan.contains("TakeOrderedAndProject"), stepPlan)
+    assert(!stepPlan.contains("Exchange rangepartitioning"), stepPlan)
+  }
 }
