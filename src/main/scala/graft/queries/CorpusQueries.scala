@@ -777,6 +777,88 @@ object CorpusQueries {
               |SELECT s.source, a.n AS n_docs, a.sh AS s_chars, a.alloc, s.doc_id, s.rk
               |FROM sel s JOIN al a USING (source) WHERE s.rk <= a.alloc
               |ORDER BY source, rk""".stripMargin),
-      note = "Neyman budget split (k=100, ∝ N_h·S_h) + largest-remainder rounding in pure fixed-point integer arithmetic (order-free at any parallelism); selection = per-stratum seedless-hash rank, one combiner pass + one window pass")
+      note = "Neyman budget split (k=100, ∝ N_h·S_h) + largest-remainder rounding in pure fixed-point integer arithmetic (order-free at any parallelism); selection = per-stratum seedless-hash rank, one combiner pass + one window pass"),
+
+    // T5-style span corruption — the training-EXAMPLE construction step of
+    // a denoising-LM pipeline (Raffel et al. 2020): ~15% of each doc's
+    // tokens are masked in length-3 spans, the input keeps one sentinel
+    // token per span, and the target lists each sentinel followed by the
+    // tokens it hid. Span placement is the seedless rule start =
+    // md5(doc_id:bucket) % 18 + 1 inside fixed 20-token buckets (3/20 =
+    // the 15% rate), so example construction is bit-reproducible on any
+    // engine/worker with NO coordination — the property that lets 1000
+    // executors regenerate the same epoch independently. Plan: positional
+    // explode (map-side), mask decision as a pure per-row expression (no
+    // join — the rule is a function of (doc_id, pos)), then doc-keyed
+    // aggs re-assemble input and target in token order via array_sort
+    // (no collect_list order reliance); spans roll up bucket-major
+    // through a (doc, bucket) pre-agg so the target's span order is
+    // positional. Everything is keyed by doc — one explode, three
+    // combiner aggs, zero joins wider than doc granularity.
+    Q("corpus_span_corruption", Seq("corpus", "P17", "P13", "A12", "§2.10"),
+      (s, dir) => {
+        val h = graft.dedup.Hashing.sparkMd5Raw(
+          "concat(CAST(doc_id AS STRING), ':', CAST(bucket AS STRING))")
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+          .withColumn("bucket", expr("(pos - 1) div 20"))
+          .withColumn("start", expr(s"$h % 18 + 1"))
+          .withColumn("off", expr("(pos - 1) % 20 + 1"))
+          .withColumn("masked",
+            col("off") >= col("start") && col("off") <= col("start") + 2)
+          .withColumn("sentinel", concat(lit("<extra_id_"), col("bucket"), lit(">")))
+        val inp = toks
+          .withColumn("otok", when(!col("masked"), col("tok"))
+            .when(col("off") === col("start"), col("sentinel")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+               sum(col("masked").cast("long")).as("n_masked"),
+               expr("concat_ws(' ', transform(array_sort(collect_list(CASE WHEN otok IS NOT NULL THEN struct(pos, otok) END)), x -> x.otok))").as("input_text"))
+        val spans = toks.where(col("masked"))
+          .groupBy("doc_id", "bucket")
+          .agg(first("sentinel").as("sentinel"),
+               expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok))").as("span_toks"))
+          .select(col("doc_id"), col("bucket"),
+                  concat(col("sentinel"), lit(" "), col("span_toks")).as("span_txt"))
+        val target = spans.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+               expr("concat_ws(' ', transform(array_sort(collect_list(struct(bucket, span_txt))), x -> x.span_txt))").as("target_text"))
+        inp.join(target, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tok"), col("n_masked"),
+                  coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+                  col("input_text"),
+                  coalesce(col("target_text"), lit("")).as("target_text"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val dh = graft.dedup.Hashing.duckMd5Raw(
+          "CAST(doc_id AS VARCHAR) || ':' || CAST(bucket AS VARCHAR)")
+        s"""WITH toks AS (SELECT doc_id, i AS pos, t[i] AS tok,
+           |    (i - 1) // 20 AS bucket, (i - 1) % 20 + 1 AS off
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS t,
+           |          unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+           |        FROM documents)),
+           |m AS (SELECT doc_id, pos, tok, bucket, off,
+           |    ($dh) % 18 + 1 AS start,
+           |    '<extra_id_' || bucket || '>' AS sentinel FROM toks),
+           |mk AS (SELECT *, off >= start AND off <= start + 2 AS masked FROM m),
+           |inp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           |    CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           |    string_agg(CASE WHEN NOT masked THEN tok
+           |                    WHEN off = start THEN sentinel END, ' ' ORDER BY pos) AS input_text
+           |  FROM mk GROUP BY 1),
+           |sp AS (SELECT doc_id, bucket,
+           |    any_value(sentinel) || ' ' || string_agg(tok, ' ' ORDER BY pos) AS span_txt
+           |  FROM mk WHERE masked GROUP BY 1, 2),
+           |tg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           |    string_agg(span_txt, ' ' ORDER BY bucket) AS target_text
+           |  FROM sp GROUP BY 1)
+           |SELECT i.doc_id, i.n_tok, i.n_masked,
+           |  coalesce(t.n_spans, 0) AS n_spans, i.input_text,
+           |  coalesce(t.target_text, '') AS target_text
+           |FROM inp i LEFT JOIN tg t USING (doc_id) ORDER BY i.doc_id""".stripMargin
+      },
+      note = "T5 span corruption (15%, length-3 spans in 20-token buckets, seedless md5 placement): coordination-free reproducible example construction; one explode + doc-keyed combiner aggs, zero data-wide joins")
   )
 }

@@ -215,6 +215,34 @@ class Round6OpsSpec extends AnyFunSuite {
            out.exists(!_.getAs[Boolean]("suppressed")))
   }
 
+  test("span corruption: splicing targets into inputs reconstructs every doc; rate ~15%") {
+    val out = SparkEntry.queries("corpus_span_corruption")(spark, sf).collect()
+    val orig = spark.read.parquet(s"$sf/documents.parquet")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out.length == orig.size)
+    val sentinel = "<extra_id_(\\d+)>".r
+    var masked = 0L; var total = 0L
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      masked += r.getAs[Long]("n_masked"); total += r.getAs[Long]("n_tok")
+      // parse the target into sentinel -> hidden tokens
+      val tgt = r.getAs[String]("target_text")
+      val spans = scala.collection.mutable.Map.empty[String, List[String]]
+      var cur: String = null
+      tgt.split(" ").filter(_.nonEmpty).foreach {
+        case t @ sentinel(_) => cur = t; spans(cur) = Nil
+        case t               => spans(cur) = spans(cur) :+ t
+      }
+      val rebuilt = r.getAs[String]("input_text").split(" ").flatMap {
+        case t @ sentinel(_) => spans(t)
+        case t               => Seq(t)
+      }.mkString(" ")
+      assert(rebuilt == orig(id), s"doc $id did not reconstruct")
+    }
+    val rate = masked.toDouble / total
+    assert(rate > 0.12 && rate < 0.18, s"corpus mask rate $rate outside ~15%")
+  }
+
   test("Neyman allocation: budget exactly spent, quotas within 1 of exact shares") {
     val out = SparkEntry.queries("sample_neyman_alloc")(spark, sf).collect()
     val byStr = out.groupBy(_.getAs[String]("source"))
