@@ -877,6 +877,105 @@ object AnnQueries {
            |${(2 to 8).map(j => s"  UNION ALL SELECT $j, vec_id, dmin FROM c$j").mkString("\n")}
            |) ORDER BY rk""".stripMargin
       },
-      note = "Gonzalez greedy k-center (k=8) over embeddings: per-step distributed argmax (TakeOrderedAndProject of 1 row) on a norm-precomputed memoized base; driver state = k vectors only; division-free IEEE arithmetic keeps cross-engine bit parity")
+      note = "Gonzalez greedy k-center (k=8) over embeddings: per-step distributed argmax (TakeOrderedAndProject of 1 row) on a norm-precomputed memoized base; driver state = k vectors only; division-free IEEE arithmetic keeps cross-engine bit parity"),
+
+    // Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    // — diversified top-k retrieval: after the IVF cell probe supplies a
+    // 20-candidate pool per query, five picks are made greedily by
+    // score = λ·relevance − (1−λ)·max-similarity-to-already-picked
+    // (λ=0.7), so near-duplicate hits can't crowd the result list — the
+    // retrieval-side answer to redundant training corpora. The greedy
+    // recursion is unrolled statically (k=5): every step is a pool ⋈
+    // pairwise-sim ⋈ selected join keyed by qid, where the pool is 20
+    // rows/query and pairwise sims ≤ 20·19 rows/query BY CONSTRUCTION —
+    // the unrolled subtree is constant-size per query no matter the
+    // corpus, and AQE broadcasts every side. Scale path: candidate
+    // generation is the bucketed IVF probe (never all-pairs); the MMR
+    // tail is O(k²·pool) per query. Same ordered-fold dot/sqrt arithmetic
+    // as the cosine queries keeps cross-engine bit parity.
+    Q("ann_mmr_rerank", Seq("similarity", "W4", "J4", "A13"),
+      (s, dir) => {
+        graft.plans.VecExprs.register(s)
+        val lam = 0.7
+        val emb = Tables.embeddings(s, dir).withColumn("nrm", expr(normExpr("embedding")))
+        val q = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+                  col("nrm").as("nq"), col("label"))
+        val b = emb.select(col("vec_id").as("bid"), col("embedding").as("be"),
+                           col("nrm").as("nb"), col("label"))
+        val wQ = Window.partitionBy("qid").orderBy(col("rel").desc, col("bid"))
+        val pool = q.join(b, "label").where(col("qid") =!= col("bid"))
+          .withColumn("rel", expr(s"vec_dot(qe, be) / sqrt(nq * nb)"))
+          .withColumn("rk", row_number().over(wQ)).where(col("rk") <= 20)
+          .select("qid", "bid", "be", "nb", "rel")
+        val sims = pool.select(col("qid"), col("bid").as("a"), col("be").as("ae"), col("nb").as("na"))
+          .join(pool.select(col("qid"), col("bid").as("b"), col("be"), col("nb")), "qid")
+          .where(col("a") =!= col("b"))
+          .withColumn("sim", expr("vec_dot(ae, be) / sqrt(na * nb)"))
+          .select("qid", "a", "b", "sim")
+        val wS = Window.partitionBy("qid").orderBy(col("score").desc, col("bid"))
+        // NB: the diversity weight is the LITERAL 0.3 on both sides — the
+        // Scala expression 1 - 0.7 evaluates to 0.30000000000000004
+        var selected = pool
+          .withColumn("score", lit(lam) * col("rel") - lit(0.3) * lit(0.0))
+          .withColumn("srk", row_number().over(wS)).where(col("srk") === 1)
+          .select(col("qid"), lit(1).as("step"), col("bid"), col("score"))
+        for (j <- 2 to 5) {
+          val picked = selected.select(col("qid"), col("bid"))
+          val ms = pool.join(picked, Seq("qid", "bid"), "left_anti")
+            .join(sims.withColumnRenamed("a", "bid"), Seq("qid", "bid"))
+            .join(picked.withColumnRenamed("bid", "b"), Seq("qid", "b"))
+            .groupBy("qid", "bid").agg(first("rel").as("rel"), max("sim").as("ms"))
+          val pick = ms
+            .withColumn("score", lit(lam) * col("rel") - lit(0.3) * col("ms"))
+            .withColumn("srk", row_number().over(wS)).where(col("srk") === 1)
+            .select(col("qid"), lit(j).as("step"), col("bid"), col("score"))
+          selected = selected.unionByName(pick)
+        }
+        selected
+          .select(col("qid"), col("step"), col("bid"),
+                  round(col("score"), 6).as("mmr_score"))
+          .orderBy("qid", "step")
+      },
+      Some {
+        val dot = (a: String, b: String) =>
+          s"list_sum(list_transform(generate_series(1, len($a)), " +
+          s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+        val steps = (2 to 5).map { j =>
+          s"""c$j AS (SELECT p.qid, p.bid, any_value(p.rel) AS rel, max(ps.sim) AS ms
+             |  FROM pool p ANTI JOIN sel${j - 1} s ON s.qid = p.qid AND s.bid = p.bid
+             |  JOIN ps ON ps.qid = p.qid AND ps.a = p.bid
+             |  JOIN sel${j - 1} t ON t.qid = ps.qid AND t.bid = ps.b
+             |  GROUP BY 1, 2),
+             |p$j AS (SELECT qid, $j AS step, bid, 0.7 * rel - 0.3 * ms AS score
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+             |          ORDER BY 0.7 * rel - 0.3 * ms DESC, bid) AS srk FROM c$j)
+             |  WHERE srk = 1),
+             |sel$j AS (SELECT qid, bid FROM sel${j - 1} UNION ALL SELECT qid, bid FROM p$j)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label,
+           |    ${duckNorm("embedding")} AS nq FROM embeddings WHERE vec_id < 8),
+           |b AS (SELECT vec_id AS bid, embedding AS be, label,
+           |    ${duckNorm("embedding")} AS nb FROM embeddings),
+           |pool AS (SELECT qid, bid, be, nb, rel FROM (
+           |    SELECT qid, bid, be, nb,
+           |      ${dot("qe", "be")} / sqrt(nq * nb) AS rel,
+           |      row_number() OVER (PARTITION BY qid ORDER BY
+           |        ${dot("qe", "be")} / sqrt(nq * nb) DESC, bid) AS rk
+           |    FROM q JOIN b USING (label) WHERE qid <> bid) WHERE rk <= 20),
+           |ps AS (SELECT pa.qid, pa.bid AS a, pb.bid AS b,
+           |    ${dot("pa.be", "pb.be")} / sqrt(pa.nb * pb.nb) AS sim
+           |  FROM pool pa JOIN pool pb ON pa.qid = pb.qid AND pa.bid <> pb.bid),
+           |p1 AS (SELECT qid, 1 AS step, bid, 0.7 * rel - 0.3 * 0.0 AS score
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+           |          ORDER BY rel DESC, bid) AS srk FROM pool) WHERE srk = 1),
+           |sel1 AS (SELECT qid, bid FROM p1),
+           |$steps
+           |SELECT qid, CAST(step AS INTEGER) AS step, bid, round(score, 6) AS mmr_score FROM (
+           |  SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
+           |  UNION ALL SELECT * FROM p4 UNION ALL SELECT * FROM p5)
+           |ORDER BY qid, step""".stripMargin
+      },
+      note = "MMR diversified top-5 (λ=0.7) over the IVF-bucketed candidate pool: statically unrolled greedy with constant-size per-query joins; candidate generation stays bucketed, never all-pairs")
   )
 }

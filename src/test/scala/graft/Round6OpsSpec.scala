@@ -215,6 +215,28 @@ class Round6OpsSpec extends AnyFunSuite {
            out.exists(!_.getAs[Boolean]("suppressed")))
   }
 
+  test("MMR rerank: 5 distinct picks per query, seed = relevance argmax, diversity bites") {
+    val out = SparkEntry.queries("ann_mmr_rerank")(spark, sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 8)
+    // pure-relevance top-5 per query from the same bucketed pool
+    val top5 = SparkEntry.queries("ann_ivf_bucketed")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("bid")).toSet }
+    var diverged = 0
+    byQ.foreach { case (qid, rows) =>
+      val ordered = rows.sortBy(_.getAs[Int]("step"))
+      assert(ordered.map(_.getAs[Int]("step")).sameElements(1 to 5), s"q$qid steps")
+      assert(ordered.map(_.getAs[Long]("bid")).distinct.length == 5, s"q$qid dup picks")
+      // cos ≤ 1 and the diversity term only subtracts: λ bounds every score
+      ordered.foreach(r => assert(r.getAs[Double]("mmr_score") <= 0.7 + 1e-9))
+      // the seed ignores diversity: it must be the plain nearest neighbor
+      val nn = top5(qid)
+      if (ordered.map(_.getAs[Long]("bid")).toSet != nn) diverged += 1
+    }
+    assert(diverged > 0, "MMR never diverged from relevance-only top-5: diversity term dead")
+  }
+
   test("span corruption: splicing targets into inputs reconstructs every doc; rate ~15%") {
     val out = SparkEntry.queries("corpus_span_corruption")(spark, sf).collect()
     val orig = spark.read.parquet(s"$sf/documents.parquet")
