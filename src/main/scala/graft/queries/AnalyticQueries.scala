@@ -991,6 +991,53 @@ object AnalyticQueries {
              |  count(*) AS class_size, count(*) < 5 AS suppressed
              |FROM events GROUP BY 1, 2, 3
              |ORDER BY 1, 2, 3""".stripMargin),
-      note = "quasi-identifier equivalence classes with k=5 suppression verdicts — the pre-release privacy audit; single map-side-partial shuffle on the class key")
+      note = "quasi-identifier equivalence classes with k=5 suppression verdicts — the pre-release privacy audit; single map-side-partial shuffle on the class key"),
+
+    // ε-differentially-private release of per-group counts via the
+    // two-sided geometric mechanism (Ghosh–Roughgarden–Sundararajan 2012
+    // — the discrete analog of Laplace noise, the right mechanism for
+    // integer counts). Noise Z = G₁ − G₂ with Gᵢ ~ Geometric(1/2) gives
+    // P(Z = z) ∝ 2^−|z|, i.e. ε = ln 2 at sensitivity 1. The twist that
+    // makes it an ENGINE op: Geometric(1/2) is sampled EXACTLY, with no
+    // floating point at all, as the trailing-zero count of a uniform
+    // hash (P(tz = k) = 2^−(k+1)), so the released counts are integer-
+    // exact, bit-reproducible across engines/releases (same group ⇒ same
+    // noise — deterministic replay, no RNG state), and immune to the
+    // floating-point side channels of naive Laplace implementations
+    // (Mironov 2012). Two independent hashes (domain-separated md5 tags)
+    // drive the two geometric draws. Plan: one map-side-partial groupBy;
+    // the noise is a per-group scalar expression — zero extra passes.
+    Q("privacy_dp_geometric", Seq("A10", "A12", "P17", "§2.10"),
+      (s, dir) => {
+        // tz(h) over the 48-bit md5 value as one shared CASE expression
+        // string (valid in both engines' SQL dialects)
+        def tz(h: String): String =
+          (0 until 48).map(k =>
+            s"WHEN ($h) % ${1L << (k + 1)}L = ${1L << k}L THEN $k")
+            .mkString("CASE ", " ", " ELSE 48 END")
+        val h1 = graft.dedup.Hashing.sparkMd5Raw("concat('dp1:', source)")
+        val h2 = graft.dedup.Hashing.sparkMd5Raw("concat('dp2:', source)")
+        Tables.documents(s, dir)
+          .groupBy("source").agg(count(lit(1)).as("n_true"))
+          .withColumn("noise",
+            (expr(tz(h1)) - expr(tz(h2))).cast("long"))
+          .withColumn("n_released", col("n_true") + col("noise"))
+          .select("source", "n_true", "noise", "n_released")
+          .orderBy("source")
+      },
+      Some {
+        def tzDuck(h: String): String =
+          (0 until 48).map(k =>
+            s"WHEN ($h) % ${1L << (k + 1)} = ${1L << k} THEN $k")
+            .mkString("CASE ", " ", " ELSE 48 END")
+        val h1 = graft.dedup.Hashing.duckMd5Raw("'dp1:' || source")
+        val h2 = graft.dedup.Hashing.duckMd5Raw("'dp2:' || source")
+        s"""WITH g AS (SELECT source, count(*) AS n_true FROM documents GROUP BY 1)
+           |SELECT source, n_true,
+           |  CAST((${tzDuck(h1)}) - (${tzDuck(h2)}) AS BIGINT) AS noise,
+           |  n_true + CAST((${tzDuck(h1)}) - (${tzDuck(h2)}) AS BIGINT) AS n_released
+           |FROM g ORDER BY source""".stripMargin
+      },
+      note = "two-sided-geometric (discrete Laplace, ε=ln2) count release with EXACT integer noise from hash trailing-zeros — no float side channel, deterministic replay; noise is a scalar expression on the one-shuffle group table")
   )
 }

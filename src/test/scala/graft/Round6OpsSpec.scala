@@ -215,6 +215,29 @@ class Round6OpsSpec extends AnyFunSuite {
            out.exists(!_.getAs[Boolean]("suppressed")))
   }
 
+  test("DP geometric release: noise equals independent trailing-zero derivation") {
+    val out = SparkEntry.queries("privacy_dp_geometric")(spark, sf).collect()
+    val trueCounts = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.length == trueCounts.size)
+    def tz48(tag: String, src: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag$src".getBytes("UTF-8"))
+      val h = BigInt(md.map("%02x".format(_)).mkString.take(12), 16).toLong
+      if (h == 0) 48 else java.lang.Long.numberOfTrailingZeros(h)
+    }
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      val expect = tz48("dp1:", src) - tz48("dp2:", src)
+      assert(r.getAs[Long]("noise") == expect, s"$src noise mismatch")
+      assert(r.getAs[Long]("n_true") == trueCounts(src))
+      assert(r.getAs[Long]("n_released") == r.getAs[Long]("n_true") + expect)
+    }
+    // the mechanism actually perturbs: not every group draws zero noise
+    assert(out.exists(_.getAs[Long]("noise") != 0L))
+  }
+
   test("MMR rerank: 5 distinct picks per query, seed = relevance argmax, diversity bites") {
     val out = SparkEntry.queries("ann_mmr_rerank")(spark, sf).collect()
     val byQ = out.groupBy(_.getAs[Long]("qid"))
