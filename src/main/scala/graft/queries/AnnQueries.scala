@@ -904,22 +904,33 @@ object AnnQueries {
         val b = emb.select(col("vec_id").as("bid"), col("embedding").as("be"),
                            col("nrm").as("nb"), col("label"))
         val wQ = Window.partitionBy("qid").orderBy(col("rel").desc, col("bid"))
-        val pool = q.join(b, "label").where(col("qid") =!= col("bid"))
-          .withColumn("rel", expr(s"vec_dot(qe, be) / sqrt(nq * nb)"))
-          .withColumn("rk", row_number().over(wQ)).where(col("rk") <= 20)
-          .select("qid", "bid", "be", "nb", "rel")
-        val sims = pool.select(col("qid"), col("bid").as("a"), col("be").as("ae"), col("nb").as("na"))
-          .join(pool.select(col("qid"), col("bid").as("b"), col("be"), col("nb")), "qid")
-          .where(col("a") =!= col("b"))
-          .withColumn("sim", expr("vec_dot(ae, be) / sqrt(na * nb)"))
-          .select("qid", "a", "b", "sim")
+        // pool and pairwise sims are memoized: every greedy step joins the
+        // SAME 20-row-per-query frames; without the memo each unrolled step
+        // re-plans all prior steps' subtrees and the plan grows ~3^k (the
+        // first cut measured 482 exchanges)
+        val pool = FrameMemo(s, s"$dir#mmr_pool") {
+          q.join(b, "label").where(col("qid") =!= col("bid"))
+            .withColumn("rel", expr(s"vec_dot(qe, be) / sqrt(nq * nb)"))
+            .withColumn("rk", row_number().over(wQ)).where(col("rk") <= 20)
+            .select("qid", "bid", "be", "nb", "rel")
+        }
+        val sims = FrameMemo(s, s"$dir#mmr_sims") {
+          pool.select(col("qid"), col("bid").as("a"), col("be").as("ae"), col("nb").as("na"))
+            .join(pool.select(col("qid"), col("bid").as("b"), col("be"), col("nb")), "qid")
+            .where(col("a") =!= col("b"))
+            .withColumn("sim", expr("vec_dot(ae, be) / sqrt(na * nb)"))
+            .select("qid", "a", "b", "sim")
+        }
         val wS = Window.partitionBy("qid").orderBy(col("score").desc, col("bid"))
         // NB: the diversity weight is the LITERAL 0.3 on both sides — the
-        // Scala expression 1 - 0.7 evaluates to 0.30000000000000004
+        // Scala expression 1 - 0.7 evaluates to 0.30000000000000004.
+        // Each step's pick (≤8 rows) is eagerly localCheckpoint'ed so the
+        // next step joins a flat leaf, keeping the full plan LINEAR in k.
         var selected = pool
           .withColumn("score", lit(lam) * col("rel") - lit(0.3) * lit(0.0))
           .withColumn("srk", row_number().over(wS)).where(col("srk") === 1)
           .select(col("qid"), lit(1).as("step"), col("bid"), col("score"))
+          .localCheckpoint()
         for (j <- 2 to 5) {
           val picked = selected.select(col("qid"), col("bid"))
           val ms = pool.join(picked, Seq("qid", "bid"), "left_anti")
@@ -930,7 +941,7 @@ object AnnQueries {
             .withColumn("score", lit(lam) * col("rel") - lit(0.3) * col("ms"))
             .withColumn("srk", row_number().over(wS)).where(col("srk") === 1)
             .select(col("qid"), lit(j).as("step"), col("bid"), col("score"))
-          selected = selected.unionByName(pick)
+          selected = selected.unionByName(pick).localCheckpoint()
         }
         selected
           .select(col("qid"), col("step"), col("bid"),
