@@ -398,6 +398,64 @@ object AnalyticQueries {
              |SELECT node, dist FROM d3 ORDER BY node""".stripMargin),
       note = "3-round Bellman-Ford on the min-plus semiring: frontier relax + min-by-destination per round, integer-exact"),
 
+    // Community detection by synchronous LABEL PROPAGATION over the trade
+    // graph — the clustering primitive behind domain grouping and
+    // leakage-safe split assignment when there is no similarity score to
+    // threshold (connected components merges everything touching;
+    // label propagation respects edge density). Each of 3 unrolled rounds
+    // replaces every node's label with the PLURALITY label among its
+    // neighbors, ties broken by the lexicographically smallest label —
+    // fully deterministic, so both engines converge identically (the
+    // classic LPA tie-coin-flip is replaced by min-label, the same
+    // determinism trick the min-label connected-components rounds use).
+    // Per round: edges ⋈ labels (one shuffle) + count-by-(node,label)
+    // (map-side combined) + a row_number window partitioned by NODE —
+    // high-cardinality |V| partitions, never by label (community sizes
+    // skew; node partitions don't). Plan is statically 3 rounds over a
+    // cached edge list: O(rounds) shuffles, each O(|E|).
+    Q("graph_label_prop", Seq("J1", "A1", "A12", "W4", "skew", "§2.10"),
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val half = l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .select(concat(lit("s"), col("l_suppkey")).as("a"),
+                  concat(lit("c"), col("o_custkey")).as("b"))
+          .distinct()
+        val edges = half.union(half.select(col("b").as("a"), col("a").as("b")))
+          .cache()
+        val l0 = edges.select(col("a").as("node")).distinct()
+          .select(col("node"), col("node").as("label"))
+        val byNode = org.apache.spark.sql.expressions.Window
+          .partitionBy("node").orderBy(col("cnt").desc, col("label"))
+        val l3 = (1 to 3).foldLeft(l0) { (prev, _) =>
+          edges.join(prev, edges("a") === prev("node"))
+            .groupBy(col("b").as("node"), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("rn", row_number().over(byNode))
+            .where(col("rn") === 1)
+            .select("node", "label")
+        }
+        l3.orderBy("node")
+      },
+      Some {
+        def step(k: Int): String =
+          s"""l$k AS (SELECT node, label FROM (
+             |  SELECT e.b AS node, r.label, count(*) AS cnt,
+             |    row_number() OVER (PARTITION BY e.b
+             |                       ORDER BY count(*) DESC, r.label) AS rn
+             |  FROM e JOIN l${k - 1} r ON e.a = r.node
+             |  GROUP BY e.b, r.label) t WHERE rn = 1)"""
+        s"""WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b
+           |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+           |l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+           |${step(1)},
+           |${step(2)},
+           |${step(3)}
+           |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+      },
+      note = "synchronous label propagation, 3 unrolled rounds: plurality neighbor label with deterministic min-label tie-break; window partitioned by node (high-card), not by community"),
+
     // TPC-H Q17 shape: small-quantity-order revenue — a CORRELATED scalar
     // subquery ("20% of this part's average quantity") decorrelated into a
     // per-part aggregate joined back to the detail. The scale story is why
@@ -1038,6 +1096,38 @@ object AnalyticQueries {
            |  n_true + CAST((${tzDuck(h1)}) - (${tzDuck(h2)}) AS BIGINT) AS n_released
            |FROM g ORDER BY source""".stripMargin
       },
-      note = "two-sided-geometric (discrete Laplace, ε=ln2) count release with EXACT integer noise from hash trailing-zeros — no float side channel, deterministic replay; noise is a scalar expression on the one-shuffle group table")
+      note = "two-sided-geometric (discrete Laplace, ε=ln2) count release with EXACT integer noise from hash trailing-zeros — no float side channel, deterministic replay; noise is a scalar expression on the one-shuffle group table"),
+
+    // l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    // necessary complement: a class can be large (k-anonymous) yet leak
+    // its members' sensitive attribute when every row agrees on it
+    // (homogeneity attack). Here the quasi-identifiers are (day, coarse
+    // value bucket) and the sensitive attribute is event_type; a class
+    // passes at l=3 when its rows span ≥3 DISTINCT sensitive values.
+    // Distinct-l-diversity is used deliberately over entropy-l-diversity:
+    // the distinct count is integer-exact across engines, while entropy's
+    // ln() never hash-matches (the registry's float-parity rule).
+    //
+    // Scale: one high-cardinality groupBy with an exact count(DISTINCT)
+    // over a 5-value domain — the expand is bounded by |domain|, and the
+    // class table is QI-domain-sized, never row-volume-sized.
+    Q("privacy_l_diversity", Seq("A10", "A12", "F8", "P5", "dedup"),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"),
+                   expr("CAST(floor(value / 50.0D) AS INT)").as("v_bucket"))
+          .agg(count(lit(1)).as("class_size"),
+               countDistinct(col("event_type")).as("n_sensitive"))
+          .withColumn("diverse",
+            when(col("n_sensitive") >= 3, 1L).otherwise(0L))
+          .orderBy("d", "v_bucket"),
+      Some("""SELECT CAST(ts AS DATE) AS d,
+             |  CAST(floor(value / 50.0) AS INTEGER) AS v_bucket,
+             |  count(*) AS class_size,
+             |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_sensitive,
+             |  CAST(CASE WHEN count(DISTINCT event_type) >= 3
+             |       THEN 1 ELSE 0 END AS BIGINT) AS diverse
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      note = "distinct-l-diversity (l=3) over QI classes with event_type sensitive: catches the homogeneity leak k-anonymity misses; exact integer verdicts, one bounded-expand shuffle")
   )
 }

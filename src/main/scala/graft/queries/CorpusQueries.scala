@@ -859,6 +859,57 @@ object CorpusQueries {
            |  coalesce(t.target_text, '') AS target_text
            |FROM inp i LEFT JOIN tg t USING (doc_id) ORDER BY i.doc_id""".stripMargin
       },
-      note = "T5 span corruption (15%, length-3 spans in 20-token buckets, seedless md5 placement): coordination-free reproducible example construction; one explode + doc-keyed combiner aggs, zero data-wide joins")
+      note = "T5 span corruption (15%, length-3 spans in 20-token buckets, seedless md5 placement): coordination-free reproducible example construction; one explode + doc-keyed combiner aggs, zero data-wide joins"),
+
+    // Fill-in-the-middle transformation (Bavarian et al. 2022) — the
+    // infilling-objective analog of span corruption used for code models:
+    // each document is cut into (prefix, middle, suffix) and re-emitted
+    // in PSM order `<PRE> prefix <SUF> suffix <MID> middle`, so the model
+    // learns to generate the middle conditioned on both sides. Both cut
+    // parameters are seedless md5 draws keyed by doc_id (middle length
+    // 1..len/3, start uniform over valid positions), giving the same
+    // coordination-free bit-reproducibility contract as
+    // corpus_span_corruption — any executor can regenerate any example.
+    //
+    // Scale: a pure per-row map (two hash draws + three substrings), no
+    // shuffle at all before the presentation sort; pipelines entirely
+    // inside whole-stage codegen.
+    Q("corpus_fim_split", Seq("corpus", "P17", "P13", "§2.10"),
+      (s, dir) => {
+        val h1 = graft.dedup.Hashing.sparkMd5Raw("concat('fim1:', CAST(doc_id AS STRING))")
+        val h2 = graft.dedup.Hashing.sparkMd5Raw("concat('fim2:', CAST(doc_id AS STRING))")
+        Tables.documents(s, dir)
+          .where(length(col("text")) >= 30)
+          .withColumn("len", length(col("text")).cast("long"))
+          .withColumn("mid_len", expr(s"1L + ($h2) % (len div 3)"))
+          .withColumn("mid_start", expr(s"1L + ($h1) % (len - mid_len + 1)"))
+          .select(col("doc_id"), col("mid_start"), col("mid_len"),
+                  (col("mid_start") - 1).as("n_pre"),
+                  (col("len") - col("mid_start") - col("mid_len") + 1).as("n_suf"),
+                  expr("""concat('<PRE>', substring(text, 1, CAST(mid_start AS INT) - 1),
+                         |'<SUF>', substring(text, CAST(mid_start + mid_len AS INT)),
+                         |'<MID>', substring(text, CAST(mid_start AS INT), CAST(mid_len AS INT)))"""
+                    .stripMargin).as("fim_text"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val h1 = graft.dedup.Hashing.duckMd5Raw("'fim1:' || CAST(doc_id AS VARCHAR)")
+        val h2 = graft.dedup.Hashing.duckMd5Raw("'fim2:' || CAST(doc_id AS VARCHAR)")
+        s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+           |  FROM documents WHERE length(text) >= 30),
+           |c AS (SELECT doc_id, text, len,
+           |    1 + ($h2) % (len // 3) AS mid_len FROM d),
+           |p AS (SELECT doc_id, text, len, mid_len,
+           |    1 + ($h1) % (len - mid_len + 1) AS mid_start FROM c)
+           |SELECT doc_id, CAST(mid_start AS BIGINT) AS mid_start,
+           |  CAST(mid_len AS BIGINT) AS mid_len,
+           |  CAST(mid_start - 1 AS BIGINT) AS n_pre,
+           |  CAST(len - mid_start - mid_len + 1 AS BIGINT) AS n_suf,
+           |  '<PRE>' || substr(text, 1, CAST(mid_start AS INT) - 1) ||
+           |  '<SUF>' || substr(text, CAST(mid_start + mid_len AS INT)) ||
+           |  '<MID>' || substr(text, CAST(mid_start AS INT), CAST(mid_len AS INT)) AS fim_text
+           |FROM p ORDER BY doc_id""".stripMargin
+      },
+      note = "FIM (PSM order) example construction with seedless md5 cut draws: per-row map only, zero shuffles, reproducible on any executor — the code-model infilling counterpart of span corruption")
   )
 }

@@ -417,7 +417,185 @@ object LayoutQueries {
              |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars * 2 ELSE 0 END) AS BIGINT)
              |    AS sum_bytes_est
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
-      note = "mergeSchema scan over two written generations (columns added over time): null backfill for old files, one columnar read; merge cost is footer-only")
+      note = "mergeSchema scan over two written generations (columns added over time): null backfill for old files, one columnar read; merge cost is footer-only"),
+
+    // Declarative data-quality constraint suite over the lake (the
+    // Deequ/dbt-test shape): completeness (NOT NULL), domain membership,
+    // range bounds, primary-key uniqueness, cross-table referential
+    // integrity, and a derived-column consistency rule — each emitted as
+    // one (check_name, tbl, violations, total, ok) row.
+    //
+    // Scale design: every same-table rule is ONE conditional counter
+    // inside a single scan+agg of that table (sum(CASE WHEN violated)),
+    // so adding rules never adds passes — 4 fact-table scans total, each
+    // map-side-combined. Uniqueness rides the same agg as an exact
+    // count(DISTINCT key) (one extra expand). Each FK rule is one left
+    // join against the parent's key set — broadcast when the parent is a
+    // dim, shuffle otherwise — and counts parent-misses and total rows in
+    // the SAME pass, so an FK audit costs exactly one join, never a
+    // join + recount. The long (one-row-per-rule) shape comes from
+    // stack() over the single aggregated row: plan-free reshaping.
+    Q("dq_constraint_audit", Seq("A1", "A10", "A12", "J6", "F4", "P15"),
+      (s, dir) => {
+        def viol(cond: org.apache.spark.sql.Column) =
+          sum(when(cond, 1L).otherwise(0L))
+        val li = Tables.lineitem(s, dir)
+        // NOTE deliberately no lineitem uniqueness rule: the lake's
+        // lineitem carries no unique key by design (an order can repeat a
+        // line number) — a DQ suite encodes the ACTUAL contract, and a
+        // "pk" rule that is red on healthy data trains people to ignore
+        // red. Uniqueness is audited where it IS the contract (orders).
+        val liAgg = li.agg(
+          count(lit(1)).as("total"),
+          viol(col("l_shipdate").isNull ||
+               col("l_shipdate") < to_timestamp(lit("1990-01-01")) ||
+               col("l_shipdate") >= to_timestamp(lit("2030-01-01"))).as("v_ship"),
+          viol(col("l_quantity").isNull || col("l_quantity") <= 0 ||
+               col("l_quantity") > 50).as("v_qty"),
+          viol(col("l_discount") < 0 || col("l_discount") > 1).as("v_disc"),
+          viol(!col("l_returnflag").isin("A", "N", "R")).as("v_flag"))
+        val liRules = liAgg.selectExpr(
+          """stack(4,
+            |  'lineitem_ship_bounds', v_ship,
+            |  'lineitem_qty_range', v_qty,
+            |  'lineitem_disc_range', v_disc,
+            |  'lineitem_flag_domain', v_flag) AS (check_name, violations)"""
+            .stripMargin,
+          "'lineitem' AS tbl", "total")
+        val o = Tables.orders(s, dir)
+        val oAgg = o.agg(
+          count(lit(1)).as("total"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_pk"),
+          viol(!col("o_orderstatus").isin("F", "O", "P")).as("v_status"),
+          viol(col("o_totalprice").isNull || col("o_totalprice") <= 0).as("v_price"))
+        val oRules = oAgg.selectExpr(
+          """stack(3,
+            |  'orders_pk_unique', v_pk,
+            |  'orders_status_domain', v_status,
+            |  'orders_price_positive', v_price) AS (check_name, violations)"""
+            .stripMargin,
+          "'orders' AS tbl", "total")
+        val e = Tables.events(s, dir)
+        val eAgg = e.agg(
+          count(lit(1)).as("total"),
+          viol(col("value").isNull).as("v_null"),
+          viol(!col("event_type").isin(
+            "click", "error", "purchase", "signup", "view")).as("v_type"),
+          viol(col("ts") < to_timestamp(lit("2020-01-01")) ||
+               col("ts") >= to_timestamp(lit("2030-01-01"))).as("v_ts"))
+        val eRules = eAgg.selectExpr(
+          """stack(3,
+            |  'events_value_nonnull', v_null,
+            |  'events_type_domain', v_type,
+            |  'events_ts_bounds', v_ts) AS (check_name, violations)"""
+            .stripMargin,
+          "'events' AS tbl", "total")
+        val d = Tables.documents(s, dir)
+        val dAgg = d.agg(
+          count(lit(1)).as("total"),
+          viol(col("text").isNull).as("v_null"),
+          viol(length(col("text")) =!= col("n_chars")).as("v_len"))
+        val dRules = dAgg.selectExpr(
+          """stack(2,
+            |  'documents_text_nonnull', v_null,
+            |  'documents_len_consistent', v_len) AS (check_name, violations)"""
+            .stripMargin,
+          "'documents' AS tbl", "total")
+        // FK rules: left join child keys to the parent's (distinct) key
+        // set; violations = parent-misses, total = child rows — one pass.
+        def fk(name: String, tbl: String,
+               child: org.apache.spark.sql.DataFrame, ck: String,
+               parent: org.apache.spark.sql.DataFrame, pk: String) =
+          child.select(col(ck))
+            .join(parent.select(col(pk)).distinct()
+                    .withColumn("hit", lit(1)),
+                  col(ck) === col(pk), "left")
+            .agg(count(lit(1)).as("total"), viol(col("hit").isNull).as("violations"))
+            .select(lit(name).as("check_name"), col("violations"),
+                    lit(tbl).as("tbl"), col("total"))
+        val fks = Seq(
+          fk("fk_lineitem_orders", "lineitem", li, "l_orderkey", o, "o_orderkey"),
+          fk("fk_lineitem_part", "lineitem", li, "l_partkey",
+             Tables.part(s, dir), "p_partkey"),
+          fk("fk_lineitem_supplier", "lineitem", li, "l_suppkey",
+             Tables.supplier(s, dir), "s_suppkey"),
+          fk("fk_orders_customer", "orders", o, "o_custkey",
+             Tables.customer(s, dir), "c_custkey"))
+        (Seq(liRules, oRules, eRules, dRules) ++ fks)
+          .reduce(_ unionByName _)
+          .select(col("check_name"), col("tbl"),
+                  col("violations").cast("long").as("violations"),
+                  col("total").cast("long").as("total"),
+                  when(col("violations") === 0, 1L).otherwise(0L).as("ok"))
+          .orderBy("check_name")
+      },
+      Some("""WITH li AS (
+             |  SELECT count(*) AS total,
+             |    sum(CASE WHEN l_shipdate IS NULL
+             |             OR l_shipdate < TIMESTAMP '1990-01-01'
+             |             OR l_shipdate >= TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END) AS v_ship,
+             |    sum(CASE WHEN l_quantity IS NULL OR l_quantity <= 0
+             |             OR l_quantity > 50 THEN 1 ELSE 0 END) AS v_qty,
+             |    sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS v_disc,
+             |    sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS v_flag
+             |  FROM lineitem),
+             |o AS (
+             |  SELECT count(*) AS total,
+             |    count(*) - count(DISTINCT o_orderkey) AS v_pk,
+             |    sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS v_status,
+             |    sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_price
+             |  FROM orders),
+             |e AS (
+             |  SELECT count(*) AS total,
+             |    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS v_null,
+             |    sum(CASE WHEN event_type NOT IN ('click','error','purchase','signup','view')
+             |             THEN 1 ELSE 0 END) AS v_type,
+             |    sum(CASE WHEN ts < TIMESTAMP '2020-01-01'
+             |             OR ts >= TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END) AS v_ts
+             |  FROM events),
+             |d AS (
+             |  SELECT count(*) AS total,
+             |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS v_null,
+             |    sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS v_len
+             |  FROM documents),
+             |rules AS (
+             |  SELECT 'lineitem_ship_bounds' AS check_name, 'lineitem' AS tbl, v_ship AS violations, total FROM li
+             |  UNION ALL SELECT 'lineitem_qty_range', 'lineitem', v_qty, total FROM li
+             |  UNION ALL SELECT 'lineitem_disc_range', 'lineitem', v_disc, total FROM li
+             |  UNION ALL SELECT 'lineitem_flag_domain', 'lineitem', v_flag, total FROM li
+             |  UNION ALL SELECT 'orders_pk_unique', 'orders', v_pk, total FROM o
+             |  UNION ALL SELECT 'orders_status_domain', 'orders', v_status, total FROM o
+             |  UNION ALL SELECT 'orders_price_positive', 'orders', v_price, total FROM o
+             |  UNION ALL SELECT 'events_value_nonnull', 'events', v_null, total FROM e
+             |  UNION ALL SELECT 'events_type_domain', 'events', v_type, total FROM e
+             |  UNION ALL SELECT 'events_ts_bounds', 'events', v_ts, total FROM e
+             |  UNION ALL SELECT 'documents_text_nonnull', 'documents', v_null, total FROM d
+             |  UNION ALL SELECT 'documents_len_consistent', 'documents', v_len, total FROM d
+             |  UNION ALL
+             |  SELECT 'fk_lineitem_orders', 'lineitem',
+             |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), count(*)
+             |  FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+             |    ON l_orderkey = o_orderkey
+             |  UNION ALL
+             |  SELECT 'fk_lineitem_part', 'lineitem',
+             |    sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END), count(*)
+             |  FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+             |    ON l_partkey = p_partkey
+             |  UNION ALL
+             |  SELECT 'fk_lineitem_supplier', 'lineitem',
+             |    sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END), count(*)
+             |  FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) p
+             |    ON l_suppkey = s_suppkey
+             |  UNION ALL
+             |  SELECT 'fk_orders_customer', 'orders',
+             |    sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END), count(*)
+             |  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p
+             |    ON o_custkey = c_custkey)
+             |SELECT check_name, tbl, CAST(violations AS BIGINT) AS violations,
+             |  CAST(total AS BIGINT) AS total,
+             |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok
+             |FROM rules ORDER BY check_name""".stripMargin),
+      note = "declarative DQ suite (Deequ/dbt-test shape): all same-table rules fused into one scan+agg per table, FK rules one join each counting misses and totals in the same pass")
   )
 
   /** floor(log2(n)) for n >= 1 as a descending integer CASE ladder —

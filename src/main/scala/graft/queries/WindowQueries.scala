@@ -787,6 +787,74 @@ object WindowQueries {
              |  r.resid - sx.seasonal AS remainder
              |FROM r JOIN sx ON r.event_type = sx.event_type AND r.dow = sx.dow
              |ORDER BY r.event_type, r.d""".stripMargin),
-      note = "additive trend/seasonal/remainder decomposition: decimal-exact daily sums, centered MA trend, d-ordered residual fold for the weekday index; windows over the aggregated series only")
+      note = "additive trend/seasonal/remainder decomposition: decimal-exact daily sums, centered MA trend, d-ordered residual fold for the weekday index; windows over the aggregated series only"),
+
+    // Rolling Pearson correlation between each event type's daily volume
+    // and the GLOBAL daily volume — the market-beta / co-movement shape
+    // ("does this source's traffic track the corpus?"). Exactness across
+    // engines comes from running the five inner moments (Σx, Σy, Σxy,
+    // Σx², Σy²) as BIGINT window sums over fixed-point whole-unit series:
+    // cents are summed exactly per day, floor-divided by 100 so the
+    // squared terms stay far under 2^63 (budget: day-units ≈ 1.6e6 at
+    // sf1 → n·Σx² ≈ 1.3e14; ~1000× headroom), and only the FINAL
+    // r = (nΣxy−ΣxΣy)/(√(nΣx²−Σx²)·√(nΣy²−Σy²)) touches doubles — one
+    // cast, two sqrts, one multiply, one divide, written identically on
+    // both engines (IEEE-deterministic ops only; see the float-parity
+    // rules the registry's other double outputs follow).
+    //
+    // Scale: the raw scan collapses to (#days × #types) rows in one
+    // map-side-combined aggregation before ANY window runs; the trailing
+    // ROWS 6 PRECEDING window and the day-total join both operate on the
+    // aggregated series only — the same summary-window pattern as
+    // w_seasonal_decompose, never a low-cardinality window over raw rows.
+    Q("w_rolling_corr", Seq("W3", "A1", "A13", "F8", "§2.10"),
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val c = Tables.events(s, dir)
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+                  expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        val xt = c.groupBy("event_type", "day")
+          .agg(expr("sum(c) div 100").as("x"))
+        val yt = c.groupBy("day").agg(expr("sum(c) div 100").as("y"))
+        val w = W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+        xt.join(yt, "day")
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum("x").over(w))
+          .withColumn("sy", sum("y").over(w))
+          .withColumn("sxy", sum(expr("x * y")).over(w))
+          .withColumn("sxx", sum(expr("x * x")).over(w))
+          .withColumn("syy", sum(expr("y * y")).over(w))
+          .select(col("event_type"), col("day"), col("n"),
+                  expr("""CAST(n * sxy - sx * sy AS DOUBLE) /
+                         |nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                         |       sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0D)"""
+                    .stripMargin).as("corr7"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events),
+             |xt AS (SELECT event_type, day,
+             |    CAST(sum(c) AS BIGINT) // 100 AS x FROM c GROUP BY 1, 2),
+             |yt AS (SELECT day, CAST(sum(c) AS BIGINT) // 100 AS y
+             |  FROM c GROUP BY 1),
+             |j AS (SELECT event_type, xt.day, x, y
+             |  FROM xt JOIN yt ON xt.day = yt.day),
+             |wnd AS (SELECT event_type, day,
+             |    count(*) OVER w AS n,
+             |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+             |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+             |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+             |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+             |    CAST(sum(y * y) OVER w AS BIGINT) AS syy
+             |  FROM j
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+             |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+             |SELECT event_type, day, n,
+             |  CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             |           sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0) AS corr7
+             |FROM wnd ORDER BY event_type, day""".stripMargin),
+      note = "trailing 7-day rolling Pearson r of per-type vs global daily volume: exact BIGINT moments over fixed-point units, doubles only in the final one-shot formula; windows over the aggregated series only")
   )
 }

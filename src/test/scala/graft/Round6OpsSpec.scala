@@ -362,4 +362,128 @@ class Round6OpsSpec extends AnyFunSuite {
              s"doc $id estimator must be max(w, tau)")
     }
   }
+
+  test("dq audit: clean data all-green; doctored copy trips exactly the broken rules") {
+    val out = SparkEntry.queries("dq_constraint_audit")(spark, sf).collect()
+    assert(out.length == 16, s"expected 16 rules, got ${out.length}")
+    assert(out.forall(_.getAs[Long]("ok") == 1L),
+           "synthetic data is constraint-clean; a red rule means a rule bug: " +
+             out.filter(_.getAs[Long]("ok") == 0L).mkString(", "))
+    assert(out.forall(r => r.getAs[Long]("total") > 0L))
+    // detection path: doctor a copy of the lake — orphan half the orders'
+    // customers, null some event values, duplicate an orders key — and the
+    // corresponding rules (and ONLY plausible ones) must flip red
+    val dir = graft.util.Scratch.fresh("dq_doctored")
+    Seq("region", "nation", "supplier", "part", "lineitem").foreach { t =>
+      spark.read.parquet(s"$sf/$t.parquet").write.parquet(s"$dir/$t.parquet")
+    }
+    spark.read.parquet(s"$sf/customer.parquet")
+      .where(col("c_custkey") % 2 === 0) // half the parents vanish
+      .write.parquet(s"$dir/customer.parquet")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    ord.union(ord.limit(5)) // 5 duplicated primary keys
+      .write.parquet(s"$dir/orders.parquet")
+    spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("value", when(col("event_id") % 100 === 0, lit(null))
+        .otherwise(col("value")))
+      .write.parquet(s"$dir/events.parquet")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("n_chars", col("n_chars") + lit(7L)) // break the derived column
+      .write.parquet(s"$dir/documents.parquet")
+    val red = SparkEntry.queries("dq_constraint_audit")(spark, dir).collect()
+      .filter(_.getAs[Long]("ok") == 0L)
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("violations")).toMap
+    assert(red.contains("fk_orders_customer") && red("fk_orders_customer") > 0L)
+    assert(red.contains("orders_pk_unique") && red("orders_pk_unique") == 5L)
+    assert(red.contains("events_value_nonnull"))
+    assert(red.contains("documents_len_consistent"))
+    // the doctoring touches nothing else — no false positives
+    assert(red.keySet == Set("fk_orders_customer", "orders_pk_unique",
+                             "events_value_nonnull", "documents_len_consistent"),
+           s"unexpected red rules: $red")
+  }
+
+  test("label propagation: full node coverage, labels are node ids, communities merge") {
+    val out = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
+    val nodes = out.map(_.getAs[String]("node"))
+    assert(nodes.distinct.length == nodes.length, "one label row per node")
+    val nodeSet = nodes.toSet
+    val labels = out.map(_.getAs[String]("label"))
+    assert(labels.forall(nodeSet.contains), "every label must be a seed node id")
+    assert(labels.distinct.length < nodes.length,
+           "3 rounds of propagation must merge at least two nodes' labels")
+    // coverage must equal the graph's node set exactly
+    val sssp = SparkEntry.queries("graph_sssp")(spark, sf).collect()
+    assert(nodeSet.size >= sssp.length, "LPA covers at least the reachable set")
+  }
+
+  test("FIM split: parsing PSM back reconstructs every document exactly") {
+    val out = SparkEntry.queries("corpus_fim_split")(spark, sf).collect()
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out.nonEmpty)
+    val Psm = "(?s)<PRE>(.*)<SUF>(.*)<MID>(.*)".r
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      r.getAs[String]("fim_text") match {
+        case Psm(pre, suf, mid) =>
+          assert(pre + mid + suf == texts(id), s"doc $id does not reconstruct")
+          assert(pre.length == r.getAs[Long]("n_pre"), s"doc $id n_pre")
+          assert(mid.length == r.getAs[Long]("mid_len"), s"doc $id mid_len")
+          assert(suf.length == r.getAs[Long]("n_suf"), s"doc $id n_suf")
+          assert(mid.nonEmpty, s"doc $id middle must be non-empty")
+          assert(mid.length <= texts(id).length / 3, s"doc $id middle too long")
+        case _ => fail(s"doc $id fim_text lacks PSM structure")
+      }
+    }
+    // every qualifying doc is transformed, none invented
+    assert(out.map(_.getAs[Long]("doc_id")).toSet ==
+      texts.filter(_._2.length >= 30).keySet)
+  }
+
+  test("l-diversity: counts bounded by domain and class size; verdict matches") {
+    val out = SparkEntry.queries("privacy_l_diversity")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (size, ns) = (r.getAs[Long]("class_size"), r.getAs[Long]("n_sensitive"))
+      assert(ns >= 1 && ns <= 5 && ns <= size)
+      assert(r.getAs[Long]("diverse") == (if (ns >= 3) 1L else 0L))
+    }
+    // the audit must actually discriminate on this data
+    assert(out.exists(_.getAs[Long]("diverse") == 1L))
+  }
+
+  test("rolling corr: r in [-1,1], n caps at 7, spot value matches scalar recompute") {
+    val out = SparkEntry.queries("w_rolling_corr")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(n >= 1 && n <= 7)
+      if (!r.isNullAt(r.fieldIndex("corr7"))) {
+        val c = r.getAs[Double]("corr7")
+        assert(c >= -1.0000000001 && c <= 1.0000000001, s"corr out of range: $c")
+      }
+    }
+    // independent scalar recomputation for one series' final day
+    val daily = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+              expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    val xs = daily.where(col("event_type") === "click")
+      .groupBy("day").agg(expr("sum(c) div 100").as("x"))
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("x")).toMap
+    val ys = daily.groupBy("day").agg(expr("sum(c) div 100").as("y"))
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("y")).toMap
+    val days = xs.keys.toSeq.sorted
+    val last7 = days.takeRight(7)
+    val (x7, y7) = (last7.map(xs), last7.map(ys))
+    val n = 7L
+    val (sx, sy) = (x7.sum, y7.sum)
+    val (sxy, sxx, syy) = (x7.zip(y7).map { case (a, b) => a * b }.sum,
+                           x7.map(a => a * a).sum, y7.map(b => b * b).sum)
+    val expected = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble))
+    val got = out.filter(r => r.getAs[String]("event_type") == "click")
+      .maxBy(_.getAs[java.sql.Date]("day").toString).getAs[Double]("corr7")
+    assert(got == expected, s"exact-moment recompute mismatch: $got vs $expected")
+  }
 }
