@@ -412,4 +412,51 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(stepPlan.contains("TakeOrderedAndProject"), stepPlan)
     assert(!stepPlan.contains("Exchange rangepartitioning"), stepPlan)
   }
+
+  test("DQ audit: every FK rule joins by broadcast, nothing cartesian or sort-merge") {
+    val p = plan("dq_constraint_audit")
+    assert("BroadcastHashJoin .*LeftOuter".r.findAllIn(p).length == 4,
+           s"expected 4 broadcast FK joins:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("FIM split is a pure map: one presentation sort, zero joins or aggregates") {
+    val p = plan("corpus_fim_split")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("rolling corr joins the day-total by broadcast; windows run post-aggregation") {
+    val p = plan("w_rolling_corr")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the scan collapses through partial aggregation before any window
+    assert(p.contains("partial_"), p)
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length +
+      "Exchange rangepartitioning".r.findAllIn(p).length
+    assert(ex <= 4, s"expected <=4 exchanges, got $ex:\n$p")
+  }
+
+  test("label propagation: plurality windows partition by node, never by label") {
+    // NOTE the per-round edges⋈labels join is ALLOWED to be a shuffle
+    // (sort-merge) join: the label frame is |V|-sized and must not be
+    // assumed broadcastable — the property pinned here is window
+    // partitioning, the axis that decides whether community skew can
+    // funnel a partition through one task
+    val p = plan("graph_label_prop")
+    assert(!p.contains("CartesianProduct"), p)
+    // three rounds -> three row_number windows, each keyed on the node column
+    val windows = "windowspecdefinition\\(node".r.findAllIn(p).length
+    assert(windows >= 3, s"expected >=3 node-partitioned windows:\n$p")
+    assert(!p.contains("windowspecdefinition(label"), p)
+  }
+
+  test("l-diversity: one aggregation pass plus the presentation sort only") {
+    val p = plan("privacy_l_diversity")
+    assert(p.contains("count(distinct event_type"), p) // exact, not approximate
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length +
+      "Exchange rangepartitioning".r.findAllIn(p).length
+    assert(ex <= 3, s"expected <=3 exchanges, got $ex:\n$p")
+  }
 }
