@@ -544,6 +544,166 @@ object AnalyticQueries {
       },
       note = "Newman modularity of the LPA partition in exact int64 (one final division): per-community L_c/d_c accounting via two endpoint label joins + map-side-partial rollups; the audit twin of graph_label_prop"),
 
+    // K-CORE decomposition (bounded peel) on the top-k co-supply graph —
+    // the dense-subgraph extractor behind "keep only the well-connected
+    // part" curation (spam rings, citation cores, seed-set mining). Three
+    // unrolled peel rounds at K=12: each round drops every vertex whose
+    // current degree < K, then restricts the edge list to
+    // surviving-endpoint pairs; deletions cascade (a vertex can fall under
+    // K only because its neighbor was peeled the round before), which is
+    // the part a single HAVING can't express. The graph is the same
+    // O(2k|V|)-edge top-5-per-direction co-supply construction as
+    // graph_triangles, so per-round work is two semi-join-shaped joins +
+    // one map-side-combined degree count over a bounded edge list — never
+    // the complete co-occurrence graph. All integer: survivor sets and
+    // residual degrees hash bit-identically across engines. K=12 sits just
+    // under the kept-graph's median degree (13 at every SF — the top-k
+    // construction normalizes density), so the cascade genuinely fires
+    // (100 -> 19 vertices at sf0.01) without emptying the core.
+    Q("graph_kcore", Seq("J1", "J2", "A1", "F4", "skew", "§2.10"),
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val sc = l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
+        val co = sc.as("x").join(sc.as("y"), col("x.ck") === col("y.ck") && col("x.sk") < col("y.sk"))
+          .groupBy(col("x.sk").as("u"), col("y.sk").as("v"))
+          .agg(count(lit(1)).as("shared"))
+        val wu = org.apache.spark.sql.expressions.Window
+          .partitionBy("u").orderBy(col("shared").desc, col("v"))
+        val wv = org.apache.spark.sql.expressions.Window
+          .partitionBy("v").orderBy(col("shared").desc, col("u"))
+        val kept = co
+          .withColumn("ru", row_number().over(wu))
+          .withColumn("rv", row_number().over(wv))
+          .where(col("ru") <= 5 || col("rv") <= 5)
+          .select("u", "v")
+        val e0 = kept.union(kept.select(col("v").as("u"), col("u").as("v")))
+          .toDF("a", "b").cache()
+        // each round caches its shrunken edge list: the next round's two
+        // joins re-read it, and without the cut the unrolled plan re-derives
+        // every prior peel per branch (the 3^k growth memory trap)
+        val e3 = (1 to 3).foldLeft(e0) { (e, _) =>
+          val surv = e.groupBy("a").agg(count(lit(1)).as("deg"))
+            .where(col("deg") >= 12)
+          e.join(surv.select(col("a")), "a")
+            .join(surv.select(col("a").as("b")), "b")
+            .select("a", "b").cache()
+        }
+        e3.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))
+          .orderBy("node")
+      },
+      Some {
+        def peel(k: Int): String = {
+          val prev = if (k == 1) "e" else s"e${k - 1}"
+          s"""s$k AS (SELECT a AS node FROM $prev GROUP BY 1 HAVING count(*) >= 12),
+             |e$k AS (SELECT x.a, x.b FROM $prev x
+             |        JOIN s$k p ON x.a = p.node JOIN s$k q ON x.b = q.node)"""
+        }
+        s"""WITH sc AS MATERIALIZED (SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+           |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |cos AS MATERIALIZED (SELECT x.sk AS u, y.sk AS v, count(*) AS shared
+           |        FROM sc x JOIN sc y ON x.ck = y.ck AND x.sk < y.sk
+           |        GROUP BY 1, 2),
+           |co AS MATERIALIZED (SELECT u, v FROM (
+           |         SELECT u, v,
+           |           row_number() OVER (PARTITION BY u ORDER BY shared DESC, v) AS ru,
+           |           row_number() OVER (PARTITION BY v ORDER BY shared DESC, u) AS rv
+           |         FROM cos) t
+           |       WHERE ru <= 5 OR rv <= 5),
+           |e AS (SELECT u AS a, v AS b FROM co UNION ALL SELECT v, u FROM co),
+           |${peel(1)},
+           |${peel(2)},
+           |${peel(3)}
+           |SELECT a AS node, count(*) AS core_deg FROM e3
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      },
+      note = "bounded k-core peel (3 rounds, K=12) on the top-k co-supply graph: cascading vertex deletion via per-round degree count + two survivor joins, integer-exact residual degrees"),
+
+    // Link prediction by JACCARD over curated top-k adjacency — the
+    // candidate-generation shape of production link prediction: each
+    // vertex's candidate partners come only from its CHOSEN top-5-per-
+    // direction co-supply lists (the same curated adjacency an ANN top-k
+    // list gives you), so the wedge expansion per center is <= C(10,2)
+    // pairs and the whole candidate set is O(k^2 |V|) — strictly bounded,
+    // unlike a raw wedge join whose hubs explode quadratically. Score is
+    // CO-CITATION Jaccard — over the chosen-BY sets (who shortlists u):
+    // cn / (du + dw - cn) with cn = |{c: c chose both u,w}| and
+    // du = |{c: c chose u}|, so numerator and denominator count the same
+    // direction and the denominator is >= cn >= 1 by construction. Every
+    // term is an exact int64 count with ONE division into DOUBLE at the
+    // end, so ranking and score hash identically across engines.
+    // Known-adjacent pairs (any kept edge) are anti-joined out —
+    // predictions are new links only. Top-3 per vertex by (score, id).
+    Q("graph_jaccard_linkpred", Seq("J1", "J2", "A1", "F7", "W4", "§2.10"),
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val sc = l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
+        val co = sc.as("x").join(sc.as("y"), col("x.ck") === col("y.ck") && col("x.sk") < col("y.sk"))
+          .groupBy(col("x.sk").as("u"), col("y.sk").as("v"))
+          .agg(count(lit(1)).as("shared"))
+        val wu = org.apache.spark.sql.expressions.Window
+          .partitionBy("u").orderBy(col("shared").desc, col("v"))
+        val wv = org.apache.spark.sql.expressions.Window
+          .partitionBy("v").orderBy(col("shared").desc, col("u"))
+        val ranked = co
+          .withColumn("ru", row_number().over(wu))
+          .withColumn("rv", row_number().over(wv))
+          .cache() // kept-edge set AND both chosen directions read from it
+        val kept = ranked.where(col("ru") <= 5 || col("rv") <= 5).select("u", "v")
+        // chosen(c -> x): the <=10 partners c itself ranked top-5 in either
+        // direction (branches are disjoint: c<x in the first, c>x in the second)
+        val chosen = ranked.where(col("ru") <= 5).select(col("u").as("c"), col("v").as("x"))
+          .union(ranked.where(col("rv") <= 5).select(col("v").as("c"), col("u").as("x")))
+          .cache()
+        val deg = chosen.groupBy("x").agg(count(lit(1)).as("d"))
+        val wedges = chosen.as("p")
+          .join(chosen.as("q"), col("p.c") === col("q.c") && col("p.x") < col("q.x"))
+          .groupBy(col("p.x").as("u"), col("q.x").as("w"))
+          .agg(count(lit(1)).as("cn"))
+        val cand = wedges
+          .join(kept, wedges("u") === kept("u") && wedges("w") === kept("v"), "left_anti")
+          .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+          .join(deg.select(col("x").as("w"), col("d").as("dw")), "w")
+          .withColumn("jaccard",
+            round(col("cn").cast("double") / (col("du") + col("dw") - col("cn")).cast("double"), 6))
+        val byU = org.apache.spark.sql.expressions.Window
+          .partitionBy("u").orderBy(col("jaccard").desc, col("w"))
+        cand.withColumn("rank", row_number().over(byU).cast("int"))
+          .where(col("rank") <= 3)
+          .select("u", "rank", "w", "cn", "du", "dw", "jaccard")
+          .orderBy("u", "rank")
+      },
+      Some("""WITH sc AS MATERIALIZED (SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+             |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |cos AS MATERIALIZED (SELECT x.sk AS u, y.sk AS v, count(*) AS shared
+             |        FROM sc x JOIN sc y ON x.ck = y.ck AND x.sk < y.sk
+             |        GROUP BY 1, 2),
+             |rk AS MATERIALIZED (SELECT u, v,
+             |          row_number() OVER (PARTITION BY u ORDER BY shared DESC, v) AS ru,
+             |          row_number() OVER (PARTITION BY v ORDER BY shared DESC, u) AS rv
+             |        FROM cos),
+             |kept AS (SELECT u, v FROM rk WHERE ru <= 5 OR rv <= 5),
+             |chosen AS (SELECT u AS c, v AS x FROM rk WHERE ru <= 5
+             |           UNION ALL SELECT v AS c, u AS x FROM rk WHERE rv <= 5),
+             |deg AS (SELECT x, count(*) AS d FROM chosen GROUP BY 1),
+             |wedges AS (SELECT p.x AS u, q.x AS w, count(*) AS cn
+             |  FROM chosen p JOIN chosen q ON p.c = q.c AND p.x < q.x
+             |  GROUP BY 1, 2),
+             |cand AS (SELECT wg.u, wg.w, wg.cn, d1.d AS du, d2.d AS dw,
+             |    round(CAST(wg.cn AS DOUBLE) / CAST(d1.d + d2.d - wg.cn AS DOUBLE), 6) AS jaccard
+             |  FROM wedges wg
+             |  JOIN deg d1 ON d1.x = wg.u JOIN deg d2 ON d2.x = wg.w
+             |  WHERE NOT EXISTS (SELECT 1 FROM kept k WHERE k.u = wg.u AND k.v = wg.w))
+             |SELECT u, CAST(rank AS INTEGER) AS rank, w, cn, du, dw, jaccard FROM (
+             |  SELECT u, w, cn, du, dw, jaccard,
+             |    row_number() OVER (PARTITION BY u ORDER BY jaccard DESC, w) AS rank
+             |  FROM cand) t
+             |WHERE rank <= 3 ORDER BY u, rank""".stripMargin),
+      note = "Jaccard link prediction over curated top-k adjacency: wedge candidates bounded to C(10,2) per center (never raw hub expansion), exact-count score with one final division, known edges anti-joined out"),
+
     // TPC-H Q17 shape: small-quantity-order revenue — a CORRELATED scalar
     // subquery ("20% of this part's average quantity") decorrelated into a
     // per-part aggregate joined back to the detail. The scale story is why

@@ -452,6 +452,21 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition(label"), p)
   }
 
+  test("k-core peel rounds are semi-join shaped with map-side degree partials") {
+    val p = plan("graph_kcore")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // per-round degree counts must combine map-side before the shuffle
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("link prediction wedges come from curated adjacency, never a cross join") {
+    val p = plan("graph_jaccard_linkpred")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // known edges leave via an anti-join, not an except/distinct detour
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("l-diversity: one aggregation pass plus the presentation sort only") {
     val p = plan("privacy_l_diversity")
     assert(p.contains("count(distinct event_type"), p) // exact, not approximate

@@ -435,6 +435,41 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("n_nodes") > 0))
   }
 
+  test("k-core: peel cascades, handshake holds, survivors are a strict core") {
+    val out = SparkEntry.queries("graph_kcore")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val degs = out.map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+    // symmetrized residual edge list: degree handshake (sum is even)
+    assert(degs.values.sum % 2 == 0, "odd degree mass on an undirected graph")
+    assert(degs.values.forall(_ >= 1))
+    // the cascade genuinely fired: strictly fewer survivors than suppliers
+    val nSupp = spark.read.parquet(s"$sf/supplier.parquet").count()
+    assert(degs.size < nSupp, s"no pruning: ${degs.size} of $nSupp survived")
+    // residual degrees only count surviving partners, so no node can have
+    // more partners than the core has other members
+    assert(degs.values.max <= degs.size - 1)
+  }
+
+  test("link prediction: scores are coherent Jaccards, ranks dense, pairs normalized") {
+    val out = SparkEntry.queries("graph_jaccard_linkpred")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (cn, du, dw) = (r.getAs[Long]("cn"), r.getAs[Long]("du"), r.getAs[Long]("dw"))
+      val j = r.getAs[Double]("jaccard")
+      assert(cn >= 1 && cn <= math.min(du, dw), s"cn=$cn du=$du dw=$dw")
+      assert(j > 0.0 && j <= 1.0, s"jaccard out of range: $j")
+      assert(math.abs(j - cn.toDouble / (du + dw - cn)) < 1e-6)
+      assert(r.getAs[Long]("u") < r.getAs[Long]("w"), "pair not normalized")
+    }
+    // ranks are dense 1..k per u and ordered by score desc
+    out.groupBy(_.getAs[Long]("u")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+      assert(sorted.map(_.getAs[Double]("jaccard")).toSeq.reverse.sorted.reverse ==
+             sorted.map(_.getAs[Double]("jaccard")).toSeq)
+    }
+  }
+
   test("FIM split: parsing PSM back reconstructs every document exactly") {
     val out = SparkEntry.queries("corpus_fim_split")(spark, sf).collect()
     val texts = spark.read.parquet(s"$sf/documents.parquet")
