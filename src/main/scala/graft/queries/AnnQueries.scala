@@ -987,6 +987,54 @@ object AnnQueries {
            |  UNION ALL SELECT * FROM p4 UNION ALL SELECT * FROM p5)
            |ORDER BY qid, step""".stripMargin
       },
-      note = "MMR diversified top-5 (λ=0.7) over the IVF-bucketed candidate pool: statically unrolled greedy with constant-size per-query joins; candidate generation stays bucketed, never all-pairs")
+      note = "MMR diversified top-5 (λ=0.7) over the IVF-bucketed candidate pool: statically unrolled greedy with constant-size per-query joins; candidate generation stays bucketed, never all-pairs"),
+
+    // FILTERED vector search — the metadata-constrained top-k every vector
+    // store ships (match the query's language, drop short documents)
+    // done PRE-filter: candidates are restricted BEFORE any distance is
+    // computed, not scored-then-discarded (post-filter wastes exactly the
+    // filtered fraction of the distance work and can starve k). The
+    // metadata lives in a DIFFERENT table (documents), so the shape under
+    // test is the cross-table join: embeddings ⋈ documents on
+    // vec_id = doc_id with the n_chars predicate pushed into the documents
+    // parquet scan, then the per-language bucket join prunes candidates
+    // the same way an IVF cell probe would. At 100 TB the metadata join is
+    // the broadcast (doc metadata is narrow), the language bucket bounds
+    // the pair space, and the scan never reads filtered rows' payloads.
+    Q("ann_filtered_topk", Seq("similarity", "J1", "F4", "F5", "W4"),
+      (s, dir) => {
+        graft.plans.VecExprs.register(s)
+        val meta = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("nrm", expr(normExpr("embedding")))
+        val q = emb.join(meta, col("vec_id") === col("doc_id"))
+          .where(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+                  col("nrm").as("nq"), col("lang").as("qlang"))
+        val b = emb.join(meta.where(col("n_chars") >= 150),
+                         col("vec_id") === col("doc_id"))
+          .select(col("vec_id").as("bid"), col("embedding").as("be"),
+                  col("nrm").as("nb"), col("lang"))
+        val pairs = q.join(b, col("qlang") === col("lang") && col("qid") =!= col("bid"))
+          .withColumn("cos_sim", expr(s"$dotExpr / sqrt(nq * nb)"))
+        topk(pairs, 5)
+      },
+      Some(s"""WITH m AS (SELECT doc_id, lang, n_chars FROM documents),
+              |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, m.lang AS qlang
+              |      FROM embeddings e JOIN m ON e.vec_id = m.doc_id
+              |      WHERE e.vec_id < 8),
+              |b AS (SELECT e.vec_id AS bid, e.embedding AS be, m.lang
+              |      FROM embeddings e JOIN m ON e.vec_id = m.doc_id
+              |      WHERE m.n_chars >= 150),
+              |p AS (SELECT qid, bid,
+              |    $duckDot / sqrt((${duckNorm("qe")}) * (${duckNorm("be")})) AS cos_sim
+              |  FROM q JOIN b ON q.qlang = b.lang AND qid <> bid)
+              |SELECT qid, CAST(rank AS INTEGER) AS rank, bid, round(cos_sim, 6) AS cos_sim FROM (
+              |  SELECT qid, bid, cos_sim,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, bid) AS rank
+              |  FROM p) t
+              |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+      note = "metadata-filtered ANN: cross-table predicate (documents.n_chars) pushed to the scan and applied pre-distance, language bucket bounds the pair space, narrow metadata joins broadcast-shaped")
   )
 }

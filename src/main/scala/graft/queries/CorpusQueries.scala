@@ -910,6 +910,60 @@ object CorpusQueries {
            |  '<MID>' || substr(text, CAST(mid_start AS INT), CAST(mid_len AS INT)) AS fim_text
            |FROM p ORDER BY doc_id""".stripMargin
       },
-      note = "FIM (PSM order) example construction with seedless md5 cut draws: per-row map only, zero shuffles, reproducible on any executor — the code-model infilling counterpart of span corruption")
+      note = "FIM (PSM order) example construction with seedless md5 cut draws: per-row map only, zero shuffles, reproducible on any executor — the code-model infilling counterpart of span corruption"),
+
+    // PREFERENCE-PAIR construction (the DPO/RLHF reward-data shape): within
+    // each (lang, source) stratum, pair the i-th best document with the
+    // i-th worst by a deterministic integer score — here token count, the
+    // pluggable stand-in for any reward signal — and emit
+    // (chosen, rejected, margin) rows. Both ranks come from ONE window
+    // pass over the same (lang, source) shuffle (two row_numbers share the
+    // partitioning), and pairing is an equi-join on (stratum, rank) of two
+    // <=2-rows-per-stratum slices — never a within-group cross join, so a
+    // stratum with a million documents still contributes exactly 2 pairs
+    // and the join input is 2×#strata rows. Degenerate pairs (score ties,
+    // or best meeting worst in the middle of a tiny group) are dropped by
+    // the strict chosen > rejected guard. All-integer scores and margins
+    // hash bit-identically across engines.
+    Q("pref_pair_build", Seq("W4", "W9", "A1", "F4", "J1"),
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"),
+                  size(split(col("text"), " ")).cast("long").as("tok"))
+        val wBest = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "source").orderBy(col("tok").desc, col("doc_id"))
+        val wWorst = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "source").orderBy(col("tok").asc, col("doc_id"))
+        val ranked = d
+          .withColumn("rb", row_number().over(wBest))
+          .withColumn("rw", row_number().over(wWorst))
+          .cache() // both pair sides slice this one windowed frame
+        val ch = ranked.where(col("rb") <= 2)
+          .select(col("lang"), col("source"), col("rb").cast("int").as("pair_rank"),
+                  col("doc_id").as("chosen_id"), col("tok").as("chosen_tok"))
+        val rj = ranked.where(col("rw") <= 2)
+          .select(col("lang"), col("source"), col("rw").cast("int").as("pair_rank"),
+                  col("doc_id").as("rejected_id"), col("tok").as("rejected_tok"))
+        ch.join(rj, Seq("lang", "source", "pair_rank"))
+          .where(col("chosen_tok") > col("rejected_tok"))
+          .withColumn("margin", col("chosen_tok") - col("rejected_tok"))
+          .select("lang", "source", "pair_rank", "chosen_id", "rejected_id",
+                  "chosen_tok", "rejected_tok", "margin")
+          .orderBy("lang", "source", "pair_rank")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+             |r AS (SELECT doc_id, lang, source, tok,
+             |    row_number() OVER (PARTITION BY lang, source ORDER BY tok DESC, doc_id) AS rb,
+             |    row_number() OVER (PARTITION BY lang, source ORDER BY tok ASC, doc_id) AS rw
+             |  FROM d)
+             |SELECT c.lang, c.source, CAST(c.rb AS INTEGER) AS pair_rank,
+             |  c.doc_id AS chosen_id, j.doc_id AS rejected_id,
+             |  c.tok AS chosen_tok, j.tok AS rejected_tok,
+             |  c.tok - j.tok AS margin
+             |FROM r c JOIN r j ON c.lang = j.lang AND c.source = j.source AND c.rb = j.rw
+             |WHERE c.rb <= 2 AND j.rw <= 2 AND c.tok > j.tok
+             |ORDER BY c.lang, c.source, pair_rank""".stripMargin),
+      note = "DPO-style preference pairs: best-vs-worst per (lang, source) stratum via two row_numbers on one shared shuffle + a (stratum, rank) equi-join of bounded slices; strict margin guard drops ties — integer-exact")
   )
 }

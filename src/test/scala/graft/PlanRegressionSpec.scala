@@ -467,6 +467,23 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("preference pairs: both rank windows ride one stratum shuffle, joins stay equi") {
+    val p = plan("pref_pair_build")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // two row_numbers over (lang, source) must share a single hash exchange
+    // on the data path; the slices then equi-join (+1 possible exchange
+    // pair) and one range exchange presents the output
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hash <= 3, s"expected <=3 hash exchanges, got $hash:\n$p")
+  }
+
+  test("filtered ANN pushes the length floor into the documents scan") {
+    val p = plan("ann_filtered_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(n_chars".r.findFirstIn(p).isDefined,
+           s"n_chars floor not pushed down:\n$p")
+  }
+
   test("l-diversity: one aggregation pass plus the presentation sort only") {
     val p = plan("privacy_l_diversity")
     assert(p.contains("count(distinct event_type"), p) // exact, not approximate

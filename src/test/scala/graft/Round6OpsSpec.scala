@@ -470,6 +470,51 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("preference pairs: strict positive margins, bounded per stratum, scores verified") {
+    val out = SparkEntry.queries("pref_pair_build")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (cid, rid) = (r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"))
+      assert(cid != rid)
+      assert(r.getAs[Long]("chosen_tok") == toks(cid))
+      assert(r.getAs[Long]("rejected_tok") == toks(rid))
+      assert(r.getAs[Long]("margin") ==
+             r.getAs[Long]("chosen_tok") - r.getAs[Long]("rejected_tok"))
+      assert(r.getAs[Long]("margin") > 0, "non-positive margin survived the guard")
+      assert(Set(1, 2).contains(r.getAs[Int]("pair_rank")))
+    }
+    // at most 2 pairs per stratum, and no document is chosen AND rejected
+    // within one stratum (the strict guard kills the crossed middle)
+    out.groupBy(r => (r.getAs[String]("lang"), r.getAs[String]("source")))
+      .values.foreach { rows =>
+        assert(rows.length <= 2)
+        val ch = rows.map(_.getAs[Long]("chosen_id")).toSet
+        val rj = rows.map(_.getAs[Long]("rejected_id")).toSet
+        assert(ch.intersect(rj).isEmpty, "a doc is both chosen and rejected in one stratum")
+      }
+  }
+
+  test("filtered ANN: every hit matches the query's language and length floor") {
+    val out = SparkEntry.queries("ann_filtered_topk")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val meta = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    out.foreach { r =>
+      val (qid, bid) = (r.getAs[Long]("qid"), r.getAs[Long]("bid"))
+      assert(meta(bid)._1 == meta(qid)._1, s"lang mismatch: $qid vs $bid")
+      assert(meta(bid)._2 >= 150, s"short doc $bid passed the filter")
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    out.groupBy(_.getAs[Long]("qid")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
   test("FIM split: parsing PSM back reconstructs every document exactly") {
     val out = SparkEntry.queries("corpus_fim_split")(spark, sf).collect()
     val texts = spark.read.parquet(s"$sf/documents.parquet")
