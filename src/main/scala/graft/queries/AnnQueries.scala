@@ -1035,6 +1035,75 @@ object AnnQueries {
               |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, bid) AS rank
               |  FROM p) t
               |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
-      note = "metadata-filtered ANN: cross-table predicate (documents.n_chars) pushed to the scan and applied pre-distance, language bucket bounds the pair space, narrow metadata joins broadcast-shaped")
+      note = "metadata-filtered ANN: cross-table predicate (documents.n_chars) pushed to the scan and applied pre-distance, language bucket bounds the pair space, narrow metadata joins broadcast-shaped"),
+
+    // BITEXT MINING with ratio-margin scoring — the parallel-corpus miner
+    // (Artetxe & Schwenk; the CCMatrix/LASER construction): an English
+    // query pairs with its best cross-lingual neighbor only when that
+    // neighbor BEATS THE QUERY'S OWN BACKGROUND — cos(top1) divided by the
+    // mean cos of ranks 2..5 — which suppresses hub vectors that are
+    // everyone's nearest neighbor. Float discipline: the 4-element
+    // background mean is summed in RANK ORDER on both engines (Spark
+    // aggregate() over an array_sort'ed collect_list; DuckDB list_sum over
+    // list(... ORDER BY rk)), so the left-fold doubles — and therefore the
+    // margin and the >= 1.15 accept decision — are bit-identical. The
+    // probe set is a bounded query slice crossed against the other-language
+    // pool (same declared exact-baseline role as ann_cosine_topk's BNLJ);
+    // at 100 TB candidates come from the LSH/IVF bucket path instead and
+    // the margin criterion is unchanged.
+    Q("mine_bitext_margin", Seq("similarity", "J1", "W4", "A1", "F4"),
+      (s, dir) => {
+        graft.plans.VecExprs.register(s)
+        val meta = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("nrm", expr(normExpr("embedding")))
+          .join(meta, col("vec_id") === col("doc_id"))
+        val q = emb.where(col("lang") === "en" && col("vec_id") < 40)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("nq"))
+        val b = emb.where(col("lang") =!= "en")
+          .select(col("vec_id").as("bid"), col("embedding").as("be"),
+                  col("nrm").as("nb"), col("lang").as("pair_lang"))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("bid"))
+        val ranked = q.crossJoin(b)
+          .withColumn("cos", expr(s"$dotExpr / sqrt(nq * nb)"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 5)
+        ranked.groupBy("qid").agg(
+            max(when(col("rk") === 1, col("bid"))).as("bid"),
+            max(when(col("rk") === 1, col("pair_lang"))).as("pair_lang"),
+            max(when(col("rk") === 1, col("cos"))).as("c1"),
+            expr("""aggregate(transform(
+                   |  array_sort(collect_list(CASE WHEN rk >= 2 THEN struct(rk, cos) END)),
+                   |  s -> s.cos), 0D, (a, x) -> a + x) / 4""".stripMargin).as("bg"))
+          .withColumn("margin_raw", col("c1") / col("bg"))
+          .where(col("margin_raw") >= 1.15)
+          .select(col("qid"), col("bid"), col("pair_lang"),
+                  round(col("c1"), 6).as("cos_sim"),
+                  round(col("margin_raw"), 6).as("margin"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH m AS (SELECT doc_id, lang FROM documents),
+              |q AS (SELECT e.vec_id AS qid, e.embedding AS qe
+              |      FROM embeddings e JOIN m ON e.vec_id = m.doc_id
+              |      WHERE m.lang = 'en' AND e.vec_id < 40),
+              |b AS (SELECT e.vec_id AS bid, e.embedding AS be, m.lang AS pair_lang
+              |      FROM embeddings e JOIN m ON e.vec_id = m.doc_id
+              |      WHERE m.lang <> 'en'),
+              |p AS (SELECT qid, bid, pair_lang,
+              |    $duckDot / sqrt((${duckNorm("qe")}) * (${duckNorm("be")})) AS cos
+              |  FROM q, b),
+              |r AS (SELECT qid, bid, pair_lang, cos,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, bid) AS rk
+              |  FROM p),
+              |g AS (SELECT qid,
+              |    max(bid) FILTER (WHERE rk = 1) AS bid,
+              |    max(pair_lang) FILTER (WHERE rk = 1) AS pair_lang,
+              |    max(cos) FILTER (WHERE rk = 1) AS c1,
+              |    list_sum(list(cos ORDER BY rk) FILTER (WHERE rk >= 2)) / 4 AS bg
+              |  FROM r WHERE rk <= 5 GROUP BY qid)
+              |SELECT qid, bid, pair_lang, round(c1, 6) AS cos_sim,
+              |  round(c1 / bg, 6) AS margin
+              |FROM g WHERE c1 / bg >= 1.15 ORDER BY qid""".stripMargin),
+      note = "ratio-margin bitext mining (top1 over mean of ranks 2..5, accept >= 1.15): hub-suppressing parallel-pair extraction with rank-ordered deterministic float folds; bounded query slice, LSH/IVF is the scale path")
   )
 }

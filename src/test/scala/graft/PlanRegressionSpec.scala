@@ -484,6 +484,14 @@ class PlanRegressionSpec extends AnyFunSuite {
            s"n_chars floor not pushed down:\n$p")
   }
 
+  test("bitext mining: bounded query slice broadcasts into the candidate pool") {
+    // the declared exact-baseline BNLJ must broadcast the CAPPED side (the
+    // <40-doc query slice), never shuffle-replicate the candidate pool
+    val p = plan("mine_bitext_margin")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("l-diversity: one aggregation pass plus the presentation sort only") {
     val p = plan("privacy_l_diversity")
     assert(p.contains("count(distinct event_type"), p) // exact, not approximate

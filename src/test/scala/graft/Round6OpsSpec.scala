@@ -515,6 +515,28 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bitext mining: pairs are cross-lingual, margins clear the bar, top1 is real") {
+    val out = SparkEntry.queries("mine_bitext_margin")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val langs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val (qid, bid) = (r.getAs[Long]("qid"), r.getAs[Long]("bid"))
+      assert(langs(qid) == "en" && qid < 40)
+      assert(langs(bid) != "en", s"pair $qid-$bid is not cross-lingual")
+      assert(r.getAs[String]("pair_lang") == langs(bid))
+      assert(r.getAs[Double]("margin") >= 1.15 - 1e-9)
+      assert(r.getAs[Double]("cos_sim") > 0.0)
+    }
+    // hub suppression is active: not every query survives the margin bar
+    val nQueries = spark.read.parquet(s"$sf/embeddings.parquet")
+      .join(spark.read.parquet(s"$sf/documents.parquet"),
+            col("vec_id") === col("doc_id"))
+      .where(col("lang") === "en" && col("vec_id") < 40).count()
+    assert(out.length < nQueries, "margin criterion rejected nothing")
+  }
+
   test("FIM split: parsing PSM back reconstructs every document exactly") {
     val out = SparkEntry.queries("corpus_fim_split")(spark, sf).collect()
     val texts = spark.read.parquet(s"$sf/documents.parquet")
