@@ -1064,7 +1064,7 @@ object AnnQueries {
           .select(col("vec_id").as("bid"), col("embedding").as("be"),
                   col("nrm").as("nb"), col("lang").as("pair_lang"))
         val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("bid"))
-        val ranked = q.crossJoin(b)
+        val ranked = broadcast(q).crossJoin(b)
           .withColumn("cos", expr(s"$dotExpr / sqrt(nq * nb)"))
           .withColumn("rk", row_number().over(w))
           .where(col("rk") <= 5)

@@ -226,6 +226,8 @@ object CorpusQueries {
         // plan branch) rather than crossJoin(agg(max)) — the latter plans a
         // second scan + aggregation subtree and a nested-loop broadcast,
         // three extra jobs before the rate table can even build.
+        // unpartitioned window is bounded by construction: it runs over
+        // the per-domain count table (#domains rows), never the fact table
         val rates = docs.groupBy("domain").agg(count(lit(1)).as("n_docs"))
           .withColumn("n_max", max("n_docs").over(
             org.apache.spark.sql.expressions.Window.orderBy("domain")
@@ -726,6 +728,8 @@ object CorpusQueries {
       (s, dir) => {
         val k = 100
         import org.apache.spark.sql.expressions.Window
+        // unpartitioned window is bounded by construction: it runs over
+        // the per-stratum allocation table (#strata rows), not the docs
         val wFull = Window.orderBy("source")
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         val docs = Tables.documents(s, dir)
