@@ -697,8 +697,13 @@ object AnnQueries {
           .select("qid", "bid", "cos_sim")
         // lexical: distinct-token Jaccard of each candidate against the
         // query doc's token set (documents.doc_id ≡ embeddings.vec_id)
+        // cached: tok feeds three branches (ntok rollup, query-side slice,
+        // candidate-side join) — without the cache the scan+explode+distinct
+        // subtree is evaluated three times (same rationale as
+        // text_corpus_fluency's toks)
         val tok = Tables.documents(s, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term")).distinct()
+          .cache()
         val ntok = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
         val qtok = tok.where(col("doc_id") < 4)
           .select(col("doc_id").as("qid"), col("term"))

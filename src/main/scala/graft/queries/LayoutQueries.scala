@@ -227,10 +227,16 @@ object LayoutQueries {
           .withColumn("pos", expr(s"CAST(ceil(j * m / $B.0) AS BIGINT)"))
           .join(ranked, col("rn") === col("pos"))
           .select(col("j"), col("key").as("bound"))
+        // bucket assignment is a MAP-SIDE array probe: the B−1 split points
+        // collapse to one broadcast array row and bucket = #bounds ≤ key is
+        // a codegen'd size(filter(...)) — no ×B row expansion and no
+        // (id, key) re-aggregation shuffle between the fact scan and the
+        // per-bucket stats
+        val boundsArr = bounds.groupBy().agg(collect_list(col("bound")).as("bs"))
         val assigned = k
-          .join(broadcast(bounds), col("bound") <= col("key"), "left")
-          .groupBy("id", "key")
-          .agg(count(col("j")).as("bucket")) // #bounds ≤ key = range bucket id
+          .crossJoin(broadcast(boundsArr))
+          .select(col("id"), col("key"),
+                  expr("CAST(size(filter(bs, b -> b <= key)) AS BIGINT)").as("bucket"))
         assigned.groupBy("bucket")
           .agg(count(lit(1)).as("n_rows"),
                min("key").as("min_key"), max("key").as("max_key"))

@@ -199,9 +199,13 @@ object TextQueries {
     // beyond any natural-language vocab); the window partitions by doc.
     Q("tfidf_top_terms", Seq("text", "W4", "A12", "J1"),
       (s, dir) => {
+        // cached: tf feeds both the df rollup and the probe side of the
+        // join — without the cache the scan+explode+aggregate subtree is
+        // evaluated twice (same rationale as text_corpus_fluency's toks)
         val tf = Tables.documents(s, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .cache()
         val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("score").desc, col("term"))

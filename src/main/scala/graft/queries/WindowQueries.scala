@@ -402,15 +402,23 @@ object WindowQueries {
         val m = Tables.events(s, dir)
           .groupBy(col("user_id"), to_date(col("ts")).as("ym"))
           .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
-        val sgn = when(col("c2") > col("c1"), 1L)
-          .when(col("c2") < col("c1"), -1L).otherwise(0L)
-        val pairs = m.select(col("user_id"), col("ym").as("ym1"), col("cents").as("c1"))
-          .join(m.select(col("user_id"), col("ym").as("ym2"), col("cents").as("c2")),
-                Seq("user_id"))
-          .where(col("ym1") < col("ym2"))
-        pairs.groupBy("user_id")
-          .agg(sum(sgn).as("s_stat"))
-          .join(m.groupBy("user_id").agg(count(lit(1)).as("n_periods")), "user_id")
+        // The i<j pair space is generated INSIDE one codegen'd projection
+        // over each user's collected series (sorted by day, so i<j ⇔
+        // earlier<later) instead of a self-join + re-aggregation: one
+        // user_id shuffle total, and the per-row work stays the same
+        // calendar-bounded O(days²). Users with a single period have no
+        // pairs and are dropped, matching the oracle's inner join.
+        m.groupBy("user_id")
+          .agg(sort_array(collect_list(struct(col("ym"), col("cents")))).as("ser"))
+          .where(size(col("ser")) >= 2)
+          .select(col("user_id"),
+                  size(col("ser")).cast("bigint").as("n_periods"),
+                  expr("""aggregate(flatten(transform(sequence(0, size(ser) - 2), i ->
+                         |  transform(sequence(i + 1, size(ser) - 1), j ->
+                         |    CASE WHEN ser[j].cents > ser[i].cents THEN 1L
+                         |         WHEN ser[j].cents < ser[i].cents THEN -1L
+                         |         ELSE 0L END))), 0L, (a, x) -> a + x)""".stripMargin)
+                    .as("s_stat"))
           .select(col("user_id"), col("n_periods"), col("s_stat"),
                   when(col("s_stat") > 0, "up").when(col("s_stat") < 0, "down")
                     .otherwise("flat").as("trend"))
@@ -447,20 +455,24 @@ object WindowQueries {
         val m = Tables.events(s, dir)
           .groupBy(col("user_id"), to_date(col("ts")).as("d"))
           .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
-        val pairs = m.select(col("user_id"), col("d").as("d1"), col("cents").as("c1"))
-          .join(m.select(col("user_id"), col("d").as("d2"), col("cents").as("c2")),
-                Seq("user_id"))
-          .where(col("d1") < col("d2"))
+        // Same one-shuffle shape as the MK rewrite above: every pairwise
+        // slope is computed inside a single codegen'd projection over the
+        // user's sorted series, the lower median is a rank pick into the
+        // sorted slope array (tie-independent, engine-exact), and the
+        // self-join + two windows disappear. Per-row cost stays the same
+        // calendar-bounded O(days²).
+        m.groupBy("user_id")
+          .agg(sort_array(collect_list(struct(col("d"), col("cents")))).as("ser"))
+          .where(size(col("ser")) >= 2)
+          .withColumn("slopes", expr(
+            s"""array_sort(flatten(transform(sequence(0, size(ser) - 2), i ->
+               |  transform(sequence(i + 1, size(ser) - 1), j ->
+               |    ((ser[j].cents - ser[i].cents) * 1000000
+               |       + $K * datediff(ser[j].d, ser[i].d))
+               |      div datediff(ser[j].d, ser[i].d) - $K))))""".stripMargin))
           .select(col("user_id"),
-                  expr(s"((c2 - c1) * 1000000 + $K * datediff(d2, d1)) div datediff(d2, d1) - $K")
-                    .as("slope_ppm"))
-        val w = Window.partitionBy("user_id").orderBy("slope_ppm")
-        val wc = Window.partitionBy("user_id")
-        pairs
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n_pairs", count(lit(1)).over(wc))
-          .where(col("rn") === expr("(n_pairs + 1) div 2"))
-          .select(col("user_id"), col("n_pairs"), col("slope_ppm").as("theil_sen_ppm"))
+                  size(col("slopes")).cast("bigint").as("n_pairs"),
+                  expr("slopes[(size(slopes) + 1) div 2 - 1]").as("theil_sen_ppm"))
           .orderBy("user_id")
       },
       Some("""WITH m AS (
