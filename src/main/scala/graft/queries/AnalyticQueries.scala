@@ -425,15 +425,17 @@ object AnalyticQueries {
           .cache()
         val l0 = edges.select(col("a").as("node")).distinct()
           .select(col("node"), col("node").as("label"))
-        val byNode = org.apache.spark.sql.expressions.Window
-          .partitionBy("node").orderBy(col("cnt").desc, col("label"))
+        // plurality pick per round is an ARGMIN aggregation, not a window:
+        // min(struct(-cnt, label)) orders by cnt desc then label asc — the
+        // same deterministic tie-break — with map-side partial aggregation
+        // and no per-round partition sort
         val l3 = (1 to 3).foldLeft(l0) { (prev, _) =>
           edges.join(prev, edges("a") === prev("node"))
             .groupBy(col("b").as("node"), col("label"))
             .agg(count(lit(1)).as("cnt"))
-            .withColumn("rn", row_number().over(byNode))
-            .where(col("rn") === 1)
-            .select("node", "label")
+            .groupBy("node")
+            .agg(min(struct((-col("cnt")).as("neg"), col("label"))).as("top"))
+            .select(col("node"), col("top.label").as("label"))
         }
         l3.orderBy("node")
       },

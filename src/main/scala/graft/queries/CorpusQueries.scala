@@ -610,8 +610,12 @@ object CorpusQueries {
     // construction (broadcast), so the corpus never pair-joins.
     Q("corpus_decontaminate", Seq("corpus", "dedup", "J6", "F7", "A12"),
       (s, dir) => {
+        // cached: base feeds the gram explode (twice, via disjoint bench/
+        // corpus filters) and the token explode — one scan+split instead
+        // of four (same rationale as text_corpus_fluency's toks)
         val base = Tables.documents(s, dir)
           .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .cache()
         val grams = base.where(size(col("t")) >= 3)
           .select(col("doc_id"), explode(
             expr("transform(sequence(1, size(t)-2), i -> struct(i AS start, concat_ws(' ', slice(t, i, 3)) AS gram))")).as("g"))
@@ -625,6 +629,7 @@ object CorpusQueries {
         val toks = base.where(col("doc_id") % 97 =!= 0)
           .select(col("doc_id"), posexplode(col("t")).as(Seq("pos0", "tok")))
           .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+          .cache() // feeds both the kept anti-join and the n_tok rollup
         val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_kept"),
