@@ -438,18 +438,21 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(ex <= 4, s"expected <=4 exchanges, got $ex:\n$p")
   }
 
-  test("label propagation: plurality windows partition by node, never by label") {
+  test("label propagation: plurality pick is an aggregation, never a window") {
     // NOTE the per-round edges⋈labels join is ALLOWED to be a shuffle
     // (sort-merge) join: the label frame is |V|-sized and must not be
-    // assumed broadcastable — the property pinned here is window
-    // partitioning, the axis that decides whether community skew can
-    // funnel a partition through one task
+    // assumed broadcastable. The plurality pick per round must be the
+    // min(struct(-cnt, label)) ARGMIN aggregation — map-side combinable,
+    // keyed on the high-cardinality node column — not a window (a window
+    // sorts whole partitions, and one keyed by label would funnel
+    // community skew through single tasks)
     val p = plan("graph_label_prop")
     assert(!p.contains("CartesianProduct"), p)
-    // three rounds -> three row_number windows, each keyed on the node column
-    val windows = "windowspecdefinition\\(node".r.findAllIn(p).length
-    assert(windows >= 3, s"expected >=3 node-partitioned windows:\n$p")
-    assert(!p.contains("windowspecdefinition(label"), p)
+    assert(!p.contains("windowspecdefinition"),
+           s"expected no windows in the LPA rounds:\n$p")
+    // three rounds -> three node-keyed argmin aggregations (partial+final)
+    val argmins = "partial_min\\(struct\\(neg".r.findAllIn(p).length
+    assert(argmins >= 3, s"expected >=3 argmin rounds:\n$p")
   }
 
   test("k-core peel rounds are semi-join shaped with map-side degree partials") {
