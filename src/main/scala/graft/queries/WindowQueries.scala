@@ -552,14 +552,43 @@ object WindowQueries {
     // per flag partition, aggregate piggybacks on the same sort order.
     Q("w_ntile_deciles", Seq("W4", "W9", "A9", "A13"),
       (s, dir) => {
-        val W = org.apache.spark.sql.expressions.Window
-          .partitionBy("rf")
-          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-        Tables.lineitem(s, dir)
+        // Two-phase distributed ranking: rf has 3 values, so a window
+        // PARTITION BY rf alone would funnel a third of the table through
+        // ONE task's sort (the low-cardinality-partition scale killer the
+        // moving-median rewrite documents). Instead rows are banded by a
+        // $100 price bucket, per-(rf, band) counts build prefix offsets on
+        // a bounded summary (#rf × #bands rows), and the only data-sized
+        // window runs inside the high-cardinality (rf, band) partition.
+        // The global rank rn = offset + in-band row_number is exact
+        // because the ordering key (price, okey, lineno) sorts bands
+        // contiguously; ntile and cume_dist are then closed-form functions
+        // of (rn, n) — the order key is unique, so cume_dist peers are
+        // singletons and cd = rn/n. Result is hash-identical to the
+        // oracle's single global window.
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.lineitem(s, dir)
           .select(col("l_returnflag").as("rf"), col("l_extendedprice"),
                   col("l_orderkey"), col("l_linenumber"))
-          .withColumn("dc", ntile(10).over(W))
-          .withColumn("cd", cume_dist().over(W))
+          .withColumn("band", expr("CAST(l_extendedprice * 100 AS BIGINT) div 10000"))
+        val counts = base.groupBy("rf", "band").agg(count(lit(1)).as("bn"))
+        // unpartitioned-per-rf windows are bounded by construction: they
+        // run over the per-band count summary, never the fact table
+        val wPre = Window.partitionBy("rf").orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = counts
+          .withColumn("off", coalesce(sum("bn").over(wPre), lit(0L)))
+          .withColumn("n", sum("bn").over(Window.partitionBy("rf")))
+          .select("rf", "band", "off", "n")
+        val wIn = Window.partitionBy("rf", "band")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        base.join(broadcast(offs), Seq("rf", "band"))
+          .withColumn("rn", col("off") + row_number().over(wIn))
+          .withColumn("dc", expr(
+            """CAST(CASE WHEN rn <= (n % 10) * (n div 10 + 1)
+              |       THEN (rn - 1) div (n div 10 + 1) + 1
+              |       ELSE n % 10 + (rn - (n % 10) * (n div 10 + 1) - 1) div (n div 10) + 1
+              |     END AS INT)""".stripMargin))
+          .withColumn("cd", expr("CAST(rn AS DOUBLE) / n"))
           .groupBy("rf", "dc")
           .agg(count(lit(1)).as("n"),
                expr(s"CAST(sum(CAST(l_extendedprice AS $dec)) AS DOUBLE)").as("sum_price"),

@@ -226,10 +226,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$p")
   }
 
-  test("decile profile: window and rollup share the flag partitioning (2 hash exchanges total)") {
+  test("decile profile: two-phase rank — band-count summary, broadcast offsets, bounded exchanges") {
+    // the two-phase plan pays one extra exchange vs the old single rf
+    // window, but no task ever sorts a whole rf partition (rf has 3
+    // values; the old shape funneled a third of the table through one
+    // task). Offsets reach the data through a broadcast, never a shuffle.
     val p = plan("w_ntile_deciles")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(shuffles <= 2, s"expected <=2 hash exchanges, got $shuffles:\n$p")
+    assert(shuffles <= 4, s"expected <=4 hash exchanges, got $shuffles:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("Q11: the global total re-aggregates the group table and broadcasts as one row") {
@@ -324,6 +330,28 @@ class PlanRegressionSpec extends AnyFunSuite {
       assert(wins.exists(_.partitionSpec.length >= 2),
              s"$q has no chunked data-level window:\n$exec")
     }
+  }
+
+  test("decile profile: data-level ranking windows on (rf, band); only the offset stitch may partition by rf alone") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val exec = SparkEntry.queries("w_ntile_deciles")(spark, dir)
+      .queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val wins = exec.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"lost the window operators:\n$exec")
+    wins.foreach { w =>
+      // a 3-value rf-only window over raw rows funnels a third of the
+      // table through one task — allowed only over the band-count summary
+      if (w.partitionSpec.length < 2)
+        assert(w.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
+               s"rf-only window over raw data:\n$exec")
+    }
+    assert(wins.exists(_.partitionSpec.length >= 2),
+           s"no (rf, band)-keyed data-level window:\n$exec")
   }
 
   test("PPS sampling: no unpartitioned window over raw data, only over chunk totals") {

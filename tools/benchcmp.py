@@ -140,18 +140,14 @@ def main():
         "the engines are close; the rest of the gap is Spark's fixed per-query",
         "floor times the query count.",
         "",
-        "PROPOSED CONTRACT METRIC (for the driver): the sf0.1 grand total is",
-        "floor-bound, not work-bound — the floor was attacked directly",
-        "(resolved-scan caching, AQE coalesce A/B, shuffle-on-tmpfs,",
-        "state-store sizing; each measured, see git history) and what remains",
-        "is Spark's ~0.1-0.3s/query job-scheduling minimum times 200+",
-        "queries, a constant that vanishes into noise at any real SF. The",
-        "faithful single-node comparisons are (1) the work-dominated batch",
-        "subset below (DuckDB >= 0.1s — both engines actually computing) and",
-        "(2) the sf1 grand total in BENCHCMP_sf1.md, where the same queries",
-        "on 10x the rows cross over in Spark's favor. We propose either as",
-        "the 2x-bar metric; the grand-total row stays reported here either",
-        "way.",
+        "Composition note: totals below cover EVERY oracle-checked query in",
+        "the bench input (earlier rounds' tables covered only the subset the",
+        "driver's truncated stdout line carried, omitting several graph",
+        "oracles that are expensive for a single-node engine). The per-query",
+        "floor was also attacked directly — resolved-scan caching, AQE",
+        "coalesce A/B, shuffle-on-tmpfs, state-store sizing, each measured",
+        "(see git history) — and what remains is Spark's ~0.1-0.3s/query",
+        "job-scheduling minimum, a constant that vanishes at any real SF.",
         "",
         "| query | spark s | duckdb s | spark/duckdb |",
         "|---|---|---|---|",
