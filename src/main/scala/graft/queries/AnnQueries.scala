@@ -608,8 +608,11 @@ object AnnQueries {
         val copyEdges = members.where(col("vec_id") =!= col("rep"))
           .select(col("rep").as("x"), col("vec_id").as("y"))
         val edges = repEdges.union(copyEdges)
+        // pre-partition on the round join key before the checkpoint: the
+        // materialized partitioning satisfies every round's sym⋈labels
+        // join, so only the label frame shuffles per round
         val sym = edges.union(edges.select(col("y").as("x"), col("x").as("y")))
-          .localCheckpoint()
+          .repartition(col("x")).localCheckpoint()
         // Iterate ONLY over edge endpoints: at corpus scale near-dup edges
         // are sparse, so |V_edges| << |V| — isolated vectors are fixpoints
         // from round 0 and re-attach with their own label after

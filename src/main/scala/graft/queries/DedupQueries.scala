@@ -280,7 +280,11 @@ object DedupQueries {
       .where(col("shared").cast("double") / (col("na") + col("nb") - col("shared")) >= 0.5)
       .select("a", "b")
     val edges = exactEdges.union(nearEdges)
-    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).cache()
+    // pre-partition on the round join key: the cached partitioning
+    // satisfies every round's edges⋈labels join, so only the label frame
+    // shuffles per round (same co-partitioning as the graph builders)
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a")).cache()
     var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
     var changed = 1L
     var rounds = 0
