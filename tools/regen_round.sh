@@ -1,0 +1,45 @@
+#!/bin/bash
+# End-of-round artifact regeneration, in the required order:
+# Verify -> Bench(sf0.1) -> benchcmp -> Bench(sf1) -> benchcmp_sf1 ->
+# scalecheck -> PlanAudit -> Coverage. README counts stay manual.
+set -e
+cd /root/repo
+
+echo "=== 1. Verify gate (sf0.01) ==="
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/graft_verify_final" 2>&1 | tail -1
+python3 tools/check.py /root/testdata/sf0.01 /tmp/graft_verify_final 2>&1 | tail -3
+
+echo "=== 2. Bench sf0.1 ==="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' | tail -1
+cp BENCH_LOCAL.json /tmp/bench_local_final_sf01.json
+
+echo "=== 3. benchcmp sf0.1 ==="
+python3 tools/benchcmp.py /root/testdata/sf0.1 /tmp/bench_local_final_sf01.json \
+  BENCHCMP.md /tmp/graft_verify_final/oracle_sql.json 2>&1 | tail -1
+
+echo "=== 4. Bench sf1 ==="
+SPARK_GRAFT_SF_DIR=/tmp/sf1 SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' | tail -1
+cp BENCH_LOCAL.json /tmp/bench_local_final_sf1.json
+cp /tmp/bench_local_final_sf1.json BENCH_sf1.json
+cp /tmp/bench_local_final_sf01.json BENCH_LOCAL.json
+
+echo "=== 5. benchcmp sf1 ==="
+python3 tools/benchcmp.py /tmp/sf1 /tmp/bench_local_final_sf1.json \
+  BENCHCMP_sf1.md /tmp/graft_verify_final/oracle_sql.json 2>&1 | tail -1
+
+echo "=== 6. scalecheck ==="
+python3 tools/scalecheck.py /tmp/bench_local_final_sf01.json \
+  /tmp/bench_local_final_sf1.json 10 > /tmp/scalecheck_final.txt || true
+tail -5 /tmp/scalecheck_final.txt
+
+echo "=== 7. PlanAudit ==="
+sbt -batch "runMain graft.PlanAudit /root/testdata/sf0.001" 2>&1 \
+  | grep -E '^\| ' > /tmp/plans_table_final.md
+wc -l /tmp/plans_table_final.md
+
+echo "=== 8. Coverage ==="
+sbt -batch "runMain graft.Coverage COVERAGE.md" 2>&1 | tail -1
+
+echo "=== REGEN DONE ==="
