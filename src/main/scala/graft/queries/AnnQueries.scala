@@ -812,6 +812,83 @@ object AnnQueries {
              |FROM q ORDER BY vec_id""".stripMargin),
       note = "per-vector symmetric int8 quantization (FAISS-SQ8 shape) + saturation/reconstruction audit; shuffle-free per-row map, bit-exact across engines"),
 
+    // Top principal direction of the embedding store by DISTRIBUTED POWER
+    // ITERATION — the dimensionality probe every embedding pipeline runs
+    // (anisotropy/whitening diagnostics, OPQ rotation seeding, drift
+    // monitoring between model versions). Three unrolled Gram-matrix
+    // iterations v ← X^T(Xv)/‖·‖ in ONE declarative plan. Cross-engine
+    // bit-exactness for a genuinely floating-point iterative kernel:
+    // per-row dots are sequential 64-element folds (engine-identical);
+    // every CROSS-ROW sum — the only place parallel reduction order could
+    // bite — is quantized first (floor(u·x·10¹² + 0.5), exact in doubles
+    // since |u·x| ≤ 1) and summed as DECIMAL(38,0), so the reduce is exact
+    // integer arithmetic in any order; the 64-element normalization runs
+    // as an in-row fold over the pos-sorted z array. Plan shape at scale:
+    // each iteration is one broadcast of the 64-float vector, a map-side
+    // explode, and ONE 64-group aggregation with map-side partials — the
+    // classic allreduce-as-aggregation, nothing grows with rows but the
+    // linear scan.
+    Q("ml_pca_power_iter", Seq("ann", "similarity", "A12", "A13", "§2.10"),
+      (s, dir) => {
+        val d = 64 // TESTDATA.md embedding dim
+        val emb = FrameMemo(s, s"$dir#pca_xs") {
+          Tables.embeddings(s, dir)
+            .select(col("vec_id"),
+                    expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("xs"))
+        }
+        val v0 = s.range(1).select(
+          expr(s"transform(sequence(1, $d), i -> 0.125D)").as("v")) // 1/√64 exactly
+        val vK = (1 to 3).foldLeft(v0) { (vf, _) =>
+          emb.crossJoin(broadcast(vf))
+            .withColumn("u", expr(
+              "aggregate(zip_with(xs, v, (x, y) -> x * y), 0D, (a, p) -> a + p)"))
+            .select(col("u"), posexplode(col("xs")).as(Seq("pos", "xv")))
+            .groupBy("pos")
+            .agg(sum(expr(
+              "CAST(floor(u * xv * 1000000000000D + 0.5D) AS DECIMAL(38,0))")).as("zq"))
+            .select(col("pos"), col("zq").cast("double").as("zd"))
+            .groupBy()
+            .agg(expr("sort_array(collect_list(struct(pos, zd)))").as("zs"))
+            .withColumn("nrm", expr("sqrt(aggregate(zs, 0D, (a, q) -> a + q.zd * q.zd))"))
+            .select(expr("transform(zs, t -> t.zd / nrm)").as("v"))
+        }
+        vK.select(posexplode(col("v")).as(Seq("pos0", "loading")))
+          .select((col("pos0") + 1).cast("int").as("pos"), col("loading"))
+          .orderBy("pos")
+      },
+      Some("""WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+             |          FROM embeddings),
+             |v0 AS (SELECT list_transform(generate_series(1, 64),
+             |         i -> CAST(0.125 AS DOUBLE)) AS v),
+             |u1 AS (SELECT xs, list_sum(list_transform(generate_series(1, 64),
+             |         i -> xs[i] * v[i])) AS u FROM e, v0),
+             |x1 AS (SELECT u, xs, unnest(generate_series(1, 64)) AS pos FROM u1),
+             |z1 AS (SELECT pos, SUM(CAST(floor(u * xs[pos] * 1000000000000 + 0.5)
+             |         AS DECIMAL(38,0))) AS zq FROM x1 GROUP BY pos),
+             |a1 AS (SELECT list(CAST(zq AS DOUBLE) ORDER BY pos) AS zs FROM z1),
+             |v1 AS (SELECT list_transform(zs, x -> x /
+             |         sqrt(list_sum(list_transform(zs, y -> y * y)))) AS v FROM a1),
+             |u2 AS (SELECT xs, list_sum(list_transform(generate_series(1, 64),
+             |         i -> xs[i] * v[i])) AS u FROM e, v1),
+             |x2 AS (SELECT u, xs, unnest(generate_series(1, 64)) AS pos FROM u2),
+             |z2 AS (SELECT pos, SUM(CAST(floor(u * xs[pos] * 1000000000000 + 0.5)
+             |         AS DECIMAL(38,0))) AS zq FROM x2 GROUP BY pos),
+             |a2 AS (SELECT list(CAST(zq AS DOUBLE) ORDER BY pos) AS zs FROM z2),
+             |v2 AS (SELECT list_transform(zs, x -> x /
+             |         sqrt(list_sum(list_transform(zs, y -> y * y)))) AS v FROM a2),
+             |u3 AS (SELECT xs, list_sum(list_transform(generate_series(1, 64),
+             |         i -> xs[i] * v[i])) AS u FROM e, v2),
+             |x3 AS (SELECT u, xs, unnest(generate_series(1, 64)) AS pos FROM u3),
+             |z3 AS (SELECT pos, SUM(CAST(floor(u * xs[pos] * 1000000000000 + 0.5)
+             |         AS DECIMAL(38,0))) AS zq FROM x3 GROUP BY pos),
+             |a3 AS (SELECT list(CAST(zq AS DOUBLE) ORDER BY pos) AS zs FROM z3),
+             |v3 AS (SELECT list_transform(zs, x -> x /
+             |         sqrt(list_sum(list_transform(zs, y -> y * y)))) AS v FROM a3),
+             |p AS (SELECT unnest(generate_series(1, 64)) AS pos)
+             |SELECT CAST(p.pos AS INTEGER) AS pos, v[p.pos] AS loading
+             |FROM v3, p ORDER BY pos""".stripMargin),
+      note = "top principal direction by 3 power iterations: quantized-integer cross-row sums (order-free exact), in-row folds for dots and norms — a bit-exact distributed float kernel"),
+
     // Greedy k-center coreset (farthest-point sampling) — the diversity-
     // selection primitive of data pruning / active learning: pick the
     // point farthest from everything selected so far, k times, giving a

@@ -18,6 +18,16 @@ object StreamQueries {
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       note = "Trigger.AvailableNow over file source, 1-day tumbling windows + watermark"),
 
+    Q("stream_sliding_windows", Seq("§2.9", "F6", "W1", "W2"),
+      (s, dir) => StreamOps.slidingWindowAgg(s, dir),
+      // each event belongs to the 3 one-day-stepped windows covering it
+      Some("""SELECT CAST(date_trunc('day', ts) - k * INTERVAL 1 DAY AS DATE) AS w_start,
+             |  event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events, (SELECT unnest([0, 1, 2]) AS k)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      note = "3-day windows sliding by 1 day: 3x overlapping state entries per key, complete mode; oracle replays the 3-window assignment batch-side"),
+
     Q("stream_append_complete_windows", Seq("§2.9", "F6", "W1"),
       (s, dir) => StreamOps.appendCompleteWindows(s, dir),
       // only windows whose end the watermark (max ts − 1 day) has passed

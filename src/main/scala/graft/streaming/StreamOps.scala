@@ -111,6 +111,32 @@ object StreamOps {
       .orderBy("d", "event_type")
   }
 
+  /** Sliding-window streaming aggregation: 3-day windows advancing by 1
+    * day, so every event lands in exactly 3 overlapping windows — the
+    * shape that distinguishes sliding from tumbling STATE-wise (3× state
+    * entries per key, same watermark eviction rule). Complete mode +
+    * AvailableNow drain; the oracle replays the same assignment by
+    * generating each event's 3 window starts batch-side. */
+  def slidingWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val batch = graft.core.Tables.events(spark, dir)
+    val name = s"graft_slide_${runCounter.incrementAndGet()}"
+    val stream = spark.readStream
+      .schema(tableSchema(spark, s"$dir/events.parquet"))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr(tsExpr(spark, dir)))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "3 days", "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))").as("sum_value"))
+    drain(spark, name, stream.writeStream.outputMode("complete").format("memory"))
+    val _ = batch // keeps the nanosAsLong conf set before the streaming scan
+    spark.table(name)
+      .select(to_date(col("window.start")).as("w_start"), col("event_type"),
+              col("n"), col("sum_value").cast("double").as("sum_value"))
+      .orderBy("w_start", "event_type")
+  }
+
   /** Stream–static enrichment: the most common production streaming join —
     * each micro-batch hash-joins against a broadcast batch dimension (no
     * state store, no watermark bookkeeping on the dim side; at scale the
