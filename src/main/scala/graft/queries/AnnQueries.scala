@@ -889,6 +889,77 @@ object AnnQueries {
              |FROM v3, p ORDER BY pos""".stripMargin),
       note = "top principal direction by 3 power iterations: quantized-integer cross-row sums (order-free exact), in-row folds for dots and norms — a bit-exact distributed float kernel"),
 
+    // Matryoshka prefix-dimension recall audit — the evaluation every
+    // MRL-trained embedding deployment runs before serving truncated
+    // vectors (retrieve with the first 16 of 64 dims at ¼ the memory
+    // bandwidth, re-rank with the full vector): for each query, the exact
+    // top-5 under the 16-dim PREFIX cosine is compared against the top-5
+    // under the FULL cosine, reporting the overlap and both top-1 picks.
+    // Ranking-only outputs (ids and an intersection count) make the query
+    // hash-exact even though cosines are floats: both engines order by
+    // the same sequentially-folded dot, and only the order is consumed.
+    // Same declared exact-baseline BNLJ role as ann_cosine_topk — the
+    // bounded query slice broadcasts into the candidate pool; at scale
+    // the prefix leg is the IVF probe and this audit grades it.
+    Q("ann_matryoshka_recall", Seq("ann", "similarity", "W4", "A12", "§2.10"),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+                  expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("xs"))
+          .withColumn("pre", expr("slice(xs, 1, 16)"))
+        def fold(a: String, b: String) =
+          s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"
+        val q = emb.where(col("vec_id") < 4)
+          .select(col("vec_id").as("qid"), col("xs").as("qx"), col("pre").as("qp"))
+        val b = emb.select(col("vec_id").as("bid"), col("xs").as("bx"), col("pre").as("bp"))
+        val grid = broadcast(q).crossJoin(b).where(col("qid") =!= col("bid"))
+          .withColumn("cf", expr(
+            s"${fold("qx", "bx")} / sqrt((${fold("qx", "qx")}) * (${fold("bx", "bx")}))"))
+          .withColumn("cp", expr(
+            s"${fold("qp", "bp")} / sqrt((${fold("qp", "qp")}) * (${fold("bp", "bp")}))"))
+        val wf = Window.partitionBy("qid").orderBy(col("cf").desc, col("bid"))
+        val wp = Window.partitionBy("qid").orderBy(col("cp").desc, col("bid"))
+        grid
+          .withColumn("rf", row_number().over(wf))
+          .withColumn("rp", row_number().over(wp))
+          .where(col("rf") <= 5 || col("rp") <= 5)
+          .groupBy("qid")
+          .agg(expr("sort_array(filter(collect_list(CASE WHEN rf <= 5 THEN bid END), x -> x IS NOT NULL))").as("full5"),
+               expr("sort_array(filter(collect_list(CASE WHEN rp <= 5 THEN bid END), x -> x IS NOT NULL))").as("pre5"),
+               max(when(col("rf") === 1, col("bid"))).as("top1_full"),
+               max(when(col("rp") === 1, col("bid"))).as("top1_prefix"))
+          .select(col("qid"), col("top1_full"), col("top1_prefix"),
+                  expr("CAST(size(array_intersect(full5, pre5)) AS INT)").as("overlap_n"))
+          .orderBy("qid")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs,
+             |    list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS pre
+             |  FROM embeddings),
+             |g AS (SELECT q.vec_id AS qid, b.vec_id AS bid,
+             |    list_sum(list_transform(generate_series(1, 64), i -> q.xs[i] * b.xs[i]))
+             |      / sqrt(list_sum(list_transform(q.xs, x -> x * x))
+             |             * list_sum(list_transform(b.xs, x -> x * x))) AS cf,
+             |    list_sum(list_transform(generate_series(1, 16), i -> q.pre[i] * b.pre[i]))
+             |      / sqrt(list_sum(list_transform(q.pre, x -> x * x))
+             |             * list_sum(list_transform(b.pre, x -> x * x))) AS cp
+             |  FROM e q, e b WHERE q.vec_id < 4 AND b.vec_id <> q.vec_id),
+             |r AS (SELECT qid, bid,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cf DESC, bid) AS rf,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cp DESC, bid) AS rp
+             |  FROM g),
+             |tf AS (SELECT qid, list(bid ORDER BY bid) AS full5,
+             |         min(CASE WHEN rf = 1 THEN bid END) AS top1_full
+             |       FROM r WHERE rf <= 5 GROUP BY 1),
+             |tp AS (SELECT qid, list(bid ORDER BY bid) AS pre5,
+             |         min(CASE WHEN rp = 1 THEN bid END) AS top1_prefix
+             |       FROM r WHERE rp <= 5 GROUP BY 1)
+             |SELECT tf.qid, tf.top1_full, tp.top1_prefix,
+             |  CAST(len(list_intersect(tf.full5, tp.pre5)) AS INTEGER) AS overlap_n
+             |FROM tf JOIN tp USING (qid) ORDER BY qid""".stripMargin),
+      note = "MRL truncated-dimension audit: exact top-5 under 16-dim prefix cosine vs full 64-dim cosine, overlap + top-1s; rank-only outputs keep the compare hash-exact"),
+
     // Greedy k-center coreset (farthest-point sampling) — the diversity-
     // selection primitive of data pruning / active learning: pick the
     // point farthest from everything selected so far, k times, giving a

@@ -441,6 +441,50 @@ object LayoutQueries {
     // the SAME pass, so an FK audit costs exactly one join, never a
     // join + recount. The long (one-row-per-rule) shape comes from
     // stack() over the single aggregated row: plan-free reshaping.
+    // Ingest-volume anomaly detection by ROBUST z-score — the data-quality
+    // monitor every scheduled pipeline runs on its own row counts: a
+    // median/MAD screen (|x − med| > 3.5·1.4826·MAD, Iglewicz–Hoaglin)
+    // instead of mean/stddev, because volume anomalies are exactly the
+    // points that wreck the mean. Everything stays in exact integers —
+    // daily counts, the lower medians, the deviation median, and the flag
+    // itself (|x − med|·10⁴ > 51891·MAD, the constant pre-multiplied) —
+    // so both engines agree bit-for-bit with no float in sight. Scale:
+    // one (type, day) count shuffle; the median/MAD machinery runs as
+    // in-row HOFs over each type's collected day series (bounded by the
+    // calendar, never by rows), then a broadcast joins the per-type
+    // thresholds back to the daily summary.
+    Q("dq_volume_anomaly", Seq("A1", "A13", "F4", "W1", "corpus"),
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n"))
+        val stats = daily.groupBy("event_type")
+          .agg(sort_array(collect_list(col("n"))).as("ns"))
+          .withColumn("med", expr("ns[(size(ns) + 1) div 2 - 1]"))
+          .withColumn("mad", expr(
+            "array_sort(transform(ns, x -> abs(x - med)))[(size(ns) + 1) div 2 - 1]"))
+          .select("event_type", "med", "mad")
+        daily.join(broadcast(stats), "event_type")
+          .select(col("event_type"), col("d"), col("n"), col("med"), col("mad"),
+                  (abs(col("n") - col("med")) * 10000L > lit(51891L) * col("mad"))
+                    .as("is_anomaly"))
+          .orderBy("event_type", "d")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+             |               FROM events GROUP BY 1, 2),
+             |arr AS (SELECT event_type, list(n ORDER BY n) AS ns
+             |        FROM daily GROUP BY 1),
+             |m AS (SELECT event_type, ns, ns[(len(ns) + 1) // 2] AS med FROM arr),
+             |st AS (SELECT event_type, med,
+             |         list_sort(list_transform(ns, x -> abs(x - med)))
+             |           [(len(ns) + 1) // 2] AS mad
+             |       FROM m)
+             |SELECT d.event_type, d.d, d.n, st.med, st.mad,
+             |  abs(d.n - st.med) * 10000 > 51891 * st.mad AS is_anomaly
+             |FROM daily d JOIN st USING (event_type)
+             |ORDER BY d.event_type, d.d""".stripMargin),
+      note = "median/MAD robust volume monitor, all-integer flag arithmetic (3.5 * 1.4826 pre-scaled to 51891/10000); per-type medians as in-row HOFs over calendar-bounded series"),
+
     Q("dq_constraint_audit", Seq("A1", "A10", "A12", "J6", "F4", "P15"),
       (s, dir) => {
         def viol(cond: org.apache.spark.sql.Column) =
