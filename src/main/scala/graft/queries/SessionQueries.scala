@@ -291,49 +291,6 @@ object SessionQueries {
     // (v1 misses keys ≡0 mod 10 = inserts; v2 drops ≡0 mod 13 = deletes;
     // ≡0 mod 7 bumps the price = updates), so the oracle reproduces the
     // exact same diff.
-    // SCD TYPE-2 REBUILD from a CDC event stream — the warehouse operator
-    // that turns "attribute changed at t" rows into validity intervals
-    // [valid_from, valid_to) with one open current row per key: the shape
-    // every dimension-table history (customer tier, document license,
-    // model version) is stored in. Consecutive duplicates collapse first
-    // (a CDC feed re-asserts unchanged values; SCD2 only versions real
-    // changes), then each change row closes at the NEXT change's
-    // timestamp. Two windows, both partitioned by the high-cardinality
-    // user key and riding one sort; timestamps are integer microseconds
-    // and the open interval uses an explicit -1 sentinel so the wire
-    // schema is null-free. Scale: one user_id exchange, both windows and
-    // the collapse filter pipeline on it.
-    Q("cdc_scd2_rebuild", Seq("cdc", "W2", "W3", "F9", "A11"),
-      (s, dir) => {
-        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-        val changes = Tables.events(s, dir)
-          .select(col("user_id"), col("event_type"),
-                  unix_micros(col("ts")).as("ts_us"), col("event_id"))
-          .withColumn("prev", lag("event_type", 1).over(w))
-          .where(col("prev").isNull || col("prev") =!= col("event_type"))
-        changes
-          .withColumn("valid_to", coalesce(lead("ts_us", 1).over(w), lit(-1L)))
-          .select(col("user_id"), col("event_type"),
-                  col("ts_us").as("valid_from"), col("valid_to"),
-                  (col("valid_to") === -1L).as("is_current"))
-          .orderBy("user_id", "valid_from")
-      },
-      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
-             |           FROM events),
-             |c AS (SELECT user_id, event_type, ts_us, event_id FROM (
-             |        SELECT user_id, event_type, ts_us, event_id,
-             |          lag(event_type) OVER (PARTITION BY user_id
-             |            ORDER BY ts_us, event_id) AS prev
-             |        FROM e) t
-             |      WHERE prev IS NULL OR prev <> event_type)
-             |SELECT user_id, event_type, ts_us AS valid_from,
-             |  coalesce(lead(ts_us) OVER (PARTITION BY user_id
-             |    ORDER BY ts_us, event_id), -1) AS valid_to,
-             |  coalesce(lead(ts_us) OVER (PARTITION BY user_id
-             |    ORDER BY ts_us, event_id), -1) = -1 AS is_current
-             |FROM c ORDER BY user_id, valid_from""".stripMargin),
-      note = "SCD type-2 from CDC: collapse re-asserted values, close each version at the next change, one open row per key; user-partitioned windows on one sort"),
-
     Q("cdc_snapshot_diff", Seq("cdc", "J1", "F1", "A12"),
       (s, dir) => {
         val v1 = Tables.orders(s, dir).where(col("o_orderkey") % 10 =!= 0)

@@ -140,6 +140,14 @@ def main():
         "the engines are close; the rest of the gap is Spark's fixed per-query",
         "floor times the query count.",
         "",
+        "Run-to-run variance: the grand-total ratio moves ~±10% between",
+        "same-code runs — host noise hits the two engines' runs",
+        "independently, and a 200+-query total amplifies it. When the",
+        "headline prints near 2.0x, the stable signals are the",
+        "work-dominated subset (both engines actually computing, pinned at",
+        "~1.0x across runs) and the sf1 crossover, not the last digit of",
+        "the floor-dominated total.",
+        "",
         "Composition note: totals below cover EVERY oracle-checked query in",
         "the bench input (earlier rounds' tables covered only the subset the",
         "driver's truncated stdout line carried, omitting several graph",
