@@ -20,16 +20,25 @@ object Tables {
     * single largest slice of the per-query floor. The production analog is
     * a catalog table with a known schema (no inference, cached listing),
     * so the cache is scale-faithful, not a bench trick. DataFrames are
-    * immutable plans; sharing the resolved relation is safe. */
+    * immutable plans; sharing the resolved relation is safe.
+    *
+    * Same lifetime pattern as [[graft.queries.FrameMemo]]: weak session key
+    * so stopped sessions (test suites cycle them) collect for free — no
+    * per-call scan of the cache. */
   private val scanCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, DataFrame]]())
 
   /** Read one harness table; `dir` is an sf dir like /root/testdata/sf0.01. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // drop entries owned by stopped sessions (test suites cycle sessions)
-    scanCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    scanCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      k => k._1.read.parquet(k._2))
+    var m = scanCache.get(spark)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+      scanCache.put(spark, m)
+    }
+    val path = s"$dir/$name.parquet"
+    m.getOrElseUpdate(path, spark.read.parquet(path))
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")

@@ -488,7 +488,7 @@ object AnalyticQueries {
            |${step(3)}
            |SELECT node, label FROM l3 ORDER BY node""".stripMargin
       },
-      note = "synchronous label propagation, 3 unrolled rounds: plurality neighbor label with deterministic min-label tie-break; window partitioned by node (high-card), not by community"),
+      note = "synchronous label propagation, 3 unrolled rounds: per-round argmin aggregation min(struct(-cnt, label)) picks the plurality neighbor label with deterministic min-label tie-break — no window function anywhere in the plan (PlanRegressionSpec asserts that)"),
 
     // Modularity audit of the label-propagation partition — the quality
     // score that tells you whether the communities are real structure or

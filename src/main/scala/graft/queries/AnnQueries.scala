@@ -820,10 +820,17 @@ object AnnQueries {
     // bit-exactness for a genuinely floating-point iterative kernel:
     // per-row dots are sequential 64-element folds (engine-identical);
     // every CROSS-ROW sum — the only place parallel reduction order could
-    // bite — is quantized first (floor(u·x·10¹² + 0.5), exact in doubles
-    // since |u·x| ≤ 1) and summed as DECIMAL(38,0), so the reduce is exact
-    // integer arithmetic in any order; the 64-element normalization runs
-    // as an in-row fold over the pos-sorted z array. Plan shape at scale:
+    // bite — is quantized first (floor(u·x·10¹² + 0.5)) and summed as
+    // DECIMAL(38,0), so the reduce is integer arithmetic in any order.
+    // PRECONDITIONS this relies on (guarded by Round8OpsSpec's norm check
+    // so a testdata change fails loudly, not via a hash mismatch):
+    // (a) embeddings ≈ unit-norm, so |u·x| ≤ ~1 and u·x·10¹² stays well
+    // inside the range where both engines compute the identical double
+    // before the floor; (b) the final DECIMAL(38,0)→DOUBLE cast (DuckDB:
+    // HUGEINT→double) is correctly rounded in both engines — it holds for
+    // the Spark/DuckDB pair the gate runs, but it is an engine-pair
+    // property, not an algorithmic guarantee. The 64-element
+    // normalization runs as an in-row fold over the pos-sorted z array. Plan shape at scale:
     // each iteration is one broadcast of the 64-float vector, a map-side
     // explode, and ONE 64-group aggregation with map-side partials — the
     // classic allreduce-as-aggregation, nothing grows with rows but the
@@ -887,7 +894,7 @@ object AnnQueries {
              |p AS (SELECT unnest(generate_series(1, 64)) AS pos)
              |SELECT CAST(p.pos AS INTEGER) AS pos, v[p.pos] AS loading
              |FROM v3, p ORDER BY pos""".stripMargin),
-      note = "top principal direction by 3 power iterations: quantized-integer cross-row sums (order-free exact), in-row folds for dots and norms — a bit-exact distributed float kernel"),
+      note = "top principal direction by 3 power iterations: quantized-integer cross-row sums (order-free given ≈unit-norm inputs — guarded in Round8OpsSpec — and correctly-rounded decimal→double casts on both engines), in-row folds for dots and norms"),
 
     // Matryoshka prefix-dimension recall audit — the evaluation every
     // MRL-trained embedding deployment runs before serving truncated

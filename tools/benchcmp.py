@@ -157,6 +157,22 @@ def main():
         "(see git history) — and what remains is Spark's ~0.1-0.3s/query",
         "job-scheduling minimum, a constant that vanishes at any real SF.",
         "",
+        "Shared-builder note: a few query FAMILIES share session-memoized",
+        "cached inputs (FrameMemo): the graph family (pagerank / label_prop /",
+        "modularity share the undirected trade edge list; triangles / kcore /",
+        "jaccard_linkpred share the curated adjacency; the two component",
+        "queries share symDupEdges), and the ANN family shares the doubled",
+        "embedding array. Bench never clears caches inside the timed region,",
+        "so within each family queries after the first reuse the cached",
+        "builder — and because each query's reported time is a best-of-3",
+        "minimum, even the first query's number is its CACHED steady state.",
+        "DuckDB recomputes the equivalent CTE on every run. Spark's",
+        "per-query numbers in those families therefore EXCLUDE the",
+        "builder's one-time materialization (it is measured by the",
+        "steady-state basis, same as any single query's own cached",
+        "intermediates across its 3 passes); DuckDB's include it every",
+        "time. Read family ratios as warm-session Spark vs cold-CTE DuckDB.",
+        "",
         "| query | spark s | duckdb s | spark/duckdb |",
         "|---|---|---|---|",
     ]
