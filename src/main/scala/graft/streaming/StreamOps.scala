@@ -60,9 +60,25 @@ object StreamOps {
     * dominated by exactly those commits. Each AvailableNow run is a
     * drain-and-stop with a unique name, so its checkpoint is pure scratch:
     * point it at RAM and delete it afterwards. The cluster-shape analog is
-    * fast local state storage (NVMe/RocksDB), not a semantic change. */
+    * fast local state storage (NVMe/RocksDB), not a semantic change.
+    *
+    * `needsNoDataBatch`: after the data batches, AvailableNow runs one
+    * no-data micro-batch whose only job is to advance the event-time
+    * watermark and let eviction EMIT rows — a full planning + state-commit
+    * cycle (measured ~0.5-0.7s here, roughly half a short run). Only
+    * queries whose OUTPUT comes from watermark eviction need it: append-
+    * mode windowed/session aggregations (a window emits when the watermark
+    * passes its end) and outer stream-stream joins (the null-extended row
+    * IS an eviction). Complete-mode aggs re-emit everything each batch,
+    * inner joins emit matches as both sides arrive, [flat]MapGroupsWith-
+    * State/transformWithState with NoTimeout and dropDuplicates* emit on
+    * arrival — for those the no-data batch is pure state bookkeeping with
+    * no observable output, so it is skipped. Skipping changes WHAT STATE
+    * IS LEFT BEHIND, never the emitted rows — and a drain-and-stop
+    * checkpoint is deleted anyway. */
   private def drain(spark: SparkSession, name: String,
-                    writer: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
+                    writer: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+                    needsNoDataBatch: Boolean = true): Unit = {
     // Unique per PROCESS, not just per session: the runCounter restarts at 1
     // in every JVM, and a run that died before its cleanup leaves a stale
     // checkpoint whose file-source offsets point at the OLD input dir — the
@@ -76,14 +92,23 @@ object StreamOps {
       if (kids != null) kids.foreach(rm)
       f.delete(); ()
     }
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = spark.conf.get(ndKey)
     try withStreamPartitions(spark) {
+      spark.conf.set(ndKey, needsNoDataBatch.toString)
       val q = writer
         .option("checkpointLocation", ckptDir.getAbsolutePath)
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally rm(ckptDir) // also on failure — scratch must not outlive the run
+      // dev-only floor diagnostics: per-batch duration decomposition
+      if (sys.env.contains("SPARK_GRAFT_STREAM_PROGRESS"))
+        q.recentProgress.foreach(p => System.err.println(s"[stream-progress] $name ${p.json}"))
+    } finally {
+      spark.conf.set(ndKey, ndPrev)
+      rm(ckptDir) // also on failure — scratch must not outlive the run
+    }
   }
 
   /** Run a tumbling-window streaming aggregation over the events parquet
@@ -103,7 +128,7 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
            expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))").as("sum_value"))
-    drain(spark, name, stream.writeStream.outputMode("complete").format("memory"))
+    drain(spark, name, stream.writeStream.outputMode("complete").format("memory"), needsNoDataBatch = false)
     val _ = batch // keeps the nanosAsLong conf set before the streaming scan
     spark.table(name)
       .select(to_date(col("window.start")).as("d"), col("event_type"),
@@ -129,7 +154,7 @@ object StreamOps {
       .groupBy(window(col("ts"), "3 days", "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
            expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))").as("sum_value"))
-    drain(spark, name, stream.writeStream.outputMode("complete").format("memory"))
+    drain(spark, name, stream.writeStream.outputMode("complete").format("memory"), needsNoDataBatch = false)
     val _ = batch // keeps the nanosAsLong conf set before the streaming scan
     spark.table(name)
       .select(to_date(col("window.start")).as("w_start"), col("event_type"),
@@ -158,7 +183,7 @@ object StreamOps {
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"),
            expr("CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)").as("sum_cents"))
-    drain(spark, name, stream.writeStream.outputMode("complete").format("memory"))
+    drain(spark, name, stream.writeStream.outputMode("complete").format("memory"), needsNoDataBatch = false)
     spark.table(name).orderBy("c_mktsegment")
   }
 
@@ -234,7 +259,7 @@ object StreamOps {
       .agg(count(lit(1)).as("n"),
            expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))").as("sum_value"),
            max(col("ts")).as("max_ts"))
-    drain(spark, name, stream.writeStream.outputMode("complete").format("memory"))
+    drain(spark, name, stream.writeStream.outputMode("complete").format("memory"), needsNoDataBatch = false)
     val t = spark.table(name)
     val wm = t.agg(max("max_ts")).head().getTimestamp(0).toLocalDateTime.toLocalDate.minusDays(1)
     t.where(col("p_end") <= lit(java.sql.Date.valueOf(wm))) // F6 complete windows
@@ -294,7 +319,7 @@ object StreamOps {
       .withWatermark("v_t", "1 day")
     val joined = p.join(v,
       expr("user_id = v_user AND v_t >= p_t - INTERVAL 1 HOUR AND v_t < p_t"))
-    drain(spark, name, joined.writeStream.outputMode("append").format("memory"))
+    drain(spark, name, joined.writeStream.outputMode("append").format("memory"), needsNoDataBatch = false)
     spark.table(name)
       .select(col("p_id"), col("v_id"), col("user_id"),
               expr("unix_micros(p_t)").as("p_us"), expr("unix_micros(v_t)").as("v_us"))
@@ -387,7 +412,7 @@ object StreamOps {
       .select(col("doc_id"), graft.text.TextOps.fingerprint(col("text")).as("fp"))
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-    drain(spark, name, stream.writeStream.outputMode("complete").format("memory"))
+    drain(spark, name, stream.writeStream.outputMode("complete").format("memory"), needsNoDataBatch = false)
     spark.table(name).select("fp", "keep_id", "n_copies").orderBy("fp")
   }
 
@@ -421,7 +446,7 @@ object StreamOps {
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "d")
       .select("user_id", "event_type", "d")
-    drain(spark, name, stream.writeStream.outputMode("append").format("memory"))
+    drain(spark, name, stream.writeStream.outputMode("append").format("memory"), needsNoDataBatch = false)
     spark.table(name)
       .groupBy("d")
       .agg(count(lit(1)).as("n_keys"))
@@ -466,7 +491,7 @@ object StreamOps {
       }
     drain(spark, name,
           folded.toDF("user_id", "event_type", "ts_us", "event_id", "value", "n_versions")
-            .writeStream.outputMode("append").format("memory"))
+            .writeStream.outputMode("append").format("memory"), needsNoDataBatch = false)
     spark.table(name).orderBy("user_id", "event_type")
   }
 
@@ -530,7 +555,7 @@ object StreamOps {
       }
     drain(spark, name,
           pairs.toDF("a_id", "b_id")
-            .writeStream.outputMode("append").format("memory"))
+            .writeStream.outputMode("append").format("memory"), needsNoDataBatch = false)
     val cand = spark.table(name).distinct()
     DedupQueries.minhashVerify(cand, spark, dir)
   }
@@ -596,7 +621,7 @@ object StreamOps {
         .groupByKey(_._1)
         .transformWithState(new UserStatsProcessor, TimeMode.None(), OutputMode.Append())
       drain(spark, name, stream.toDF("user_id", "n_events", "n_types", "total_cents")
-        .writeStream.outputMode("append").format("memory"))
+        .writeStream.outputMode("append").format("memory"), needsNoDataBatch = false)
     } finally prevProvider match {
       case Some(p) => spark.conf.set(providerKey, p)
       case None    => spark.conf.unset(providerKey)
@@ -636,7 +661,7 @@ object StreamOps {
           Iterator((user, s1._1, s1._2, s1._3))
       }
     drain(spark, name, folded.toDF("user_id", "n_events", "first_d", "last_d")
-      .writeStream.outputMode("append").format("memory"))
+      .writeStream.outputMode("append").format("memory"), needsNoDataBatch = false)
     spark.table(name)
       .select(col("user_id"), col("n_events"),
               col("first_d").cast("date").as("first_d"),
