@@ -72,7 +72,7 @@ object CoreQueries {
         o.groupBy(y.as("y"), m.as("m"))
           .agg(count(lit(1)).as("n"),
                expr(s"CAST(sum(CAST(o_totalprice AS $dec)) AS DOUBLE)").as("sum_price"))
-          .orderBy("y", "m")
+          .transform(graft.core.Shape.boundedSort(_, "y", "m")) // year x month: dimension-bounded
       },
       Some(s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS y, CAST(month(o_orderdate) AS INTEGER) AS m,
               |  count(*) AS n, CAST(sum(CAST(o_totalprice AS $dec)) AS DOUBLE) AS sum_price
@@ -87,7 +87,7 @@ object CoreQueries {
           .groupBy("ymd", "d")
           .agg(count(lit(1)).as("n"),
                expr(s"CAST(sum(CAST(value AS $dec)) AS DOUBLE)").as("sum_value"))
-          .orderBy("ymd"),
+          .transform(graft.core.Shape.boundedSort(_, "ymd")), // calendar days: dimension-bounded
       Some(s"""SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS ymd, CAST(ts AS DATE) AS d,
               |  count(*) AS n, CAST(sum(CAST(value AS $dec)) AS DOUBLE) AS sum_value
               |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
@@ -102,7 +102,7 @@ object CoreQueries {
           .groupBy("event_type")
           .agg(sum(when(col("v").isNull, 1).otherwise(0)).as("n_masked"),
                expr(s"CAST(coalesce(sum(CAST(v AS $dec)), 0) AS DOUBLE)").as("sum_valid"))
-          .orderBy("event_type")
+          .transform(graft.core.Shape.boundedSort(_, "event_type")) // 4 types: dimension-bounded
       },
       Some(s"""SELECT event_type,
               |  CAST(sum(CASE WHEN value < 1.0 OR value = -99999 THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
