@@ -78,9 +78,13 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
-    catch { case _: Throwable => () }
+    // Subset runs (SPARK_GRAFT_ONLY) are dev A/Bs: never clobber the
+    // committed full-registry BENCH_LOCAL.json with a 3-query file (the
+    // plan guard reads it as the registry census).
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
+      catch { case _: Throwable => () }
     // The driver keeps only the last 2000 chars of stdout and parses the
     // final line as JSON. A full 85-query map is ~2900 chars (1500 chars of
     // query names alone), so rounds 1-3 all ended with "parsed": null — the

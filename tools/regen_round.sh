@@ -34,10 +34,21 @@ python3 tools/scalecheck.py /tmp/bench_local_final_sf01.json \
   /tmp/bench_local_final_sf1.json 10 > /tmp/scalecheck_final.txt || true
 tail -5 /tmp/scalecheck_final.txt
 
-echo "=== 7. PlanAudit ==="
+echo "=== 7. PlanAudit (splice into PLANS.md) ==="
 sbt -batch "runMain graft.PlanAudit /root/testdata/sf0.001" 2>&1 \
   | grep -E '^\| ' > /tmp/plans_table_final.md
 wc -l /tmp/plans_table_final.md
+python3 - <<'EOF'
+# keep the prose header, replace the table (everything from '| query |' on)
+prose = open('PLANS.md').read().split('| query |')[0]
+table = open('/tmp/plans_table_final.md').read()
+open('PLANS.md', 'w').write(prose + table)
+EOF
+
+echo "=== 7b. plan guard (registry <-> PLANS.md <-> PlanRegressionSpec) ==="
+# set -e: a guard violation fails the whole regen, by design
+python3 tools/plan_guard.py BENCH_LOCAL.json PLANS.md \
+  src/test/scala/graft/PlanRegressionSpec.scala tools/plan_spec_known.txt
 
 echo "=== 8. Coverage ==="
 sbt -batch "runMain graft.Coverage COVERAGE.md" 2>&1 | tail -1
