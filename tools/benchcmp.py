@@ -156,6 +156,10 @@ def main():
         "coalesce A/B, shuffle-on-tmpfs, state-store sizing, each measured",
         "(see git history) — and what remains is Spark's ~0.1-0.3s/query",
         "job-scheduling minimum, a constant that vanishes at any real SF.",
+        "`FLOOR.md` carries the measured construct/plan/execute decomposition",
+        "of the 20 highest-floor queries plus the micro-batch duration",
+        "breakdown behind the streaming numbers, and the list of knobs that",
+        "did and did not survive measurement.",
         "",
         "Shared-builder note: a few query FAMILIES share session-memoized",
         "cached inputs (FrameMemo): the graph family (pagerank / label_prop /",
