@@ -593,7 +593,7 @@ object WindowQueries {
           .agg(count(lit(1)).as("n"),
                expr(s"CAST(sum(CAST(l_extendedprice AS $dec)) AS DOUBLE)").as("sum_price"),
                max("cd").as("cd_hi"))
-          .orderBy("rf", "dc")
+          .transform(graft.core.Shape.boundedSort(_, "rf", "dc")) // 3 flags x 10 deciles
       },
       Some(s"""WITH w AS (
               |  SELECT l_returnflag AS rf, l_extendedprice,
