@@ -1381,6 +1381,71 @@ object AnalyticQueries {
              |  CAST(CASE WHEN count(DISTINCT event_type) >= 3
              |       THEN 1 ELSE 0 END AS BIGINT) AS diverse
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      note = "distinct-l-diversity (l=3) over QI classes with event_type sensitive: catches the homogeneity leak k-anonymity misses; exact integer verdicts, one bounded-expand shuffle")
+      note = "distinct-l-diversity (l=3) over QI classes with event_type sensitive: catches the homogeneity leak k-anonymity misses; exact integer verdicts, one bounded-expand shuffle"),
+
+    // t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third leg
+    // of the anonymity triad: a class can be k-anonymous AND l-diverse yet
+    // still leak when its sensitive-value DISTRIBUTION differs sharply
+    // from the table's (skewness attack). For the categorical sensitive
+    // attribute the distance is the variational distance
+    // t = ½ Σ_v |p_v − q_v| (class vs global distribution), assembled in
+    // EXACT integer arithmetic: with class counts c_v, class size n_g,
+    // global counts g_v, total N, each term is |c_v·N − g_v·n_g| / (n_g·N)
+    // — same denominator for every v, so the numerator sums as BIGINT
+    // (≤ Σ c_v·N ≈ N² ≈ 4·10¹² at sf1, far inside int64; at larger N the
+    // numerator moves to DECIMAL(38,0) with the same plan) and values
+    // ABSENT from the class contribute exactly (N − Σ_present g_v)·n_g —
+    // closed form, no domain cross join. ONE float division at the end.
+    //
+    // Plan shape: one row-volume shuffle (the (QI, sensitive) groupBy);
+    // the class-size window and the final per-class rollup both run on
+    // the class table, partitioned by the SAME (d, v_bucket) key, so the
+    // rollup reuses the window's exchange; the 4-row global distribution
+    // broadcasts. Finalizer is dimension-bounded (days × value buckets).
+    Q("privacy_t_closeness", Seq("A10", "A12", "A13", "F8", "P5"),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, dir)
+          .select(to_date(col("ts")).as("d"),
+                  expr("CAST(floor(value / 50.0D) AS INT)").as("v_bucket"),
+                  col("event_type"))
+        val glob = e.groupBy("event_type").agg(count(lit(1)).as("g"))
+          .withColumn("nn", sum("g").over(Window.partitionBy())) // 4 rows: total N rides along
+        val cls = e.groupBy("d", "v_bucket", "event_type").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("d", "v_bucket")
+        cls.join(broadcast(glob), "event_type")
+          .withColumn("n_g", sum("c").over(w))
+          .groupBy("d", "v_bucket")
+          .agg(max("n_g").as("class_size"),
+               (sum(abs(col("c") * col("nn") - col("g") * col("n_g"))) +
+                 (max("nn") - sum("g")) * max("n_g")).as("numer"),
+               max("nn").as("nn"))
+          .withColumn("t", col("numer").cast("double") /
+            (lit(2L) * col("class_size") * col("nn")).cast("double"))
+          .withColumn("close", when(col("t") <= 0.2, 1L).otherwise(0L))
+          .select("d", "v_bucket", "class_size", "t", "close")
+          .transform(graft.core.Shape.boundedSort(_, "d", "v_bucket"))
+      },
+      Some("""WITH e AS (SELECT CAST(ts AS DATE) AS d,
+             |    CAST(floor(value / 50.0) AS INTEGER) AS v_bucket, event_type
+             |  FROM events),
+             |gdist AS (SELECT event_type, CAST(count(*) AS BIGINT) AS g FROM e GROUP BY 1),
+             |tot AS (SELECT CAST(sum(g) AS BIGINT) AS nn FROM gdist),
+             |cls AS (SELECT d, v_bucket, event_type, CAST(count(*) AS BIGINT) AS c
+             |        FROM e GROUP BY 1, 2, 3),
+             |w AS (SELECT c.d, c.v_bucket, c.c, gl.g, t.nn,
+             |        CAST(sum(c.c) OVER (PARTITION BY c.d, c.v_bucket) AS BIGINT) AS n_g
+             |      FROM cls c JOIN gdist gl USING (event_type) CROSS JOIN tot t),
+             |agg AS (SELECT d, v_bucket,
+             |    max(n_g) AS class_size,
+             |    CAST(sum(abs(c * nn - g * n_g)) + (max(nn) - sum(g)) * max(n_g) AS BIGINT) AS numer,
+             |    max(nn) AS nn
+             |  FROM w GROUP BY 1, 2)
+             |SELECT d, v_bucket, class_size,
+             |  CAST(numer AS DOUBLE) / CAST(2 * class_size * nn AS DOUBLE) AS t,
+             |  CAST(CASE WHEN CAST(numer AS DOUBLE) / CAST(2 * class_size * nn AS DOUBLE) <= 0.2
+             |       THEN 1 ELSE 0 END AS BIGINT) AS close
+             |FROM agg ORDER BY d, v_bucket""".stripMargin),
+      note = "t-closeness (variational distance, t=0.2) of each QI class's sensitive distribution vs the table's: the skewness attack k-anonymity and l-diversity both miss; numerators in exact BIGINT over a shared denominator, one division, absent-value mass closed-form — one row-volume shuffle + class-table window/rollup on one exchange")
   )
 }

@@ -216,6 +216,26 @@ object StreamQueries {
              |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin),
       note = "streaming log-compaction upsert: keyed max-by-version state, snapshot equals batch cdc_latest_by_key"),
 
+    // Output produced by EVENT-TIME TIMERS, not by arriving rows: the one
+    // transformWithState capability the rest of the family leaves
+    // unexercised. A user's session row is emitted only when the watermark
+    // passes last-event + 30 min — users active inside the trailing
+    // watermark day stay open and are withheld (F6 for keyed state). The
+    // oracle replays the timer rule in batch arithmetic: Spark tracks the
+    // watermark in MILLISECONDS (floor of the max event time), so the
+    // cutoff is floor(max_us/1000) − 1 day, and a timer fires when its
+    // expiry ms is strictly below it.
+    Q("stream_tws_session_timers", Seq("§2.9", "§2.10", "session", "F6", "A11"),
+      (s, dir) => StreamOps.sessionTimerClose(s, dir),
+      Some("""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |            max(epoch_us(ts)) AS last_us
+             |          FROM events GROUP BY 1),
+             |wm AS (SELECT max(epoch_us(ts)) // 1000 - 86400000 AS w FROM events)
+             |SELECT user_id, n_events, last_us, last_us // 1000 + 1800000 AS fired_ms
+             |FROM u, wm WHERE last_us // 1000 + 1800000 < w
+             |ORDER BY user_id""".stripMargin),
+      note = "transformWithState EVENT-TIME TIMERS on RocksDB state: per-user session close emitted by timer expiry (registerTimer/deleteTimer/handleExpiredTimer), not by row arrival; drain keeps the no-data batch because the watermark advance IS the output trigger"),
+
     Q("stream_minhash_lsh_ingest", Seq("§2.9", "dedup", "J2", "§2.10"),
       (s, dir) => StreamOps.streamingMinhashLshIngest(s, dir),
       Some(DedupQueries.duckMinhashLshSql),

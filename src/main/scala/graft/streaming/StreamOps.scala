@@ -598,6 +598,81 @@ object StreamOps {
     }
   }
 
+  /** Session close by EVENT-TIME TIMER — the transformWithState capability
+    * the other stream queries don't exercise: output produced not by
+    * arriving rows but by a per-key timer the processor registered, fired
+    * when the watermark passes it. Per user: fold (count, max event time)
+    * into a ValueState, keep exactly one registered timer at
+    * last-event-ms + 30 min (re-registration deletes the old timer — the
+    * single-batch drain registers once, but the code is restart-correct);
+    * when the timer fires, emit the closed session and clear the state.
+    * handleInputRows emits NOTHING — eviction-by-timer IS the output, so
+    * the drain keeps the no-data batch (the watermark advance is what
+    * fires the timers). Users whose last event sits inside the trailing
+    * watermark day stay open and are withheld — F6 for keyed state. */
+  private class SessionTimerProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming._
+    import org.apache.spark.sql.{Encoders => E}
+    private val GapMs = 30L * 60 * 1000
+    @transient private var st: ValueState[(Long, Long)] = _ // (n, last_us)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("sess",
+        org.apache.spark.sql.Encoders.tuple(E.scalaLong, E.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                 tv: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      var (n, last) = if (st.exists()) st.get() else (0L, Long.MinValue)
+      val hadTimer = n > 0
+      rows.foreach { case (_, us) => n += 1; if (us > last) last = us }
+      if (hadTimer) getHandle.deleteTimer(st.get()._2 / 1000 + GapMs)
+      st.update((n, last))
+      getHandle.registerTimer(last / 1000 + GapMs)
+      Iterator.empty // output comes from the timer, never from arrival
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Long, Long)] = {
+      val (n, last) = st.get()
+      st.clear() // session closed; a later event would open a new session
+      Iterator.single((key, n, last, info.getExpiryTimeInMs))
+    }
+  }
+
+  /** Per-user session close on event-time timers; see
+    * [[SessionTimerProcessor]]. Output: one row per CLOSED session —
+    * users whose last event + 30 min the final watermark has passed. */
+  def sessionTimerClose(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    graft.core.Tables.events(spark, dir) // sets nanosAsLong
+    val name = s"graft_timer_${runCounter.incrementAndGet()}"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema(tableSchema(spark, s"$dir/events.parquet"))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(expr(tsExpr(spark, dir)).as("ts"), col("user_id"))
+        .withWatermark("ts", "1 day")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new SessionTimerProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+      drain(spark, name,
+        stream.toDF("user_id", "n_events", "last_us", "fired_ms")
+          .writeStream.outputMode("append").format("memory"))
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None    => spark.conf.unset(providerKey)
+    }
+    spark.table(name).orderBy("user_id")
+  }
+
   /** Per-user event stats via `transformWithState` on the RocksDB state
     * store; see [[UserStatsProcessor]]. Output: one row per user with
     * (n_events, n_types, total_value). */

@@ -530,4 +530,32 @@ class PlanRegressionSpec extends AnyFunSuite {
       "Exchange rangepartitioning".r.findAllIn(p).length
     assert(ex <= 3, s"expected <=3 exchanges, got $ex:\n$p")
   }
+
+  test("t-closeness: broadcast global distribution, no range exchange, window and rollup share a key") {
+    val p = plan("privacy_t_closeness")
+    assert(p.contains("BroadcastHashJoin"), p)   // 4-row global dist broadcasts
+    assert(!p.contains("SortMergeJoin"), p)
+    // boundedSort finalizer: zero rangepartitioning exchanges in the plan
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    // row-volume groupBy + class-key exchange for the window/rollup pair
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hash <= 3, s"expected <=3 hash exchanges, got $hash:\n$p")
+  }
+
+  test("timer-close stream: one emitted row per closed session, stream/batch parity") {
+    // stream queries' interesting "plan" is the drain; assert the drained
+    // result against the batch rule it implements (same check the DuckDB
+    // oracle applies at verify time, here pinned at sf0.001 in-suite)
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("stream_tws_session_timers")(spark, dir)
+    val e = graft.core.Tables.events(spark, dir) // normalizes the ts physical type
+      .select(col("ts"), col("user_id"))
+    val batch = e.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), expr("max(unix_micros(ts))").as("last_us"))
+      .withColumn("fired_ms", expr("last_us div 1000 + 1800000"))
+    val wm = e.agg(expr("max(unix_micros(ts)) div 1000 - 86400000")).head().getLong(0)
+    val expect = batch.where(col("fired_ms") < wm).orderBy("user_id")
+      .select("user_id", "n_events", "last_us", "fired_ms")
+    assert(out.collect().toSeq == expect.collect().toSeq)
+  }
 }
