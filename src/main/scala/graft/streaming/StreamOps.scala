@@ -610,7 +610,7 @@ object StreamOps {
     * the drain keeps the no-data batch (the watermark advance is what
     * fires the timers). Users whose last event sits inside the trailing
     * watermark day stay open and are withheld — F6 for keyed state. */
-  private class SessionTimerProcessor
+  private[graft] class SessionTimerProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long), (Long, Long, Long, Long)] {
     import org.apache.spark.sql.streaming._
