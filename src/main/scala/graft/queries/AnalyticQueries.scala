@@ -1410,10 +1410,11 @@ object AnalyticQueries {
                   expr("CAST(floor(value / 50.0D) AS INT)").as("v_bucket"),
                   col("event_type"))
         val glob = e.groupBy("event_type").agg(count(lit(1)).as("g"))
-          .withColumn("nn", sum("g").over(Window.partitionBy())) // 4 rows: total N rides along
+        val tot = glob.agg(sum("g").as("nn")) // scalar N as a 1-row broadcast
         val cls = e.groupBy("d", "v_bucket", "event_type").agg(count(lit(1)).as("c"))
         val w = Window.partitionBy("d", "v_bucket")
         cls.join(broadcast(glob), "event_type")
+          .crossJoin(broadcast(tot))
           .withColumn("n_g", sum("c").over(w))
           .groupBy("d", "v_bucket")
           .agg(max("n_g").as("class_size"),

@@ -537,9 +537,12 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
     // boundedSort finalizer: zero rangepartitioning exchanges in the plan
     assert(!p.contains("Exchange rangepartitioning"), p)
-    // row-volume groupBy + class-key exchange for the window/rollup pair
+    // ONE row-volume exchange (the (QI, sensitive) groupBy) + the class-key
+    // exchange shared by window and rollup; the other two are the 4-row
+    // global-distribution subtree printed once per broadcast reference
+    // (deduplicated by exchange reuse at runtime)
     val hash = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(hash <= 3, s"expected <=3 hash exchanges, got $hash:\n$p")
+    assert(hash <= 4, s"expected <=4 hash exchanges, got $hash:\n$p")
   }
 
   test("timer-close stream: one emitted row per closed session, stream/batch parity") {
