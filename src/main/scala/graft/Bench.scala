@@ -8,6 +8,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Dev-only subset filter (regex on query name); unset = full registry.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    // Cold-cache mode (round-9 judge condition on the two-part bar): one
+    // timed pass, and between every query clearCache() + drop EVERY
+    // SessionMemo (FrameMemo builders, the resolved-scan cache, shingle
+    // dictionaries, zonal membership). JIT/codegen warmup is kept — it
+    // measures the compiler, not the data — so cold-vs-steady isolates
+    // exactly the cache/memo subsidy. Output goes to BENCH_COLD.json;
+    // BENCH_LOCAL.json stays the steady-state census.
+    val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
     // Shuffle blocks on tmpfs, uncompressed: same rationale as the stream
     // harness's /dev/shm checkpoints — the cluster-shape analog is NVMe-
     // local shuffle storage, and at bench SFs the LZ4 round-trip plus disk
@@ -66,12 +74,22 @@ object Bench {
     // minutes apart — the per-query minimum then measures the operator, not
     // the window.
     val sampleTimes = Array.fill(registry.size)(Double.MaxValue)
-    for (_ <- 1 to 3) {
+    if (cold) {
+      // flush everything the warm pass built before the timed region
+      spark.catalog.clearCache()
+      graft.core.SessionMemo.dropSession(spark)
+    }
+    val passes = if (cold) 1 else 3
+    for (_ <- 1 to passes) {
       registry.zipWithIndex.foreach { case (q, i) =>
         val t0 = System.nanoTime()
         try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         if (dt < sampleTimes(i)) sampleTimes(i) = dt
+        if (cold) {
+          spark.catalog.clearCache()
+          graft.core.SessionMemo.dropSession(spark)
+        }
       }
     }
     val results = registry.zipWithIndex.map { case (q, i) => q.name -> sampleTimes(i) }
@@ -81,10 +99,12 @@ object Bench {
     // Subset runs (SPARK_GRAFT_ONLY) are dev A/Bs: never clobber the
     // committed full-registry BENCH_LOCAL.json with a 3-query file (the
     // plan guard reads it as the registry census).
-    if (only.isEmpty)
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
+    if (only.isEmpty) {
+      val outFile = if (cold) "BENCH_COLD.json" else "BENCH_LOCAL.json"
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+        s"""{"metric":"total","value":$total,"unit":"sec","mode":"${if (cold) "cold" else "steady"}","queries":$full,"sf":"$sfDir"}""")
       catch { case _: Throwable => () }
+    }
     // The driver keeps only the last 2000 chars of stdout and parses the
     // final line as JSON. A full 85-query map is ~2900 chars (1500 chars of
     // query names alone), so rounds 1-3 all ended with "parsed": null — the

@@ -31,27 +31,16 @@ object Zonal {
     * a broadcast join). Memoize per (session, zones, affine) and cache the
     * plan so repeated pipeline runs pay the point-in-polygon sweep once.
     *
-    * The memo is WEAK-keyed by the SparkSession: a stopped/dereferenced
-    * session's entries (and the strong refs they hold to cached DataFrames)
-    * become collectable instead of leaking for the JVM's lifetime. Note for
-    * benchmarking: a warm memo means repeat zonal runs exclude the
-    * point-in-polygon build — recorded in BENCHCMP.md. */
-  private val memberMemo: java.util.Map[SparkSession,
-      scala.collection.concurrent.TrieMap[(Seq[(String, String)], Affine), DataFrame]] =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[(Seq[(String, String)], Affine), DataFrame]]())
+    * Lifetime: [[graft.core.SessionMemo]] evicts stopped sessions on
+    * access (a weak session key never collected — the cached DataFrames
+    * strongly reference their own session). Note for benchmarking: a warm
+    * memo means repeat zonal runs exclude the point-in-polygon build —
+    * recorded in BENCHCMP.md. */
+  private val memberMemo =
+    new graft.core.SessionMemo[(Seq[(String, String)], Affine), DataFrame]
 
   def membership(spark: SparkSession, zones: Seq[(String, String)], affine: Affine): DataFrame = {
-    val perSession = memberMemo.synchronized {
-      var m = memberMemo.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[(Seq[(String, String)], Affine), DataFrame]
-        memberMemo.put(spark, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate((zones, affine),
+    memberMemo.forSession(spark).getOrElseUpdate((zones, affine),
       membershipShapes(spark, zones.map { case (id, wkt) => (id, Geometry.parseWkt(wkt)) }, affine)
         .cache())
   }
@@ -167,23 +156,12 @@ object Zonal {
   }
 
   /** Per-zone centroid cell ids (A6 fallback leg); memoized like membership
-    * (same weak-keyed-per-session scheme — same leak otherwise). */
-  private val centroidMemo: java.util.Map[SparkSession,
-      scala.collection.concurrent.TrieMap[(Seq[(String, String)], Affine), DataFrame]] =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[(Seq[(String, String)], Affine), DataFrame]]())
+    * (same SessionMemo stopped-session eviction). */
+  private val centroidMemo =
+    new graft.core.SessionMemo[(Seq[(String, String)], Affine), DataFrame]
 
   def centroids(spark: SparkSession, zones: Seq[(String, String)], affine: Affine): DataFrame = {
-    val perSession = centroidMemo.synchronized {
-      var m = centroidMemo.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[(Seq[(String, String)], Affine), DataFrame]
-        centroidMemo.put(spark, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate((zones, affine),
+    centroidMemo.forSession(spark).getOrElseUpdate((zones, affine),
       centroidShapes(spark, zones.map { case (id, wkt) => (id, Geometry.parseWkt(wkt)) }, affine)
         .cache())
   }

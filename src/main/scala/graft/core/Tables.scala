@@ -22,24 +22,19 @@ object Tables {
     * so the cache is scale-faithful, not a bench trick. DataFrames are
     * immutable plans; sharing the resolved relation is safe.
     *
-    * Same lifetime pattern as [[graft.queries.FrameMemo]]: weak session key
-    * so stopped sessions (test suites cycle them) collect for free — no
-    * per-call scan of the cache. */
-  private val scanCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[String, DataFrame]]())
+    * Same lifetime pattern as [[graft.queries.FrameMemo]]: [[SessionMemo]]
+    * evicts stopped sessions (test suites cycle them) on access — a weak
+    * key could never collect because DataFrames pin their own session. */
+  private val scanCache = new SessionMemo[String, DataFrame]
 
   /** Read one harness table; `dir` is an sf dir like /root/testdata/sf0.01. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    var m = scanCache.get(spark)
-    if (m == null) {
-      m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-      scanCache.put(spark, m)
-    }
     val path = s"$dir/$name.parquet"
-    m.getOrElseUpdate(path, spark.read.parquet(path))
+    scanCache.forSession(spark).getOrElseUpdate(path, spark.read.parquet(path))
   }
+
+  /** Drop this session's resolved-scan entries (cold-cache bench mode). */
+  def dropScanCache(spark: SparkSession): Unit = scanCache.drop(spark)
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "orders")

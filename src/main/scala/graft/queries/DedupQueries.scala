@@ -45,20 +45,12 @@ object DedupQueries {
     * and CacheManager's plan matching proved unreliable here once a
     * second SF's entry existed (observed: the bench's sf0.001 warmup made
     * sf0.1 passes rebuild the 3s aggregation on most samples). Holding
-    * the one DataFrame instance sidesteps plan lookup entirely; the weak
-    * session key lets stopped sessions collect. */
-  private val docArrMemo =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-        scala.collection.concurrent.TrieMap[String, DataFrame]]())
+    * the one DataFrame instance sidesteps plan lookup entirely;
+    * [[graft.core.SessionMemo]] evicts stopped sessions on access. */
+  private val docArrMemo = new graft.core.SessionMemo[String, DataFrame]
   private def memoizedDocArr(s: org.apache.spark.sql.SparkSession, dir: String)
                             (build: => DataFrame): DataFrame = {
-    var m = docArrMemo.get(s)
-    if (m == null) {
-      m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-      docArrMemo.put(s, m)
-    }
-    val df = m.getOrElseUpdate(dir, build)
+    val df = docArrMemo.forSession(s).getOrElseUpdate(dir, build)
     // a harness-level clearCache() (Verify/PlanAudit run one between
     // queries) unpersists the memoized frame without dropping the memo —
     // re-register so later uses inside one plan still share one scan

@@ -224,7 +224,9 @@ object StreamQueries {
     // oracle replays the timer rule in batch arithmetic: Spark tracks the
     // watermark in MILLISECONDS (floor of the max event time), so the
     // cutoff is floor(max_us/1000) − 1 day, and a timer fires when its
-    // expiry ms is strictly below it.
+    // expiry ms is AT OR below it — the comparison is inclusive (<=),
+    // measured by TimerStreamSpec's expiry-==-watermark probe (round-9
+    // boundary pin; the oracle originally assumed strict <).
     Q("stream_tws_session_timers", Seq("§2.9", "§2.10", "session", "F6", "A11"),
       (s, dir) => StreamOps.sessionTimerClose(s, dir),
       Some("""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
@@ -232,7 +234,7 @@ object StreamQueries {
              |          FROM events GROUP BY 1),
              |wm AS (SELECT max(epoch_us(ts)) // 1000 - 86400000 AS w FROM events)
              |SELECT user_id, n_events, last_us, last_us // 1000 + 1800000 AS fired_ms
-             |FROM u, wm WHERE last_us // 1000 + 1800000 < w
+             |FROM u, wm WHERE last_us // 1000 + 1800000 <= w
              |ORDER BY user_id""".stripMargin),
       note = "transformWithState EVENT-TIME TIMERS on RocksDB state: per-user session close emitted by timer expiry (registerTimer/deleteTimer/handleExpiredTimer), not by row arrival; drain keeps the no-data batch because the watermark advance IS the output trigger"),
 

@@ -74,11 +74,75 @@ class TimerStreamSpec extends AnyFunSuite {
     } finally {
       q.stop()
       spark.sql("DROP TABLE IF EXISTS timer_probe")
+      deleteRecursively(new java.io.File(ckpt))
       prevProvider match {
         case Some(p) => spark.conf.set(providerKey, p)
         case None    => spark.conf.unset(providerKey)
       }
     }
+  }
+
+  /** Pins the engine fact the `stream_tws_session_timers` oracle encodes:
+    * a timer whose expiry ms equals the watermark ms EXACTLY DOES fire —
+    * Spark 4.1's expiry comparison is `<=`, measured here, and the oracle's
+    * `fired_ms <= w` matches it. (Round-9 correction: the oracle originally
+    * assumed strict `<`; this test was written to pin the boundary per the
+    * round-8 ADVICE and promptly falsified the assumption.) Timeline: u1's
+    * timer lands at 01:30:00.000; the sentinel at 01:30:10 puts the
+    * 10-second watermark at exactly 01:30:00.000. If a Spark upgrade ever
+    * flips the comparison to strict `<`, this test — not a silent
+    * boundary-user divergence from the DuckDB oracle — is what goes red. */
+  test("timer with expiry == watermark ms fires (inclusive comparison)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Timestamp, Long)]
+    val out = input.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 seconds")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.StreamOps.SessionTimerProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "n_events", "last_us", "fired_ms")
+    val ckpt = Files.createTempDirectory("graft_timer_eq_ckpt").toString
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("timer_eq_probe").option("checkpointLocation", ckpt).start()
+    def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    try {
+      // u1 opens at 01:00:00 → timer expiry 01:30:00.000 (gap 30 min)
+      input.addData((t("01:00:00"), 1L))
+      q.processAllAvailable()
+      // sentinel: watermark becomes 01:30:10 − 10 s = 01:30:00.000 — equal
+      // to u1's expiry to the millisecond (watermark takes effect next batch)
+      input.addData((t("01:30:10"), 9L))
+      q.processAllAvailable()
+      // same-ts sentinel: runs a batch UNDER watermark == expiry without
+      // advancing it
+      input.addData((t("01:30:10"), 9L))
+      q.processAllAvailable()
+      val atEq = spark.table("timer_eq_probe").collect().filter(_.getLong(0) == 1L)
+      assert(atEq.length == 1 && atEq.head.getLong(3) == t("01:30:00").getTime,
+        s"expected the u1 timer to fire at expiry == watermark (engine <=), got ${atEq.toSeq}")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS timer_eq_probe")
+      deleteRecursively(new java.io.File(ckpt))
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+    ()
   }
 
   test("t-closeness invariants at sf0.001: t in [0,1], class sizes partition the table") {
