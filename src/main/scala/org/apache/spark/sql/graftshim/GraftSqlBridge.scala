@@ -29,4 +29,10 @@ object GraftSqlBridge {
     import org.apache.spark.sql.types._
     Seq(ArrayType(LongType), ArrayType(LongType))
   }
+
+  /** Wrap a custom Catalyst Expression as a user-facing Column
+    * (`ExpressionUtils.column` is `private[sql]` in Spark 4). */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }
