@@ -6,9 +6,15 @@ import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators: binary payload plumbing + batch feature
-  * extraction via `mapPartitions` (decode stubbed — see
-  * graft.multimodal.Multimodal). The oracle recomputes the SQL-expressible
-  * metadata (byte length, lead byte, format sniff) from the source text.
+  * extraction via `mapPartitions`, with REAL spec-level WAV/BMP codecs
+  * (graft.multimodal.Codecs — round 9 replaced the former decode stub).
+  * The harness tables carry no media files, so containers are synthesized
+  * deterministically from the document bytes (Multimodal.mediaPayload) and
+  * parsed back; the oracles recompute every decoded field — container
+  * size, width/height, sample rate/count, RMS/mean level — from the
+  * synthesis rule, so a header-layout or parser bug hash-fails. The
+  * pixel-level ops (phash, frame sampling) run on the decoded byte buffer
+  * directly.
   */
 object MultimodalQueries {
 
@@ -39,53 +45,81 @@ object MultimodalQueries {
       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
       |   AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Shared DuckDB CTE reproducing the media-synthesis rule
+    * (Multimodal.mediaPayload): format by doc parity (empty → bin), BMP
+    * geometry w = least(n, 12), ht = n div w. Yields
+    * `meta(doc_id, n, text, format, w, ht)`. */
+  private val duckMediaMeta: String =
+    """m AS (
+      |  SELECT doc_id, CAST(length(text) AS INTEGER) AS n, text,
+      |    CASE WHEN length(text) = 0 THEN 'bin'
+      |         WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS format
+      |  FROM documents),
+      |meta AS (
+      |  SELECT doc_id, n, text, format,
+      |    CASE WHEN format = 'bmp' THEN least(n, 12) ELSE 0 END AS w,
+      |    CASE WHEN format = 'bmp' THEN n // least(n, 12) ELSE 0 END AS ht
+      |  FROM m)""".stripMargin
+
   def all: Seq[Q] = Seq(
 
+    // Every decoded field is read back from the container HEADERS by the
+    // spec-level parser (never passed through), while the oracle predicts
+    // it arithmetically from the synthesis rule — so the hash check covers
+    // the full encode→decode chain: RIFF/fmt/data chunk walk and sizes,
+    // BITMAPINFOHEADER dims, 4-byte row padding, PCM RMS, gray mean.
     Q("mm_media_features", Seq("multimodal", "S8", "P9"),
       (s, dir) => {
         val meta = Multimodal.extractFeatures(s, Tables.documents(s, dir))
         meta.toDF()
-          .select(col("docId").as("doc_id"), col("nBytes").as("n_bytes"),
-                  col("firstByte").as("first_byte"), col("format"))
+          .select(col("docId").as("doc_id"), col("format"),
+                  col("nBytes").as("n_bytes"), col("width"), col("height"),
+                  col("sampleRate").as("sample_rate"),
+                  col("nSamples").as("n_samples"), col("level"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-             |  CAST(ascii(text) AS INTEGER) AS first_byte,
-             |  CASE WHEN ascii(text) BETWEEN 97 AND 109 THEN 'fmtA'
-             |       WHEN ascii(text) BETWEEN 110 AND 122 THEN 'fmtB'
-             |       ELSE 'bin' END AS format
-             |FROM documents ORDER BY doc_id""".stripMargin),
-      note = "binary payload column + mapPartitions batch decode (stubbed)"),
+      Some(s"""WITH $duckMediaMeta
+              |SELECT doc_id, format,
+              |  CAST(CASE WHEN format = 'wav' THEN 44 + n + n % 2
+              |            WHEN format = 'bmp' THEN 54 + ((w * 3 + 3) // 4) * 4 * ht
+              |            ELSE 0 END AS INTEGER) AS n_bytes,
+              |  CAST(w AS INTEGER) AS width, CAST(ht AS INTEGER) AS height,
+              |  CAST(CASE WHEN format = 'wav' THEN 8000 ELSE 0 END AS INTEGER) AS sample_rate,
+              |  CAST(CASE WHEN format = 'wav' THEN n ELSE 0 END AS BIGINT) AS n_samples,
+              |  CASE WHEN format = 'wav' THEN
+              |         sqrt(CAST(list_sum(list_transform(generate_series(1, n),
+              |           j -> CAST((unicode(text[j]) - 128) * (unicode(text[j]) - 128) AS BIGINT))) AS DOUBLE) / n)
+              |       WHEN format = 'bmp' THEN
+              |         CAST(list_sum(list_transform(generate_series(1, w * ht),
+              |           j -> CAST(unicode(text[j]) AS BIGINT))) AS DOUBLE) / (w * ht)
+              |       ELSE 0.0 END AS level
+              |FROM meta ORDER BY doc_id""".stripMargin),
+      note = "real WAV/BMP containers synthesized per doc, spec-level parse in mapPartitions; width/height/rate/RMS all header-derived and oracle-predicted"),
 
+    // The per-format totals pin the encoder's byte layout in aggregate:
+    // total_bytes sums every container's actual encoded length (RIFF pad
+    // bytes, BMP row padding included), which the oracle reconstructs from
+    // the size formulas alone.
     Q("mm_format_rollup", Seq("multimodal", "A4"),
       (s, dir) => {
         val meta = Multimodal.extractFeatures(s, Tables.documents(s, dir))
         meta.toDF()
           .groupBy("format")
-          .agg(count(lit(1)).as("n"), sum(col("nBytes").cast("long")).as("total_bytes"),
-               min("checksum").as("min_checksum"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("nBytes").cast("long")).as("total_bytes"),
+               sum((col("width") * col("height")).cast("long")).as("total_px"),
+               sum(col("nSamples")).as("total_samples"))
           .orderBy("format")
       },
-      // the rolling checksum is a left fold of integer arithmetic
-      // ((a*31+x) mod 1e9+7) over the payload bytes — DuckDB's list_reduce
-      // reproduces it exactly (corpus is pure ASCII, so unicode(text[j])
-      // IS the payload byte)
-      Some("""WITH m AS (
-             |  SELECT doc_id,
-             |    CASE WHEN ascii(text) BETWEEN 97 AND 109 THEN 'fmtA'
-             |         WHEN ascii(text) BETWEEN 110 AND 122 THEN 'fmtB'
-             |         ELSE 'bin' END AS format,
-             |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             |    list_reduce(
-             |      list_prepend(CAST(0 AS BIGINT),
-             |        list_transform(generate_series(1, CAST(length(text) AS INTEGER)),
-             |                       j -> CAST(unicode(text[j]) AS BIGINT))),
-             |      (a, x) -> (a * 31 + x) % 1000000007) AS checksum
-             |  FROM documents)
-             |SELECT format, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-             |  min(checksum) AS min_checksum
-             |FROM m GROUP BY format ORDER BY format""".stripMargin),
-      note = "per-format rollup incl. byte-level rolling checksum"),
+      Some(s"""WITH $duckMediaMeta
+              |SELECT format, count(*) AS n,
+              |  CAST(sum(CASE WHEN format = 'wav' THEN 44 + n + n % 2
+              |                WHEN format = 'bmp' THEN 54 + ((w * 3 + 3) // 4) * 4 * ht
+              |                ELSE 0 END) AS BIGINT) AS total_bytes,
+              |  CAST(sum(w * ht) AS BIGINT) AS total_px,
+              |  CAST(sum(CASE WHEN format = 'wav' THEN n ELSE 0 END) AS BIGINT) AS total_samples
+              |FROM meta GROUP BY format ORDER BY format""".stripMargin),
+      note = "per-format rollup over decoded metadata; container sizes incl. padding reconstructed by the oracle"),
 
     // Frame sampling: the payload is a sequence of fixed 16-byte frames;
     // keep every 4th frame (a video keyframe / audio window sample) and emit
@@ -114,34 +148,36 @@ object MultimodalQueries {
              |FROM f ORDER BY doc_id, frame_idx""".stripMargin),
       note = "strided keyframe sampling over the byte payload; map-side explode"),
 
-    // Resize: average-pool the payload down to a fixed 8-slot signature
-    // (the 1-D analog of image resize-by-area). Slot boundaries are the
-    // floor(b·len/8) grid; the mean is exact (integer sum, one double
-    // division), so the oracle matches bit-for-bit.
+    // Resize: average-pool each DECODED buffer (PCM samples for wav docs,
+    // gray pixels for bmp docs — real container parse, round 9) down to a
+    // fixed 8-slot signature, the 1-D analog of image resize-by-area.
+    // Pooling runs inside the decode pass, map-side. Slot boundaries are
+    // the floor(b·m/8) grid over the buffer length m (= n samples for wav,
+    // w·ht pixels for bmp — the oracle reconstructs m from the synthesis
+    // rule); the mean is exact (integer sum, one double division). Empty
+    // slots (m < 8) emit no rows so the mean is always defined.
     Q("mm_resize_pool", Seq("multimodal", "P9", "A13"),
       (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-          .withColumn("slot", explode(expr("sequence(0, 7)")))
-          .withColumn("lo", expr("CAST(floor(slot * len / 8.0) AS INT)"))
-          .withColumn("hi", expr("CAST(floor((slot + 1) * len / 8.0) AS INT)"))
-          .withColumn("piece", expr("substring(text, lo + 1, hi - lo)"))
-          .select(col("doc_id"), col("slot"),
-                  (col("hi") - col("lo")).as("n_bytes"),
-                  expr("CAST(aggregate(transform(sequence(1, length(piece)), i -> CAST(ascii(substring(piece, i, 1)) AS BIGINT)), 0L, (a, x) -> a + x) AS DOUBLE) / (hi - lo)").as("mean_code"))
+        Multimodal.resizePool(s, Tables.documents(s, dir)).toDF()
+          .select(col("docId").as("doc_id"), col("slot"),
+                  col("nBytes").as("n_bytes"), col("meanCode").as("mean_code"))
           .orderBy("doc_id", "slot"),
-      Some("""WITH s AS (
-             |  SELECT doc_id, text, CAST(length(text) AS INTEGER) AS len,
-             |    unnest(generate_series(0, 7)) AS slot
-             |  FROM documents),
-             |b AS (SELECT doc_id, CAST(slot AS INTEGER) AS slot,
-             |        CAST(floor(slot * len / 8.0) AS INTEGER) AS lo,
-             |        CAST(floor((slot + 1) * len / 8.0) AS INTEGER) AS hi, text
-             |      FROM s)
-             |SELECT doc_id, slot, CAST(hi - lo AS INTEGER) AS n_bytes,
-             |  CAST(CAST(list_sum(list_transform(generate_series(lo + 1, hi), j -> unicode(text[j]))) AS BIGINT) AS DOUBLE) / (hi - lo) AS mean_code
-             |FROM b ORDER BY doc_id, slot""".stripMargin),
-      note = "1-D average-pooling resize to a fixed 8-slot signature"),
+      Some(s"""WITH $duckMediaMeta,
+              |e AS (SELECT doc_id, text,
+              |        CASE WHEN format = 'wav' THEN n
+              |             WHEN format = 'bmp' THEN w * ht
+              |             ELSE 0 END AS mlen
+              |      FROM meta),
+              |sl AS (SELECT doc_id, text, mlen, unnest(generate_series(0, 7)) AS slot
+              |       FROM e WHERE mlen > 0),
+              |b AS (SELECT doc_id, CAST(slot AS INTEGER) AS slot,
+              |        CAST((slot * mlen) // 8 AS INTEGER) AS lo,
+              |        CAST(((slot + 1) * mlen) // 8 AS INTEGER) AS hi, text
+              |      FROM sl)
+              |SELECT doc_id, slot, CAST(hi - lo AS INTEGER) AS n_bytes,
+              |  CAST(CAST(list_sum(list_transform(generate_series(lo + 1, hi), j -> unicode(text[j]))) AS BIGINT) AS DOUBLE) / (hi - lo) AS mean_code
+              |FROM b WHERE hi > lo ORDER BY doc_id, slot""".stripMargin),
+      note = "1-D average-pooling resize over the decoded PCM/pixel buffer, fused into the decode pass"),
 
     // Perceptual-hash near-dup for media payloads — aHash over the stubbed
     // decode: pool the payload bytes into 48 chunks (chunk of byte i is
@@ -251,20 +287,23 @@ object MultimodalQueries {
               |ORDER BY i.a_id, i.b_id""".stripMargin),
       note = "media-phash candidates cross-checked by caption Jaccard; pair-bounded text verify"),
 
-    // Voice-activity segmentation over the audio payload: 16-byte frames
-    // get an integer energy (Σ (byte−96)², exact in any engine) via
-    // mapPartitions batch decode; frames above threshold merge into
+    // Voice-activity segmentation over REAL decoded audio (round 9): each
+    // WAV doc's container is parsed (RIFF chunk walk) and its PCM samples
+    // sliced into 16-sample frames with an integer energy Σ (s−128)² — the
+    // squared deviation from the 8-bit PCM midpoint, exact in any engine —
+    // via mapPartitions batch decode; frames above threshold merge into
     // maximal runs with the islands trick (wIdx − row_number is constant
-    // within a run). Per-doc state never exceeds one frame on the decode
-    // side and one window partition on the merge side — the 100 TB shape
-    // for segmenting petabytes of audio is exactly this: frame-parallel
-    // featurization, then a per-key ordered merge.
+    // within a run). BMP/empty docs emit no windows. Per-doc state never
+    // exceeds one frame on the decode side and one window partition on the
+    // merge side — the 100 TB shape for segmenting petabytes of audio is
+    // exactly this: frame-parallel featurization, then a per-key ordered
+    // merge.
     Q("mm_audio_vad_segments", Seq("multimodal", "W3", "F1", "A12", "session"),
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("docId").orderBy("wIdx")
         Multimodal.vadWindows(s, Tables.documents(s, dir)).toDF()
-          .where(col("energy") >= 12000)
+          .where(col("energy") >= 36000)
           .withColumn("isl", col("wIdx") - row_number().over(w))
           .groupBy(col("docId").as("doc_id"), col("isl"))
           .agg(min("wIdx").as("seg_start"), max("wIdx").as("seg_end"),
@@ -275,17 +314,17 @@ object MultimodalQueries {
       Some("""WITH u AS (
              |  SELECT doc_id,
              |    unnest(generate_series(0, CAST(length(text) AS INTEGER) - 1)) AS i, text
-             |  FROM documents),
+             |  FROM documents WHERE doc_id % 2 = 0 AND length(text) > 0),
              |w AS (SELECT doc_id, CAST(i // 16 AS INTEGER) AS w_idx,
-             |        CAST(sum((unicode(text[CAST(i AS INTEGER) + 1]) - 96)
-             |                 * (unicode(text[CAST(i AS INTEGER) + 1]) - 96)) AS BIGINT) AS energy
+             |        CAST(sum((unicode(text[CAST(i AS INTEGER) + 1]) - 128)
+             |                 * (unicode(text[CAST(i AS INTEGER) + 1]) - 128)) AS BIGINT) AS energy
              |      FROM u WHERE i < (length(text) // 16) * 16 GROUP BY 1, 2),
              |a AS (SELECT doc_id, w_idx, energy,
              |        w_idx - row_number() OVER (PARTITION BY doc_id ORDER BY w_idx) AS isl
-             |      FROM w WHERE energy >= 12000)
+             |      FROM w WHERE energy >= 36000)
              |SELECT doc_id, min(w_idx) AS seg_start, max(w_idx) AS seg_end,
              |  count(*) AS n_windows, CAST(sum(energy) AS BIGINT) AS tot_energy
              |FROM a GROUP BY doc_id, isl ORDER BY doc_id, seg_start""".stripMargin),
-      note = "VAD-style segmentation: frame-parallel integer energy + islands merge into runs")
+      note = "VAD over parsed WAV PCM: frame-parallel integer energy (midpoint 128) + islands merge into runs")
   )
 }

@@ -112,24 +112,31 @@ class OpsSpec extends AnyFunSuite {
            healthy.collect().toSeq)
   }
 
-  test("multimodal decode stub is deterministic and batch-shaped") {
-    val m1 = Multimodal.decodeStub(1L, "hello world".getBytes("UTF-8"))
-    val m2 = Multimodal.decodeStub(1L, "hello world".getBytes("UTF-8"))
-    assert(m1 == m2)
-    assert(m1.nBytes == 11 && m1.firstByte == 'h'.toInt && m1.format == "fmtA")
+  test("multimodal decode is deterministic, batch-shaped, header-derived") {
+    val wav = Multimodal.mediaPayload(2L, "hello world".getBytes("UTF-8"))
+    assert(Multimodal.decode(2L, wav) == Multimodal.decode(2L, wav))
+    val m = Multimodal.decode(2L, wav)
+    assert(m.format == "wav" && m.nSamples == 11L && m.sampleRate == 8000 &&
+           m.nBytes == graft.multimodal.Wav.encodedSize(11))
     val meta = Multimodal.extractFeatures(spark,
-      Seq((1L, "spark table")).toDF("doc_id", "text")).collect()
-    assert(meta.head.format == "fmtB" && meta.head.nBytes == 11)
+      Seq((1L, "spark table is here")).toDF("doc_id", "text")).collect()
+    // odd doc_id -> BMP: 19 bytes -> 12x1, first 12 bytes as gray pixels
+    assert(meta.head.format == "bmp" && meta.head.width == 12 && meta.head.height == 1)
+    val gray12 = "spark table is here".getBytes("UTF-8").take(12)
+    assert(math.abs(meta.head.level - gray12.map(_ & 0xff).sum.toDouble / 12) < 1e-12)
   }
 
-  test("VAD windowing emits full frames only, with exact integer energies") {
-    // 35 bytes -> 2 full 16-byte frames, 3-byte tail dropped
+  test("VAD windowing decodes the WAV container, full frames only, exact energies") {
+    // 35 samples -> 2 full 16-sample frames, 3-sample tail dropped
     val text = "a" * 16 + " " * 16 + "xyz"
-    val ws = Multimodal.vadWindows(spark, Seq((7L, text)).toDF("doc_id", "text"))
+    val ws = Multimodal.vadWindows(spark, Seq((8L, text)).toDF("doc_id", "text"))
       .collect().sortBy(_.wIdx)
     assert(ws.map(_.wIdx).toSeq == Seq(0, 1))
-    assert(ws(0).energy == 16L * 1 * 1)     // 'a' = 97 -> (97-96)^2 = 1
-    assert(ws(1).energy == 16L * 64 * 64)   // ' ' = 32 -> (32-96)^2 = 4096
+    assert(ws(0).energy == 16L * 31 * 31)   // 'a' = 97 -> (97-128)^2 = 961
+    assert(ws(1).energy == 16L * 96 * 96)   // ' ' = 32 -> (32-128)^2 = 9216
+    // odd doc_id -> BMP payload: no audio windows
+    assert(Multimodal.vadWindows(spark,
+      Seq((7L, text)).toDF("doc_id", "text")).collect().isEmpty)
     // empty / sub-frame payloads emit nothing
     assert(Multimodal.vadWindows(spark,
       Seq((8L, "short")).toDF("doc_id", "text")).collect().isEmpty)
