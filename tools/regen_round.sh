@@ -18,6 +18,13 @@ echo "=== 3. benchcmp sf0.1 ==="
 python3 tools/benchcmp.py /root/testdata/sf0.1 /tmp/bench_local_final_sf01.json \
   BENCHCMP.md /tmp/graft_verify_final/oracle_sql.json 2>&1 | tail -1
 
+echo "=== 3b. cold-cache bench sf0.1 (ratification condition b) ==="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_COLD=1 \
+  sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' | tail -1
+
+echo "=== 3c. cold-vs-steady attribution into BENCHCMP.md ==="
+python3 tools/coldcmp.py /tmp/bench_local_final_sf01.json BENCH_COLD.json BENCHCMP.md
+
 echo "=== 4. Bench sf1 ==="
 SPARK_GRAFT_SF_DIR=/tmp/sf1 SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' | tail -1
