@@ -435,13 +435,13 @@ object LayoutQueries {
     // inside a single scan+agg of that table (sum(CASE WHEN violated)),
     // so adding rules never adds passes — 4 fact-table scans total, each
     // map-side-combined. Uniqueness rides the same agg as an exact
-    // count(DISTINCT key) (one extra expand). FK rules are fused PER
-    // CHILD TABLE: one child scan chains a left join per parent key set
-    // (broadcast when the parent is a dim, shuffle otherwise) and a
-    // single agg counts every rule's parent-misses plus the shared
-    // total, so N FK rules on one child cost one scan + N joins, never
-    // N scans + N aggs. The long (one-row-per-rule) shape comes from
-    // stack() over the single aggregated row: plan-free reshaping.
+    // count(DISTINCT key) (one extra expand). FK rules are fused per
+    // child table BY JOIN SHAPE: all broadcast-able (dim-parent) legs
+    // share one map-side child pass + single agg; shuffle-worthy parents
+    // keep their own single-FK-column leg so no exchange ever widens
+    // (see the in-query comment for the measured A/B). The long
+    // (one-row-per-rule) shape comes from stack() over the single
+    // aggregated row: plan-free reshaping.
     // Ingest-volume anomaly detection by ROBUST z-score — the data-quality
     // monitor every scheduled pipeline runs on its own row counts: a
     // median/MAD screen (|x − med| > 3.5·1.4826·MAD, Iglewicz–Hoaglin)
@@ -552,43 +552,46 @@ object LayoutQueries {
             |  'documents_len_consistent', v_len) AS (check_name, violations)"""
             .stripMargin,
           "'documents' AS tbl", "total")
-        // FK rules, fused PER CHILD TABLE (round-9: each FK previously
-        // paid its own child scan + join + agg — at sf1 the three
-        // lineitem legs were 3 of the query's 4 heavy passes). All of a
-        // child's FK rules ride ONE pass: chain a left join per parent
-        // key set (each join preserves child cardinality — parent keys
-        // are distinct), then count every rule's parent-misses and the
-        // shared child total in a single agg, stack()ed long like the
-        // same-table rules. Left-to-right join order keeps the one
-        // shuffle-worthy parent (orders) first; the dim parents join
-        // map-side after it (AQE broadcasts them at any realistic SF).
+        // FK rules, fused per child table BY JOIN SHAPE (round 9): all of
+        // a child's BROADCAST-able FK legs (dim parents) ride one
+        // map-side pass — chained broadcast left joins on a projection of
+        // just the FK columns, then one agg counts every leg's
+        // parent-misses plus the shared child total, stack()ed long like
+        // the same-table rules. The one shuffle-worthy parent (orders)
+        // keeps its own single-column leg: folding it into the fused pass
+        // was measured SLOWER at sf1 (the sort-merge exchange then
+        // carries every FK column instead of one), while the dim fusion
+        // cuts child scans without widening any shuffle. Net: 4 FK rules
+        // = 2 child passes (one shuffle-free), down from 4 scan+join+aggs.
         def hitSet(parent: org.apache.spark.sql.DataFrame, pk: String, hit: String) =
           parent.select(col(pk)).distinct().withColumn(hit, lit(1))
-        val liFk = li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
-          .join(hitSet(o, "o_orderkey", "hit_o"),
-                col("l_orderkey") === col("o_orderkey"), "left")
-          .join(hitSet(Tables.part(s, dir), "p_partkey", "hit_p"),
+        val liDimFk = li.select(col("l_partkey"), col("l_suppkey"))
+          .join(broadcast(hitSet(Tables.part(s, dir), "p_partkey", "hit_p")),
                 col("l_partkey") === col("p_partkey"), "left")
-          .join(hitSet(Tables.supplier(s, dir), "s_suppkey", "hit_s"),
+          .join(broadcast(hitSet(Tables.supplier(s, dir), "s_suppkey", "hit_s")),
                 col("l_suppkey") === col("s_suppkey"), "left")
           .agg(count(lit(1)).as("total"),
-               viol(col("hit_o").isNull).as("v_fk_o"),
                viol(col("hit_p").isNull).as("v_fk_p"),
                viol(col("hit_s").isNull).as("v_fk_s"))
           .selectExpr(
-            """stack(3,
-              |  'fk_lineitem_orders', v_fk_o,
+            """stack(2,
               |  'fk_lineitem_part', v_fk_p,
               |  'fk_lineitem_supplier', v_fk_s) AS (check_name, violations)"""
               .stripMargin,
             "'lineitem' AS tbl", "total")
+        val liOrdFk = li.select(col("l_orderkey"))
+          .join(hitSet(o, "o_orderkey", "hit_o"),
+                col("l_orderkey") === col("o_orderkey"), "left")
+          .agg(count(lit(1)).as("total"), viol(col("hit_o").isNull).as("violations"))
+          .select(lit("fk_lineitem_orders").as("check_name"), col("violations"),
+                  lit("lineitem").as("tbl"), col("total"))
         val oFk = o.select(col("o_custkey"))
-          .join(hitSet(Tables.customer(s, dir), "c_custkey", "hit_c"),
+          .join(broadcast(hitSet(Tables.customer(s, dir), "c_custkey", "hit_c")),
                 col("o_custkey") === col("c_custkey"), "left")
           .agg(count(lit(1)).as("total"), viol(col("hit_c").isNull).as("violations"))
           .select(lit("fk_orders_customer").as("check_name"), col("violations"),
                   lit("orders").as("tbl"), col("total"))
-        (Seq(liRules, oRules, eRules, dRules, liFk, oFk))
+        (Seq(liRules, oRules, eRules, dRules, liDimFk, liOrdFk, oFk))
           .reduce(_ unionByName _)
           .select(col("check_name"), col("tbl"),
                   col("violations").cast("long").as("violations"),
