@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.core.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join operators (SURVEY.md §2.5): multi-key inner join (J1), manifest
@@ -387,6 +388,66 @@ object JoinQueries {
              |  least(ea, eb) - greatest(sa, sb) AS overlap_us
              |FROM a JOIN b ON a.user_id = b.user_id AND sa <= eb AND sb <= ea
              |ORDER BY 1, 2, 3""".stripMargin),
-      note = "interval-overlap join via 1-hour grid bucketing: equi-join candidates, exact verify; oracle = direct theta-join (completeness proof)")
+      note = "interval-overlap join via 1-hour grid bucketing: equi-join candidates, exact verify; oracle = direct theta-join (completeness proof)"),
+
+    // Skyline (Pareto frontier): the suppliers not DOMINATED on the
+    // (best price ↓, order reach ↑) plane — the multi-objective shortlist
+    // operator behind sourcing decisions and quality-vs-cost curation
+    // frontiers. (Reach = distinct orders served; max-quantity as the
+    // second objective saturates at the domain cap of 50 and collapses
+    // the frontier to one point — a count objective keeps it a real
+    // curve.) Textbook SQL is the O(n²) NOT-EXISTS self-join (the oracle,
+    // exact by definition); the Spark plan is an O(n log n) two-phase
+    // sweep that never compares pairs: objective pairs are deduplicated,
+    // banded by a $1000 price bucket, and a pair survives iff its reach
+    // strictly exceeds BOTH (a) the in-band prefix max over (price asc,
+    // reach desc) — earlier in-band rows are exactly the
+    // better-or-equal-on-price, strict-somewhere dominators — and (b) the
+    // running max over strictly lower bands, computed on the BOUNDED band
+    // summary (band count tracks the price range / bucket width, a
+    // dimension, not the data volume). Exactness over distinct pairs: an
+    // earlier element with equal reach must be strictly better on price,
+    // so the strict `reach > max` test is precisely non-domination. The
+    // price double is only min'd and compared — never summed — so both
+    // engines see identical bits; survivors broadcast back onto the
+    // per-supplier row.
+    Q("j_skyline_pareto", Seq("J1", "W4", "A10", "A13", "F5"),
+      (s, dir) => {
+        val sup = Tables.lineitem(s, dir)
+          .groupBy("l_suppkey")
+          .agg(min("l_extendedprice").as("best_price"),
+               countDistinct("l_orderkey").as("reach"))
+        val pairs = sup.select("best_price", "reach").distinct()
+          .withColumn("band", expr("CAST(best_price * 100 AS BIGINT) div 100000"))
+        val wIn = Window.partitionBy("band")
+          .orderBy(col("best_price").asc, col("reach").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bandMax = pairs.groupBy("band").agg(max("reach").as("bq"))
+        val wBand = graft.core.Shape.boundedWindow(col("band").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bandPrefix = bandMax
+          .withColumn("lower_max", max("bq").over(wBand))
+          .select("band", "lower_max")
+        val pm = greatest(col("in_max"), col("lower_max")) // greatest skips nulls
+        val sky = pairs
+          .withColumn("in_max", max("reach").over(wIn))
+          .join(broadcast(bandPrefix), Seq("band"))
+          .where(pm.isNull || col("reach") > pm)
+          .select("best_price", "reach")
+        sup.join(broadcast(sky), Seq("best_price", "reach"))
+          .select("l_suppkey", "best_price", "reach")
+          .orderBy("l_suppkey")
+      },
+      Some("""WITH t AS (SELECT l_suppkey, min(l_extendedprice) AS best_price,
+             |                  count(DISTINCT l_orderkey) AS reach
+             |           FROM lineitem GROUP BY 1)
+             |SELECT a.l_suppkey, a.best_price, a.reach
+             |FROM t a
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM t b
+             |  WHERE b.best_price <= a.best_price AND b.reach >= a.reach
+             |    AND (b.best_price < a.best_price OR b.reach > a.reach))
+             |ORDER BY a.l_suppkey""".stripMargin),
+      note = "2-D skyline as an O(n log n) banded prefix-max sweep (no pair joins); cross-band max on the bounded band summary; oracle = textbook O(n²) NOT EXISTS")
   )
 }

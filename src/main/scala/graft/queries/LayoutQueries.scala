@@ -665,7 +665,53 @@ object LayoutQueries {
              |  CAST(total AS BIGINT) AS total,
              |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok
              |FROM rules ORDER BY check_name""".stripMargin),
-      note = "declarative DQ suite (Deequ/dbt-test shape): all same-table rules fused into one scan+agg per table, FK rules one join each counting misses and totals in the same pass")
+      note = "declarative DQ suite (Deequ/dbt-test shape): all same-table rules fused into one scan+agg per table, FK rules one join each counting misses and totals in the same pass"),
+
+    // Benford first-digit audit: the fraud / synthetic-data screen — the
+    // leading-digit distribution of order totals vs Benford's law. The
+    // digit comes from exact integer cents (CAST(price*100 AS BIGINT):
+    // one identical IEEE multiply and truncation in both engines) via
+    // integer→string, never via log10 — float log at power-of-ten
+    // boundaries is exactly where engines can disagree by an ulp. The
+    // expected shares are pre-computed permille constants
+    // round(log10(1+1/d)·1000) shipped as a broadcast 9-row literal;
+    // observed permille is one BIGINT integer division against a 1-row
+    // broadcast total; the deviation flag (|obs − exp| > 50‰) is integer
+    // compares only. Plan: one scan+agg to the 9-row digit census, then
+    // broadcast-only joins — nothing after the census scales with rows.
+    Q("dq_benford_digits", Seq("A1", "A9", "P15", "F4"),
+      (s, dir) => {
+        val digits = Tables.orders(s, dir)
+          .where(col("o_totalprice") > 0)
+          .select(expr(
+            "CAST(substring(CAST(CAST(o_totalprice * 100 AS BIGINT) AS STRING), 1, 1) AS INT)")
+            .as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val total = digits.agg(sum("n").as("total"))
+        val expected = s.createDataFrame(Seq(
+          (1, 301L), (2, 176L), (3, 125L), (4, 97L), (5, 79L),
+          (6, 67L), (7, 58L), (8, 51L), (9, 46L))).toDF("digit", "exp_pm")
+        digits.join(broadcast(expected), Seq("digit"))
+          .crossJoin(broadcast(total))
+          .withColumn("obs_pm", expr("n * 1000 div total"))
+          .select(col("digit"), col("n"), col("exp_pm"), col("obs_pm"),
+                  (abs(col("obs_pm") - col("exp_pm")) > 50).as("flagged"))
+          .transform(graft.core.Shape.boundedSort(_, "digit")) // ≤9 digits
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR),
+             |                     1, 1) AS INT) AS digit
+             |  FROM orders WHERE o_totalprice > 0),
+             |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+             |e(digit, exp_pm) AS (VALUES
+             |  (1, CAST(301 AS BIGINT)), (2, 176), (3, 125), (4, 97),
+             |  (5, 79), (6, 67), (7, 58), (8, 51), (9, 46))
+             |SELECT c.digit, c.n, e.exp_pm, c.n * 1000 // t.total AS obs_pm,
+             |  abs(c.n * 1000 // t.total - e.exp_pm) > 50 AS flagged
+             |FROM c JOIN e USING (digit) CROSS JOIN t
+             |ORDER BY c.digit""".stripMargin),
+      note = "Benford leading-digit screen: digit from exact integer cents (never float log10), permille constants broadcast, one scan+agg then broadcast-only — integer arithmetic end to end")
   )
 
   /** floor(log2(n)) for n >= 1 as a descending integer CASE ladder —

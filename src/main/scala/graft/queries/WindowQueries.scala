@@ -896,6 +896,45 @@ object WindowQueries {
              |    nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
              |           sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0) AS corr7
              |FROM wnd ORDER BY event_type, day""".stripMargin),
-      note = "trailing 7-day rolling Pearson r of per-type vs global daily volume: exact BIGINT moments over fixed-point units, doubles only in the final one-shot formula; windows over the aggregated series only")
+      note = "trailing 7-day rolling Pearson r of per-type vs global daily volume: exact BIGINT moments over fixed-point units, doubles only in the final one-shot formula; windows over the aggregated series only"),
+
+    // Gaps-and-islands: per-user CONSECUTIVE-DAY activity streaks — the
+    // classic retention/engagement reshape and the run-length primitive
+    // behind "active N days in a row" features. The island key is
+    // d − dense_rank(d): constant inside a maximal consecutive-day run and
+    // strictly shifted across any gap. dense_rank (not row_number over a
+    // pre-distinct) lets the window run on the RAW event rows — duplicate
+    // events on a day share a rank so the difference stays constant — which
+    // saves the dedup's own (user_id, d) exchange; the island aggregate
+    // then counts DISTINCT days for the streak length. All date/integer
+    // arithmetic, bit-exact by construction. Scale: the one data-sized
+    // stage is the per-user window (high-cardinality partition key), and
+    // the (user_id, isl) aggregate reuses that clustering (user_id ⊆ the
+    // group key satisfies the agg's distribution ⇒ no second exchange).
+    Q("w_gap_islands", Seq("W1", "W2", "F6", "A10", "session"),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("d")
+        Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+          .withColumn("isl", date_sub(col("d"), dense_rank().over(w)))
+          .groupBy("user_id", "isl")
+          .agg(min("d").as("start_day"), max("d").as("end_day"),
+               countDistinct("d").as("len_days"))
+          .where(col("len_days") >= 3)
+          .select("user_id", "start_day", "end_day", "len_days")
+          .orderBy("user_id", "start_day")
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS d,
+             |    dense_rank() OVER (PARTITION BY user_id
+             |                       ORDER BY CAST(ts AS DATE)) AS rk
+             |  FROM events),
+             |g AS (SELECT user_id, d, d - CAST(rk AS INT) AS isl FROM r)
+             |SELECT user_id, min(d) AS start_day, max(d) AS end_day,
+             |  count(DISTINCT d) AS len_days
+             |FROM g GROUP BY user_id, isl
+             |HAVING count(DISTINCT d) >= 3
+             |ORDER BY user_id, start_day""".stripMargin),
+      note = "gaps-and-islands consecutive-day streaks via d − dense_rank(d) on raw rows (no pre-distinct shuffle); island agg reuses the user clustering; dates/integers only")
   )
 }

@@ -561,4 +561,31 @@ class PlanRegressionSpec extends AnyFunSuite {
       .select("user_id", "n_events", "last_us", "fired_ms")
     assert(out.collect().toSeq == expect.collect().toSeq)
   }
+
+  test("gap islands: island agg reuses the user window clustering — one hash exchange total") {
+    val p = plan("w_gap_islands")
+    // the per-user window's exchange is the ONLY hash exchange: the
+    // (user_id, isl) aggregate's distribution is satisfied by the window's
+    // hashpartitioning(user_id) (subset rule), so no second data shuffle;
+    // the finalizer keeps its parallel range sort (volume-bound output)
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hash == 1, s"expected exactly 1 hash exchange, got $hash:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("skyline: banded sweep plans broadcast-only joins, no pair join anywhere") {
+    val p = plan("j_skyline_pareto")
+    assert(p.contains("BroadcastHashJoin"), p) // band prefix + survivor map-back
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("benford: predicate pushed to the scan; everything after the census is broadcast") {
+    val p = plan("dq_benford_digits")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+           s"o_totalprice > 0 lost its pushdown:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p) // 9-row expected-share join
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p) // boundedSort finalizer
+  }
 }
