@@ -573,11 +573,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("skyline: banded sweep plans broadcast-only joins, no pair join anywhere") {
+  test("skyline: banded sweep plans broadcast-only joins, no pair join, one fact pass") {
     val p = plan("j_skyline_pareto")
     assert(p.contains("BroadcastHashJoin"), p) // band prefix + survivor map-back
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the checkpointed per-supplier frame is the shared input: the fact
+    // table must not be rescanned per consumer (was 3 scans pre-checkpoint)
+    assert(!p.contains("FileScan parquet"), s"fact table rescanned:\n$p")
   }
 
   test("benford: predicate pushed to the scan; everything after the census is broadcast") {
