@@ -1447,6 +1447,63 @@ object AnalyticQueries {
              |  CAST(CASE WHEN CAST(numer AS DOUBLE) / CAST(2 * class_size * nn AS DOUBLE) <= 0.2
              |       THEN 1 ELSE 0 END AS BIGINT) AS close
              |FROM agg ORDER BY d, v_bucket""".stripMargin),
-      note = "t-closeness (variational distance, t=0.2) of each QI class's sensitive distribution vs the table's: the skewness attack k-anonymity and l-diversity both miss; numerators in exact BIGINT over a shared denominator, one division, absent-value mass closed-form — one row-volume shuffle + class-table window/rollup on one exchange")
+      note = "t-closeness (variational distance, t=0.2) of each QI class's sensitive distribution vs the table's: the skewness attack k-anonymity and l-diversity both miss; numerators in exact BIGINT over a shared denominator, one division, absent-value mass closed-form — one row-volume shuffle + class-table window/rollup on one exchange"),
+
+    // Market-basket association mining (support / confidence / lift) —
+    // baskets are orders, items are parts. The classic Apriori downward-
+    // closure prune is applied BEFORE pair generation: only items in ≥5
+    // baskets can appear in a pair with support ≥2, so the infrequent tail
+    // never reaches the pair stage (at 100 TB that prune is what keeps the
+    // pair space from exploding — item frequency is power-law, pair
+    // candidates collapse to the frequent head). Pair generation is ONE
+    // shuffle of the (basket, item) fact to baskets, then a MAP-SIDE
+    // explode of each basket's item set (basket size is bounded by order
+    // width, ≤7 lines in TPC-H — never by data volume): no fact-fact
+    // self-join, no second fact shuffle. Confidence and lift ship as
+    // permille integers (one BIGINT division each, engine-exact); the
+    // n_total scalar rides a 1-row broadcast like the benford census.
+    Q("mine_assoc_pairs", Seq("A1", "A10", "J6", "F5"),
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey").distinct()
+        val item = li.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+        val freq = item.where(col("n_item") >= 5)
+        val pairs = li
+          .join(freq.select("l_partkey"), Seq("l_partkey"), "left_semi")
+          .groupBy("l_orderkey").agg(collect_set("l_partkey").as("items"))
+          .select(explode(col("items")).as("a"), col("items"))
+          .select(col("a"), explode(col("items")).as("b"))
+          .where(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+          .where(col("n_ab") >= 2)
+        val nTotal = li.select("l_orderkey").distinct()
+          .agg(count(lit(1)).as("n_total"))
+        pairs
+          .join(item.select(col("l_partkey").as("a"), col("n_item").as("n_a")), Seq("a"))
+          .join(item.select(col("l_partkey").as("b"), col("n_item").as("n_b")), Seq("b"))
+          .crossJoin(broadcast(nTotal))
+          .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+                  expr("n_ab * 1000 div n_a").as("conf_pm"),
+                  expr("n_ab * n_total * 1000 div (n_a * n_b)").as("lift_pm"))
+          .orderBy("a", "b")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |item AS (SELECT l_partkey, count(*) AS n_item FROM li GROUP BY 1),
+             |freq AS (SELECT l_partkey FROM item WHERE n_item >= 5),
+             |p AS (SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS n_ab
+             |      FROM li a JOIN li b
+             |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |      WHERE a.l_partkey IN (SELECT l_partkey FROM freq)
+             |        AND b.l_partkey IN (SELECT l_partkey FROM freq)
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
+             |t AS (SELECT count(*) AS n_total
+             |      FROM (SELECT DISTINCT l_orderkey FROM li))
+             |SELECT p.a, p.b, p.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+             |  p.n_ab * 1000 // ia.n_item AS conf_pm,
+             |  p.n_ab * t.n_total * 1000 // (ia.n_item * ib.n_item) AS lift_pm
+             |FROM p JOIN item ia ON p.a = ia.l_partkey
+             |       JOIN item ib ON p.b = ib.l_partkey
+             |CROSS JOIN t ORDER BY p.a, p.b""".stripMargin),
+      note = "Apriori-pruned pair mining: frequent-item semi-join BEFORE pair gen, pairs from a map-side basket explode (bounded basket width, no fact self-join), permille confidence/lift in BIGINT; oracle formulates the same census as a fact-fact self-join")
   )
 }

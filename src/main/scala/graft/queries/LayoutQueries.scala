@@ -681,8 +681,12 @@ object LayoutQueries {
     // broadcast-only joins — nothing after the census scales with rows.
     Q("dq_benford_digits", Seq("A1", "A9", "P15", "F4"),
       (s, dir) => {
+        // >= 0.01, not > 0: a total below one cent would truncate to cents 0,
+        // leading digit 0, and silently fall out of the 1-9 expected join —
+        // breaking the "census partitions the filtered rows" invariant
+        // Round9OpsSpec asserts. Latent for TPC-H totals, guarded anyway.
         val digits = Tables.orders(s, dir)
-          .where(col("o_totalprice") > 0)
+          .where(col("o_totalprice") >= 0.01)
           .select(expr(
             "CAST(substring(CAST(CAST(o_totalprice * 100 AS BIGINT) AS STRING), 1, 1) AS INT)")
             .as("digit"))
@@ -701,7 +705,7 @@ object LayoutQueries {
       Some("""WITH d AS (
              |  SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR),
              |                     1, 1) AS INT) AS digit
-             |  FROM orders WHERE o_totalprice > 0),
+             |  FROM orders WHERE o_totalprice >= 0.01),
              |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
              |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
              |e(digit, exp_pm) AS (VALUES

@@ -452,6 +452,41 @@ object SessionQueries {
              |       WHEN max(CAST(ts AS DATE)) < DATE '2024-01-22' THEN 'base_only'
              |       ELSE 'merged' END AS src
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
-      note = "incremental aggregate maintenance: merge(agg(base), agg(delta)) hash-equals the oracle's from-scratch recompute; delta-proportional cost at scale")
+      note = "incremental aggregate maintenance: merge(agg(base), agg(delta)) hash-equals the oracle's from-scratch recompute; delta-proportional cost at scale"),
+
+    // First-order Markov transition matrix over per-user event sequences —
+    // the "what happens next" analytics primitive (next-action prediction,
+    // journey analysis, bot detection). One user-partitioned window pass
+    // orders each user's history ONCE (ties broken by event_id so both
+    // engines see the same successor), lead(1) pairs each event with its
+    // successor, and the (evt → next) census aggregates map-side. The
+    // per-source row probability (permille, integer division — engine-
+    // exact) is a window over the |event_types|² transition MATRIX, a
+    // dimension-bounded frame, so everything after the census is O(types²)
+    // no matter the row count; the finalizer sort rides the same bound.
+    Q("mine_markov_transitions", Seq("session", "W2", "A1", "A13"),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type").as("evt"),
+                  unix_micros(col("ts")).as("ts_us"))
+          .withColumn("next_evt", lead("evt", 1).over(w))
+          .where(col("next_evt").isNotNull)
+          .groupBy("evt", "next_evt").agg(count(lit(1)).as("n"))
+          .withColumn("p_pm", expr("n * 1000 div sum(n) OVER (PARTITION BY evt)"))
+          .select("evt", "next_evt", "n", "p_pm")
+          .transform(graft.core.Shape.boundedSort(_, "evt", "next_evt"))
+      },
+      Some("""WITH t AS (
+             |  SELECT event_type AS evt,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |                           ORDER BY epoch_us(ts), event_id) AS next_evt
+             |  FROM events),
+             |c AS (SELECT evt, next_evt, count(*) AS n
+             |      FROM t WHERE next_evt IS NOT NULL GROUP BY 1, 2)
+             |SELECT evt, next_evt, n,
+             |  n * 1000 // CAST(sum(n) OVER (PARTITION BY evt) AS BIGINT) AS p_pm
+             |FROM c ORDER BY evt, next_evt""".stripMargin),
+      note = "per-user lead(1) over one (ts,event_id)-ordered window pass, map-side census, permille rows over the bounded types² matrix — integer division, engine-exact")
   )
 }

@@ -591,4 +591,26 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("Exchange rangepartitioning"), p) // boundedSort finalizer
   }
+
+  test("markov transitions: one window pass + bounded-matrix tail, no joins, no range sort") {
+    val p = plan("mine_markov_transitions")
+    assert(!p.contains("Join"), s"joinless query grew a join:\n$p")
+    // user window + (evt,next) census + per-source matrix window; the
+    // finalizer is boundedSort (types²-bounded matrix), never a range sort
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hash <= 3, s"expected <=3 hash exchanges, got $hash:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("assoc pairs: map-side basket explode, no fact self-join, no cartesian") {
+    val p = plan("mine_assoc_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row n_total scalar is the only nested-loop broadcast
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 1, s"expected <=1 BNLJ (the 1-row scalar), got $bnl:\n$p")
+    // pair generation is Generate(explode) after the basket agg — the fact
+    // is never self-joined row-to-row
+    assert(p.contains("Generate explode"), s"basket explode missing:\n$p")
+    assert(!p.contains("SortMergeJoin"), p) // dims broadcast at this SF
+  }
 }

@@ -72,4 +72,68 @@ class PublishSpec extends AnyFunSuite {
     val again = Sinks.mosaicZip("biomass_20240101.tif", Array[Byte](1, 2, 3))
     assert(gs.created.head._2.toSeq == again.toSeq)
   }
+
+  test("live socket: GeoServerRest drives create-then-harvest-then-enable-time over real HTTP") {
+    // An embedded localhost server standing in for GeoServer's REST API —
+    // the injected-transport policy kept (no real GeoServer), but the actual
+    // java.net.http client path, URLs, methods, auth header and payload
+    // bytes are exercised end-to-end on a live socket (round-9 verdict #5).
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    final case class Req(method: String, path: String, contentType: String,
+                         auth: String, body: Array[Byte])
+    val reqs = collection.mutable.Buffer[Req]()
+    val stores = collection.mutable.Set[String]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val body = ex.getRequestBody.readAllBytes()
+      val path = ex.getRequestURI.getPath
+      reqs += Req(ex.getRequestMethod, path,
+        Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse(""),
+        Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""), body)
+      val storeRx = "^/geoserver/rest/workspaces/waterpoints/coveragestores/([^/.]+)\\.xml$".r
+      val fileRx = "^/geoserver/rest/workspaces/waterpoints/coveragestores/([^/.]+)/file\\.imagemosaic$".r
+      val covRx = "^/geoserver/rest/workspaces/waterpoints/coveragestores/([^/.]+)/coverages/.*$".r
+      val status = (ex.getRequestMethod, path) match {
+        case ("GET", storeRx(s))  => if (stores.contains(s)) 200 else 404
+        case ("PUT", fileRx(s))   => stores += s; 201 // create_imagemosaic
+        case ("POST", fileRx(_))  => 202               // harvest_uploadgranule
+        case ("PUT", covRx(_))    => 200               // coverage save (time dim)
+        case _                    => 400
+      }
+      ex.sendResponseHeaders(status, 0); ex.getResponseBody.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/geoserver"
+      val gs = new graft.pipeline.GeoServerRest(base, "waterpoints", "admin", "geoserver")
+      val log = Sinks.publishMosaics("biomass", rasters,
+        gs.storeExists, gs.create, gs.harvest)
+      // decision tree over the live probe: first raster creates, rest harvest
+      assert(log.map(_.action) ==
+        Seq(Sinks.CreateMosaic, Sinks.HarvestGranule, Sinks.HarvestGranule))
+      // wire-level sequence: probe(404) -> PUT zip -> PUT coverage xml ->
+      // probe(200) -> POST zip -> probe(200) -> POST zip
+      val prefix = "/geoserver/rest/workspaces/waterpoints/coveragestores/biomass"
+      assert(reqs.map(r => (r.method, r.path)).toSeq == Seq(
+        ("GET", s"$prefix.xml"),
+        ("PUT", s"$prefix/file.imagemosaic"),
+        ("PUT", s"$prefix/coverages/biomass.xml"),
+        ("GET", s"$prefix.xml"),
+        ("POST", s"$prefix/file.imagemosaic"),
+        ("GET", s"$prefix.xml"),
+        ("POST", s"$prefix/file.imagemosaic")))
+      // payload bytes on the wire == the byte-reproducible mosaic zips
+      val wireZips = reqs.filter(_.path.endsWith("file.imagemosaic")).map(_.body)
+      assert(wireZips.map(_.toSeq) ==
+        rasters.map { case (n, b) => Sinks.mosaicZip(n, b).toSeq })
+      assert(wireZips.map(z => unzip(z).map(_._1).last) == rasters.map(_._1))
+      // the coverage body is the time-dimension XML; auth rides every call
+      val cov = reqs.find(_.path.endsWith("/coverages/biomass.xml")).get
+      assert(new String(cov.body, "UTF-8") == Sinks.mosaicTimeDimensionXml("biomass"))
+      assert(cov.contentType == "application/xml")
+      assert(reqs.forall(_.auth.startsWith("Basic ")))
+      assert(reqs.filter(_.path.endsWith("file.imagemosaic"))
+        .forall(_.contentType == "application/zip"))
+    } finally server.stop(0)
+  }
 }

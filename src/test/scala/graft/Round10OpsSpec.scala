@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral invariants for the round-10 additions — properties the DuckDB
+  * hash-compare can't state directly (the oracle proves equality to one SQL
+  * formulation; these prove the SEMANTICS against independently-computed
+  * ground truth). */
+class Round10OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("markov transitions: census equals the brute-force per-user successor count") {
+    val out = SparkEntry.queries("mine_markov_transitions")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // ground truth: collect, sort each user's history by (ts, event_id), pair up
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val truth = ev.groupBy(_._1).values.flatMap { h =>
+      val s = h.sortBy(e => (e._4, e._2)).map(_._3)
+      s.zip(s.drop(1))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out.keySet == truth.keySet, "transition matrix cells differ from brute force")
+    out.foreach { case (k, (n, pPm)) =>
+      assert(n == truth(k), s"count mismatch at $k: $n vs ${truth(k)}")
+      val srcTotal = truth.collect { case ((a, _), v) if a == k._1 => v }.sum
+      assert(pPm == n * 1000 / srcTotal, s"permille mismatch at $k")
+    }
+    // each source row's permilles floor-sum to (1000 - residue), residue < types
+    out.keys.map(_._1).toSeq.distinct.foreach { src =>
+      val ps = out.collect { case ((a, _), (_, p)) if a == src => p }
+      assert(ps.sum <= 1000 && ps.sum > 1000 - ps.size,
+        s"permille rows of $src sum to ${ps.sum} over ${ps.size} cells")
+    }
+  }
+
+  test("assoc pairs: support/confidence/lift recompute from brute-force baskets; Apriori prune is lossless") {
+    val out = SparkEntry.queries("mine_assoc_pairs")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val li = graft.core.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = li.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val itemN = li.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nTotal = baskets.size.toLong
+    // ground-truth qualifying pairs: both items in >=5 baskets, pair in >=2
+    val truth = baskets.values.toSeq
+      .flatMap(b => b.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case ((a, b), nAb) => nAb >= 2 && itemN(a) >= 5 && itemN(b) >= 5 }
+      .toMap
+    assert(truth.nonEmpty, "sf0.001 should yield qualifying pairs")
+    assert(out.keySet == truth.keySet,
+      s"pair set differs: missing ${truth.keySet -- out.keySet}, extra ${out.keySet -- truth.keySet}")
+    out.foreach { case ((a, b), (nAb, nA, nB, confPm, liftPm)) =>
+      assert(a < b, s"unordered pair ($a,$b)")
+      assert(nAb == truth((a, b)) && nA == itemN(a) && nB == itemN(b),
+        s"counts mismatch at ($a,$b)")
+      assert(nAb <= math.min(nA, nB), s"support exceeds item frequency at ($a,$b)")
+      assert(confPm == nAb * 1000 / nA && liftPm == nAb * nTotal * 1000 / (nA * nB),
+        s"permille mismatch at ($a,$b)")
+    }
+    // the prune really is downward-closure (not an approximation): a pair
+    // with n_ab >= 2 forces both items into >=2 baskets; items BELOW the
+    // 5-basket frequency floor are excluded by the operator's CONTRACT
+    // (min item support), and the oracle applies the identical floor.
+  }
+}
