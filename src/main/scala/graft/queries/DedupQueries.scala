@@ -261,12 +261,28 @@ object DedupQueries {
     * pointer-jump component queries. */
   private[graft] def symDupEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     FrameMemo(s, s"$dir#dup_sym_edges") {
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val exactEdges = docs
-        .join(docs.groupBy("text").agg(min("doc_id").as("root")), "text")
-        .where(col("doc_id") =!= col("root"))
-        .select(col("root").as("a"), col("doc_id").as("b"))
-      val sh = shingles(s, dir)
+      // Exact-dup STAR edges (copy → its group representative): linear in
+      // corpus size — connectivity inside an identical-text group never
+      // needs the C(k,2) pair clique, one star per group spans it. This is
+      // what kept the components formulation linear where the declared
+      // pair-AUDIT queries are output-bound (SCALING.md second decade).
+      val members = dupMembers(s, dir)
+      val exactEdges = members.where(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("a"), col("doc_id").as("b"))
+      // Near-dup (3-gram Jaccard >= 0.5) edges over DISTINCT texts only.
+      // Jaccard is a function of the text alone, so near(x_i, y_j) holds
+      // iff near(rep_x, rep_y): one verified rep-rep edge plus the two
+      // exact stars spans every cross-copy pair — the connected components
+      // (and hence every min-label) are EXACTLY those of the all-docs pair
+      // graph the oracle's recursive CTE closes over. Collapsing before
+      // the shingle self-join is the production "exact-dedup first" move:
+      // on a dup-heavy corpus the per-shingle match list otherwise grows
+      // quadratically in the copy count (measured: the all-docs join's
+      // shuffle at sf3 exceeded 100 GiB; the rep-confined join tracks the
+      // distinct-text census, which the replicating scale-up holds flat).
+      val repDocs = Tables.documents(s, dir).select("doc_id", "text")
+        .join(members.where(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
+      val sh = shinglesOf(repDocs)
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val nearEdges = sh.as("x")
         .join(sh.as("y"),
