@@ -29,7 +29,9 @@ object PlanAudit {
     * the builder subtree. ReusedExchange and SinglePartition collects are
     * excluded, matching the string-count column's definition. */
   private def runtimeShuffles(p: SparkPlan): Int = p match {
-    case a: AdaptiveSparkPlanExec => runtimeShuffles(a.inputPlan)
+    // inputPlan is pre-EnsureRequirements (no exchanges yet); executedPlan
+    // on a fresh, unexecuted AQE root is the INITIAL plan with exchanges
+    case a: AdaptiveSparkPlanExec => runtimeShuffles(a.executedPlan)
     case scan if scan.nodeName.contains("InMemoryTableScan") => 0
     case s: ShuffleExchangeExec =>
       val self = s.outputPartitioning match {
