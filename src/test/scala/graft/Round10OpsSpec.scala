@@ -69,4 +69,44 @@ class Round10OpsSpec extends AnyFunSuite {
     // 5-basket frequency floor are excluded by the operator's CONTRACT
     // (min item support), and the oracle applies the identical floor.
   }
+
+  test("markov transitions: equal timestamps break ties by event_id in both engines' ordering") {
+    // the test data carries no (user, ts) ties (checked: zero at sf0.001
+    // and sf0.01), so the oracle can't exercise the tie-break — pin the
+    // wiring on a synthetic tie: two events at the SAME microsecond whose
+    // event_id order decides the successor chain.
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val rows = Seq( // user 1: a@t0, then b and c both @t1 with id(b) < id(c)
+      (1L, 10L, "a", 1000L), (1L, 11L, "b", 2000L), (1L, 12L, "c", 2000L))
+    val out = rows.toDF("user_id", "event_id", "evt", "ts_us")
+      .withColumn("next_evt", lead("evt", 1).over(w))
+      .where(col("next_evt").isNotNull)
+      .select("evt", "next_evt").as[(String, String)].collect().toSet
+    assert(out == Set(("a", "b"), ("b", "c")),
+      s"tie must resolve a->b->c via event_id, got $out")
+  }
+
+  test("GeoServerRest: non-2xx responses surface as loud IOExceptions, never silent skips") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      val status = ex.getRequestMethod match {
+        case "GET" => 500 // probe: neither 200 nor 404 — transport fault
+        case _     => 503 // create/harvest: GeoServer down
+      }
+      ex.sendResponseHeaders(status, 0); ex.getResponseBody.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/geoserver"
+      val gs = new graft.pipeline.GeoServerRest(base, "waterpoints", "admin", "pw")
+      intercept[java.io.IOException](gs.storeExists("biomass"))
+      intercept[java.io.IOException](gs.create("biomass", Array[Byte](1), "<coverage/>"))
+      intercept[java.io.IOException](gs.harvest("biomass", Array[Byte](1)))
+    } finally server.stop(0)
+  }
 }
