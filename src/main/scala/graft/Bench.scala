@@ -39,6 +39,24 @@ object Bench {
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same-window host-rate control (round-10 verdict #2): a FIXED synthetic
+    // Spark job — 48M-row range, one hash shuffle to 9973 keys, a 1-row
+    // final agg — independent of the registry, the SF dir, and the page
+    // cache. Sampled at every pass boundary; the median calibrates the
+    // host's rate in the exact window the census ran, so cross-round
+    // absolute totals stop needing a manual re-bench adjudication:
+    // normalized_total = total * (CONTROL_REF / control_median).
+    // CONTROL_REF is the r11 pinned median on the reference host state —
+    // rebaseline it only if the control WORKLOAD changes, never per round.
+    val ControlRef = 0.62
+    def controlSec(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 48000000L, 1L, 32)
+        .selectExpr("id % 9973 AS k", "id AS v")
+        .groupBy("k").count()
+        .selectExpr("sum(k * count)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     // Warm the JVM/codegen and the table file cache once, outside the timed
     // region: the first job in a fresh session otherwise pays ~5-10s of
     // classloading that has nothing to do with any particular query.
@@ -79,6 +97,8 @@ object Bench {
       spark.catalog.clearCache()
       graft.core.SessionMemo.dropSession(spark)
     }
+    controlSec() // untimed: JIT the control's own codegen before sampling
+    val controls = scala.collection.mutable.ArrayBuffer(controlSec())
     val passes = if (cold) 1 else 3
     for (_ <- 1 to passes) {
       registry.zipWithIndex.foreach { case (q, i) =>
@@ -91,7 +111,9 @@ object Bench {
           graft.core.SessionMemo.dropSession(spark)
         }
       }
+      controls += controlSec() // one sample per pass boundary
     }
+    val control = controls.sorted.apply(controls.size / 2) // median
     val results = registry.zipWithIndex.map { case (q, i) => q.name -> sampleTimes(i) }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -99,10 +121,14 @@ object Bench {
     // Subset runs (SPARK_GRAFT_ONLY) are dev A/Bs: never clobber the
     // committed full-registry BENCH_LOCAL.json with a 3-query file (the
     // plan guard reads it as the registry census).
+    def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val normalized = if (control > 0) total * (ControlRef / control) else total
+    val controlFields =
+      s""""control":${r3(control)},"control_ref":$ControlRef,"normalized_total":${r3(normalized)}"""
     if (only.isEmpty) {
       val outFile = if (cold) "BENCH_COLD.json" else "BENCH_LOCAL.json"
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-        s"""{"metric":"total","value":$total,"unit":"sec","mode":"${if (cold) "cold" else "steady"}","queries":$full,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","mode":"${if (cold) "cold" else "steady"}",$controlFields,"queries":$full,"sf":"$sfDir"}""")
       catch { case _: Throwable => () }
     }
     // The driver keeps only the last 2000 chars of stdout and parses the
@@ -115,7 +141,7 @@ object Bench {
     // BENCH_LOCAL.json (committed).
     def r2(v: Double): String = (math.rint(v * 100) / 100).toString
     val lineBudget = 1870
-    val head = s"""{"metric":"total","value":${r2(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${r2(total)},"unit":"sec","n":${results.size},$controlFields,"sf":"$sfDir","queries":{"""
     val sorted = results.sortBy(-_._2)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = head.length + 60 // reserve for closing brace + omitted fields

@@ -67,9 +67,12 @@ object PlanAudit {
           .filter(_._2 > 0).map { case (k, v) => s"${v}x$k" }.mkString(", ")
         val pushed = if ("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined) "yes" else "-"
         // materialize once (populates session memos and .cache() frames),
-        // then re-plan: the second plan is the steady-state one.
-        df.count()
-        val warm = runtimeShuffles(q.run(spark, sfDir).queryExecution.executedPlan)
+        // then re-plan: the second plan is the steady-state one. Own try:
+        // a runtime-only failure (plan analyzes fine, execution dies) must
+        // not discard the already-computed cold columns above.
+        val warm =
+          try { df.count(); runtimeShuffles(q.run(spark, sfDir).queryExecution.executedPlan).toString }
+          catch { case e: Throwable => s"- (run error: ${e.getMessage.take(30)})" }
         println(s"| `${q.name}` | $shuffles | $warm | ${if (joins.isEmpty) "-" else joins} | $pushed |")
       } catch {
         case e: Throwable => println(s"| `${q.name}` | plan error: ${e.getMessage.take(40)} | | | |")

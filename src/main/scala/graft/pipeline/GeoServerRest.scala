@@ -3,6 +3,7 @@ package graft.pipeline
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets
+import java.time.Duration
 import java.util.Base64
 
 /** K6's live half: the GeoServer REST transport trio that
@@ -37,13 +38,21 @@ import java.util.Base64
   */
 final class GeoServerRest(baseUrl: String, workspace: String,
                           user: String, password: String,
-                          client: HttpClient = HttpClient.newHttpClient()) {
+                          client: HttpClient = GeoServerRest.defaultClient,
+                          requestTimeout: Duration = Duration.ofSeconds(120)) {
 
   private val auth = "Basic " + Base64.getEncoder.encodeToString(
     s"$user:$password".getBytes(StandardCharsets.UTF_8))
 
   private def storeUri(store: String, suffix: String = ".xml"): URI =
     URI.create(s"${baseUrl.stripSuffix("/")}/rest/workspaces/$workspace/coveragestores/$store$suffix")
+
+  // A hung GeoServer must FAIL (feeding K8's notify path), not block the
+  // publish loop forever: every request carries a deadline, so a stall
+  // surfaces as HttpTimeoutException exactly like a non-2xx surfaces as
+  // IOException. 120s default covers the mosaic-zip upload leg.
+  private def reqBuilder(uri: URI): HttpRequest.Builder =
+    HttpRequest.newBuilder(uri).timeout(requestTimeout)
 
   private def send(req: HttpRequest): HttpResponse[String] =
     client.send(req, HttpResponse.BodyHandlers.ofString())
@@ -54,7 +63,7 @@ final class GeoServerRest(baseUrl: String, workspace: String,
 
   /** `storeExists` leg for `Sinks.publishMosaics`. */
   def storeExists(store: String): Boolean = {
-    val r = send(HttpRequest.newBuilder(storeUri(store))
+    val r = send(reqBuilder(storeUri(store))
       .header("Authorization", auth).GET().build())
     r.statusCode() match {
       case 200 => true
@@ -65,11 +74,11 @@ final class GeoServerRest(baseUrl: String, workspace: String,
 
   /** `create` leg: upload the mosaic zip, then enable the time dimension. */
   def create(store: String, zip: Array[Byte], coverageXml: String): Unit = {
-    expect2xx(send(HttpRequest.newBuilder(storeUri(store, "/file.imagemosaic"))
+    expect2xx(send(reqBuilder(storeUri(store, "/file.imagemosaic"))
       .header("Authorization", auth).header("Content-Type", "application/zip")
       .PUT(HttpRequest.BodyPublishers.ofByteArray(zip)).build()),
       s"create_imagemosaic($store)")
-    expect2xx(send(HttpRequest.newBuilder(storeUri(store, s"/coverages/$store.xml"))
+    expect2xx(send(reqBuilder(storeUri(store, s"/coverages/$store.xml"))
       .header("Authorization", auth).header("Content-Type", "application/xml")
       .PUT(HttpRequest.BodyPublishers.ofString(coverageXml)).build()),
       s"enable_time_dimension($store)")
@@ -77,8 +86,16 @@ final class GeoServerRest(baseUrl: String, workspace: String,
 
   /** `harvest` leg: POST a granule zip into the existing mosaic. */
   def harvest(store: String, zip: Array[Byte]): Unit =
-    expect2xx(send(HttpRequest.newBuilder(storeUri(store, "/file.imagemosaic"))
+    expect2xx(send(reqBuilder(storeUri(store, "/file.imagemosaic"))
       .header("Authorization", auth).header("Content-Type", "application/zip")
       .POST(HttpRequest.BodyPublishers.ofByteArray(zip)).build()),
       s"harvest_uploadgranule($store)")
+}
+
+object GeoServerRest {
+  /** Default transport bounds the TCP connect too — an unreachable
+    * GeoServer (firewalled, half-open) otherwise hangs in connect before
+    * any request deadline can apply. */
+  private[pipeline] val defaultClient: HttpClient =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
 }

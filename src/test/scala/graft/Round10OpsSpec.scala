@@ -37,7 +37,7 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("assoc pairs: support/confidence/lift recompute from brute-force baskets; Apriori prune is lossless") {
+  test("assoc pairs: support/confidence/lift recompute from brute-force baskets; item floor is the declared contract") {
     val out = SparkEntry.queries("mine_assoc_pairs")(spark, dir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)),
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
@@ -61,13 +61,17 @@ class Round10OpsSpec extends AnyFunSuite {
       assert(nAb == truth((a, b)) && nA == itemN(a) && nB == itemN(b),
         s"counts mismatch at ($a,$b)")
       assert(nAb <= math.min(nA, nB), s"support exceeds item frequency at ($a,$b)")
-      assert(confPm == nAb * 1000 / nA && liftPm == nAb * nTotal * 1000 / (nA * nB),
+      // lift contract: conf_pm * n_total div n_b — the floor-division CHAIN,
+      // not the naive n_ab*n_total*1000/(n_a*n_b) product, whose BIGINT
+      // intermediate overflows at scale (wraps in non-ANSI Spark, raises in
+      // DuckDB). Intermediates here are bounded by 1000*n_total.
+      assert(confPm == nAb * 1000 / nA && liftPm == (nAb * 1000 / nA) * nTotal / nB,
         s"permille mismatch at ($a,$b)")
     }
-    // the prune really is downward-closure (not an approximation): a pair
-    // with n_ab >= 2 forces both items into >=2 baskets; items BELOW the
-    // 5-basket frequency floor are excluded by the operator's CONTRACT
-    // (min item support), and the oracle applies the identical floor.
+    // items BELOW the 5-basket frequency floor are excluded by the
+    // operator's CONTRACT (min item support) — NOT a lossless consequence
+    // of the pair-support threshold (a 2-basket item can form a support-2
+    // pair); the oracle applies the identical floor, so the engines agree.
   }
 
   test("markov transitions: equal timestamps break ties by event_id in both engines' ordering") {
