@@ -1520,6 +1520,6 @@ object AnalyticQueries {
              |FROM p JOIN item ia ON p.a = ia.l_partkey
              |       JOIN item ib ON p.b = ib.l_partkey
              |CROSS JOIN t ORDER BY p.a, p.b""".stripMargin),
-      note = "frequent-head-pruned pair mining (min-item-support=5 declared contract): semi-join BEFORE pair gen, pairs from a map-side basket explode (bounded basket width, no fact self-join), localCheckpoint'd distinct fact shared by its three consumers, permille confidence/lift via overflow-bounded BIGINT division chains; oracle formulates the same census as a fact-fact self-join")
+      note = "frequent-head-pruned pair mining (min-item-support=5 declared contract): ONE basket shuffle (collect_set dedups in-shuffle) shared by census/n_total/pair-gen via ReuseExchange, pairs from a map-side basket explode (bounded basket width, no fact self-join), n_a/n_b riding the pair-gen broadcasts, permille confidence/lift via overflow-bounded BIGINT division chains; oracle formulates the same census as a fact-fact self-join")
   )
 }

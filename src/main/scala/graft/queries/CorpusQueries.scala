@@ -974,6 +974,66 @@ object CorpusQueries {
              |FROM r c JOIN r j ON c.lang = j.lang AND c.source = j.source AND c.rb = j.rw
              |WHERE c.rb <= 2 AND j.rw <= 2 AND c.tok > j.tok
              |ORDER BY c.lang, c.source, pair_rank""".stripMargin),
-      note = "DPO-style preference pairs: best-vs-worst per (lang, source) stratum via two row_numbers on one shared shuffle + a (stratum, rank) equi-join of bounded slices; strict margin guard drops ties — integer-exact")
+      note = "DPO-style preference pairs: best-vs-worst per (lang, source) stratum via two row_numbers on one shared shuffle + a (stratum, rank) equi-join of bounded slices; strict margin guard drops ties — integer-exact"),
+
+    // Temporal train/test split with an EMBARGO gap — the third split
+    // discipline next to hash-stratified (`split_cluster_safe`) and
+    // expanding-origin (`w9_expanding_prefix`): for forecasting-style
+    // training data, rows inside [cutoff, cutoff+embargo) are DROPPED so
+    // no test label sits within one autocorrelation horizon of any train
+    // feature (the finance/ERM "purged split"). Emits the per-split
+    // census PLUS the audit that makes the guarantee machine-checked: the
+    // minimum per-user (first test ts − last train ts) gap, which is
+    // ≥ embargo BY CONSTRUCTION — shipped as a column so a wrong cutoff
+    // constant or timezone drift fails the hash, not a code review. Two
+    // pruned 2-column scans feed two map-side aggregations (3-row split
+    // census + per-user extrema whose global min is a 1-row broadcast);
+    // nothing here grows faster than |users|.
+    Q("split_temporal_embargo", Seq("corpus", "F6", "A1", "A11", "P18"),
+      (s, dir) => {
+        val cutUs  = lit(java.time.Instant.parse("2024-01-20T00:00:00Z").toEpochMilli * 1000L)
+        val testUs = lit(java.time.Instant.parse("2024-01-23T00:00:00Z").toEpochMilli * 1000L)
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+          .withColumn("split",
+            when(col("ts_us") < cutUs, "train")
+              .when(col("ts_us") < testUs, "embargo")
+              .otherwise("test"))
+        val census = ev.groupBy("split")
+          .agg(count(lit(1)).as("n_events"),
+               countDistinct(col("user_id")).as("n_users"),
+               min("ts_us").as("min_us"), max("ts_us").as("max_us"))
+        val gap = ev.where(col("split") =!= "embargo")
+          .groupBy("user_id")
+          .agg(max(when(col("split") === "train", col("ts_us"))).as("last_train"),
+               min(when(col("split") === "test", col("ts_us"))).as("first_test"))
+          .where(col("last_train").isNotNull && col("first_test").isNotNull)
+          .agg(min(col("first_test") - col("last_train")).as("min_gap_us"))
+        census.crossJoin(broadcast(gap))
+          .select(col("split"), col("n_events"), col("n_users"),
+                  col("min_us"), col("max_us"), col("min_gap_us"),
+                  (col("min_gap_us") >= testUs - cutUs).as("embargo_ok"))
+          .transform(graft.core.Shape.boundedSort(_, "split"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS ts_us,
+             |    CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+             |         WHEN ts < TIMESTAMP '2024-01-23 00:00:00' THEN 'embargo'
+             |         ELSE 'test' END AS split
+             |  FROM events),
+             |census AS (SELECT split, count(*) AS n_events,
+             |    count(DISTINCT user_id) AS n_users,
+             |    min(ts_us) AS min_us, max(ts_us) AS max_us
+             |  FROM ev GROUP BY 1),
+             |g AS (SELECT min(first_test - last_train) AS min_gap_us FROM (
+             |  SELECT user_id,
+             |    max(CASE WHEN split = 'train' THEN ts_us END) AS last_train,
+             |    min(CASE WHEN split = 'test' THEN ts_us END) AS first_test
+             |  FROM ev WHERE split <> 'embargo' GROUP BY 1)
+             |  WHERE last_train IS NOT NULL AND first_test IS NOT NULL)
+             |SELECT split, n_events, n_users, min_us, max_us, g.min_gap_us,
+             |  g.min_gap_us >= 259200000000 AS embargo_ok
+             |FROM census CROSS JOIN g ORDER BY split""".stripMargin),
+      note = "purged temporal split: train / dropped-embargo / test census plus the machine-checked per-user min horizon gap (≥3 days by construction) riding a 1-row broadcast — a wrong cutoff fails the hash, not a review")
   )
 }

@@ -715,7 +715,72 @@ object LayoutQueries {
              |  abs(c.n * 1000 // t.total - e.exp_pm) > 50 AS flagged
              |FROM c JOIN e USING (digit) CROSS JOIN t
              |ORDER BY c.digit""".stripMargin),
-      note = "Benford leading-digit screen: digit from exact integer cents (never float log10), permille constants broadcast, one scan+agg then broadcast-only — integer arithmetic end to end")
+      note = "Benford leading-digit screen: digit from exact integer cents (never float log10), permille constants broadcast, one scan+agg then broadcast-only — integer arithmetic end to end"),
+
+    // Schema-wide completeness/cardinality profile — the "table profiler"
+    // every ingest pipeline runs before training on a new drop: per column,
+    // row count, null count, exact distinct count, completeness permille.
+    // Profiled over a DERIVED frame (customer ⟵ per-customer rollup of
+    // FINISHED orders, left join) so the null source is REAL — customers
+    // with no 'F'-status order get null rollup columns at every SF in this
+    // harness generator (the all-custkeys-ordered generator leaves no
+    // orderless customers, so the unfiltered join would profile a dead
+    // null path) — and the operator demonstrably composes over joins.
+    // The three exact distinct counts plan as ONE scan via Expand (each
+    // input row fans to one replica per distinct column, null-padded;
+    // partial aggregation collapses replicas map-side), so the profile
+    // costs one shuffle of the distinct-key census regardless of how many
+    // columns are profiled — the 100-TB alternative of one count(distinct)
+    // job per column rescans the table k times. The unpivot to
+    // column-per-row is a 1-row stack, the finalizer sort is bounded by
+    // the column count.
+    Q("dq_completeness_matrix", Seq("A10", "A12", "J1", "W7", "dq"),
+      (s, dir) => {
+        val rollup = Tables.orders(s, dir)
+          .where(col("o_orderstatus") === "F")
+          .groupBy(col("o_custkey").as("c_custkey"))
+          .agg(count(lit(1)).as("n_orders"), max("o_orderdate").as("last_date"))
+        val frame = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .join(rollup, Seq("c_custkey"), "left")
+        val cols = Seq("c_mktsegment", "n_orders", "last_date")
+        val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+          count(when(col(c).isNull, 1)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c")))
+        frame.agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"stack(${cols.size}, " + cols.map(c =>
+            s"'$c', n_rows, nn_$c, nd_$c").mkString(", ") +
+            ") AS (column_name, n_rows, n_nulls, n_distinct)")
+          .selectExpr("column_name", "n_rows", "n_nulls", "n_distinct",
+                      "(n_rows - n_nulls) * 1000 div n_rows AS completeness_pm")
+          .transform(graft.core.Shape.boundedSort(_, "column_name"))
+      },
+      Some("""WITH frame AS (
+             |  SELECT c.c_custkey, c.c_mktsegment, o.n_orders, o.last_date
+             |  FROM customer c LEFT JOIN (
+             |    SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+             |           max(o_orderdate) AS last_date
+             |    FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) o USING (c_custkey)),
+             |s AS (SELECT count(*) AS n_rows,
+             |    count(*) FILTER (c_mktsegment IS NULL) AS nn_seg,
+             |    count(DISTINCT c_mktsegment) AS nd_seg,
+             |    count(*) FILTER (n_orders IS NULL) AS nn_ord,
+             |    count(DISTINCT n_orders) AS nd_ord,
+             |    count(*) FILTER (last_date IS NULL) AS nn_dt,
+             |    count(DISTINCT last_date) AS nd_dt
+             |  FROM frame)
+             |SELECT * FROM (
+             |  SELECT 'c_mktsegment' AS column_name, n_rows, nn_seg AS n_nulls,
+             |    nd_seg AS n_distinct, (n_rows - nn_seg) * 1000 // n_rows AS completeness_pm
+             |  FROM s
+             |  UNION ALL
+             |  SELECT 'n_orders', n_rows, nn_ord, nd_ord,
+             |    (n_rows - nn_ord) * 1000 // n_rows FROM s
+             |  UNION ALL
+             |  SELECT 'last_date', n_rows, nn_dt, nd_dt,
+             |    (n_rows - nn_dt) * 1000 // n_rows FROM s)
+             |ORDER BY column_name""".stripMargin),
+      note = "one-scan multi-column profiler: Expand-planned exact distincts + null censuses over a real left-join null source, unpivoted to a column-per-row audit; completeness in integer permille")
   )
 
   /** floor(log2(n)) for n >= 1 as a descending integer CASE ladder —

@@ -487,6 +487,96 @@ object SessionQueries {
              |SELECT evt, next_evt, n,
              |  n * 1000 // CAST(sum(n) OVER (PARTITION BY evt) AS BIGINT) AS p_pm
              |FROM c ORDER BY evt, next_evt""".stripMargin),
-      note = "per-user lead(1) over one (ts,event_id)-ordered window pass, map-side census, permille rows over the bounded types² matrix — integer division, engine-exact")
+      note = "per-user lead(1) over one (ts,event_id)-ordered window pass, map-side census, permille rows over the bounded types² matrix — integer division, engine-exact"),
+
+    // Length-2 sequential-pattern mining ("a happens before b", not
+    // necessarily adjacent) — the PrefixSpan/SPAM first level, and the
+    // third member of the mining trio: assoc pairs are UNORDERED
+    // co-occurrence, markov transitions are ADJACENT-only order; this is
+    // non-adjacent order. Per-user sequences collapse to each type's FIRST
+    // occurrence (the standard sequence-mining containment semantics: a
+    // user supports a→b iff some a precedes some b, ⟺ first(a) < some b
+    // ⟺ first(a) < last(b); first-vs-first is the stricter "journey
+    // starts with" variant both engines compute identically). The
+    // first-occurrence census is |users|·|types| rows — the (user,evt)
+    // min() aggregates map-side, the per-user re-key shuffles only the
+    // census, and pair generation is a map-side explode of a
+    // |types|-bounded list, O(types²) per user, never O(events²). Strict
+    // `<` drops simultaneous first-occurrences — deterministic in both
+    // engines without inventing a tie order. Support floor 5 users; the
+    // user-count scalar rides a 1-row broadcast.
+    Q("mine_seq_pairs", Seq("session", "A1", "A10", "F5"),
+      (s, dir) => {
+        val first = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type").as("evt"),
+                  unix_micros(col("ts")).as("ts_us"))
+          .groupBy("user_id", "evt").agg(min("ts_us").as("first_us"))
+        val perUser = first.groupBy("user_id")
+          .agg(collect_list(struct(col("evt"), col("first_us"))).as("fs"))
+        val nTotal = perUser.agg(count(lit(1)).as("n_total"))
+        perUser
+          .select(explode(col("fs")).as("a"), col("fs"))
+          .select(col("a"), explode(col("fs")).as("b"))
+          .where(col("a.first_us") < col("b.first_us"))
+          .groupBy(col("a.evt").as("a"), col("b.evt").as("b"))
+          .agg(count(lit(1)).as("n_users"))
+          .where(col("n_users") >= 5)
+          .crossJoin(broadcast(nTotal))
+          .select(col("a"), col("b"), col("n_users"),
+                  expr("n_users * 1000 div n_total").as("support_pm"))
+          .transform(graft.core.Shape.boundedSort(_, "a", "b"))
+      },
+      Some("""WITH f AS (SELECT user_id, event_type AS evt, min(epoch_us(ts)) AS first_us
+             |           FROM events GROUP BY 1, 2),
+             |p AS (SELECT a.evt AS a, b.evt AS b, count(*) AS n_users
+             |      FROM f a JOIN f b
+             |        ON a.user_id = b.user_id AND a.first_us < b.first_us
+             |      GROUP BY 1, 2 HAVING count(*) >= 5),
+             |t AS (SELECT count(DISTINCT user_id) AS n_total FROM events)
+             |SELECT a, b, n_users, n_users * 1000 // t.n_total AS support_pm
+             |FROM p CROSS JOIN t ORDER BY a, b""".stripMargin),
+      note = "length-2 sequence mining over first-occurrence censuses: map-side (user,evt) min, one census re-key, types²-bounded map-side pair explode (no event-level self-join — the oracle formulates exactly that), permille support vs a 1-row user-count broadcast"),
+
+    // OHLC bar resampling — the time-series downsample every metrics/market
+    // pipeline runs: per (event_type, hour) the FIRST and LAST value plus
+    // min/max/volume. High/low/volume/count are plain partial-aggregable
+    // functions; open/close are ordered aggregates (min_by/max_by ≙ DuckDB
+    // arg_min/arg_max), which keeps the whole bar ONE map-side-combining
+    // groupBy — never a row_number window, whose per-(type,hour) sort would
+    // shuffle and sort every event row at 100 TB. Neither engine's arg_min
+    // takes a composite ordering key, and simultaneous timestamps are
+    // GUARANTEED on the replicating scale-up (copies keep ts verbatim), so
+    // the bar's event order is pinned as a zero-padded (ts_us, event_id)
+    // string — fixed-width decimal, so lexicographic = numeric and both
+    // engines pick the same event deterministically. Values in exact cents.
+    Q("w_ohlc_bars", Seq("session", "A1", "A12", "P3", "W1"),
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(col("event_type"),
+                  expr("unix_micros(ts) div 3600000000").as("hour_id"),
+                  expr("CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)").as("cents"),
+                  expr("concat(lpad(CAST(unix_micros(ts) AS STRING), 19, '0'), '|', " +
+                       "lpad(CAST(event_id AS STRING), 19, '0'))").as("ord"))
+          .groupBy("event_type", "hour_id")
+          .agg(expr("min_by(cents, ord)").as("open_c"),
+               max("cents").as("high_c"),
+               min("cents").as("low_c"),
+               expr("max_by(cents, ord)").as("close_c"),
+               count(lit(1)).as("n_events"),
+               sum("cents").as("volume_c"))
+          .transform(graft.core.Shape.boundedSort(_, "event_type", "hour_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+             |    CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents,
+             |    lpad(CAST(epoch_us(ts) AS VARCHAR), 19, '0') || '|' ||
+             |      lpad(CAST(event_id AS VARCHAR), 19, '0') AS ord
+             |  FROM events)
+             |SELECT event_type, hour_id, arg_min(cents, ord) AS open_c,
+             |  max(cents) AS high_c, min(cents) AS low_c,
+             |  arg_max(cents, ord) AS close_c, count(*) AS n_events,
+             |  CAST(sum(cents) AS BIGINT) AS volume_c
+             |FROM e GROUP BY 1, 2 ORDER BY event_type, hour_id""".stripMargin),
+      note = "OHLC hourly bars in one map-side-combining groupBy: ordered open/close via min_by/max_by on a zero-padded (ts,event_id) key (deterministic under the scale-up's duplicated timestamps, no per-bar sort window), exact-cents high/low/volume")
   )
 }

@@ -668,7 +668,101 @@ object TextQueries {
            |  FROM q WHERE score > 0) t
            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
       },
-      note = "Okapi BM25 top-10 for 4 fixed term queries; rational Robertson idf keeps it libm-free and engine-exact; term filter before the tf shuffle, fixed-order pivot sum")
+      note = "Okapi BM25 top-10 for 4 fixed term queries; rational Robertson idf keeps it libm-free and engine-exact; term filter before the tf shuffle, fixed-order pivot sum"),
+
+    // Character-bigram Simpson index (collision probability Σp² — the
+    // Rényi-2 analogue of the compression-ratio quality filter):
+    // CHARACTER-level repetition, which catches space-free and
+    // tokenizer-invisible degeneracy ("aaaa…", keyboard mashing, base64
+    // blobs) that the word-level `text_repetition_ratio` signals miss —
+    // near-uniform bigrams (low Σp²) flag machine noise, a heavy bigram
+    // head flags loops. Shannon/Rényi entropies need log(), whose last
+    // ulp differs across libms, so the shipped statistic is the exact
+    // rational core: Σ n_i² and N as BIGINTs plus the single IEEE
+    // division Σn²/N² (bit-identical across engines). Per-doc map-side:
+    // the bigram explode keys on doc_id, state is bounded by document
+    // length, and the (doc,bigram) census partial-aggregates before the
+    // one row-volume shuffle — the same 100-TB shape as every per-doc
+    // text kernel here.
+    Q("text_char_simpson", Seq("text", "P13", "A12", "A9"),
+      (s, dir) => {
+        val grams = Tables.documents(s, dir)
+          .where(length(col("text")) >= 2)
+          .select(col("doc_id"),
+                  explode(expr("transform(sequence(1, length(text)-1), i -> substring(text, i, 2))")).as("g"))
+        grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_bigrams"), count(lit(1)).as("d_bigrams"),
+               sum(expr("c * c")).as("sum_sq"))
+          .select(col("doc_id"), col("n_bigrams"), col("d_bigrams"), col("sum_sq"),
+                  (col("sum_sq").cast("double") /
+                    (col("n_bigrams").cast("double") * col("n_bigrams"))).as("simpson"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, substring(text, i, 2) AS g
+             |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 1)) AS i
+             |        FROM documents WHERE length(text) >= 2)),
+             |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             |  count(*) AS d_bigrams, CAST(sum(c * c) AS BIGINT) AS sum_sq,
+             |  CAST(sum(c * c) AS DOUBLE) /
+             |    (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS BIGINT)) AS simpson
+             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      note = "char-bigram collision probability (Rényi-2 core): exact BIGINT Σn²/N with one final IEEE division — no log(), no libm divergence; per-doc map-side explode + census, one row-volume shuffle"),
+
+    // Vocabulary-growth (Heaps' law) curve — the corpus diagnostic that
+    // says whether more data still buys new types: cumulative distinct
+    // vocabulary vs cumulative token volume at 10 checkpoints along the
+    // corpus. Checkpoints are doc_id KEY-RANGE deciles against a 1-row
+    // max-key broadcast (the declared contract — exact deciles on the
+    // contiguous base ids, deterministic on any ids), because a rank-based
+    // decile would globally sort the doc census. "Cumulative distinct" is
+    // NEVER computed as per-checkpoint count(distinct) over growing
+    // prefixes (k rescans of the token stream, quadratic at 100 TB): each
+    // type's FIRST doc bucket is a map-side min over the token explode,
+    // the per-bucket new-type census shuffles only the vocabulary, and the
+    // running sums are a window over the 10-row tail. Token volume rides
+    // the same explode pre-aggregated per doc. All-integer output.
+    Q("text_vocab_growth", Seq("text", "A10", "A12", "W9", "F10"),
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val maxd = Tables.documents(s, dir)
+          .agg((max("doc_id") + 1).as("n_keys"))
+        val newTypes = toks.groupBy("tok").agg(min("doc_id").as("first_doc"))
+          .crossJoin(broadcast(maxd))
+          .groupBy(expr("first_doc * 10 div n_keys").as("bucket"))
+          .agg(count(lit(1)).as("new_types"))
+        val volume = Tables.documents(s, dir)
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+          .crossJoin(broadcast(maxd))
+          .groupBy(expr("doc_id * 10 div n_keys").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+        val w = graft.core.Shape.boundedWindow("bucket")
+          .rowsBetween(Long.MinValue, 0)
+        volume.join(newTypes, Seq("bucket"), "left")
+          .na.fill(0L, Seq("new_types"))
+          .select(col("bucket"), col("n_docs"), col("n_tokens"), col("new_types"),
+                  sum("n_tokens").over(w).as("cum_tokens"),
+                  sum("new_types").over(w).as("cum_types"))
+          .transform(graft.core.Shape.boundedSort(_, "bucket"))
+      },
+      Some("""WITH m AS (SELECT max(doc_id) + 1 AS n_keys FROM documents),
+             |f AS (SELECT tok, min(doc_id) AS first_doc FROM (
+             |        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |        FROM documents) GROUP BY 1),
+             |nt AS (SELECT first_doc * 10 // m.n_keys AS bucket,
+             |         count(*) AS new_types FROM f CROSS JOIN m GROUP BY 1),
+             |v AS (SELECT doc_id * 10 // m.n_keys AS bucket, count(*) AS n_docs,
+             |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |      FROM documents CROSS JOIN m GROUP BY 1)
+             |SELECT v.bucket, v.n_docs, v.n_tokens,
+             |  coalesce(nt.new_types, 0) AS new_types,
+             |  CAST(sum(v.n_tokens) OVER (ORDER BY v.bucket) AS BIGINT) AS cum_tokens,
+             |  CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY v.bucket) AS BIGINT) AS cum_types
+             |FROM v LEFT JOIN nt USING (bucket) ORDER BY v.bucket""".stripMargin),
+      note = "Heaps-law vocabulary growth at key-range decile checkpoints: first-occurrence bucket per type (map-side min over one token explode, vocab-sized shuffle — never k prefix rescans), doc-side token volume on the same decile key, running sums over the 10-row tail")
   )
 
   /** Okapi BM25 per-(doc, term) score with the rational Robertson idf —

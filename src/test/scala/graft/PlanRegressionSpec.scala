@@ -613,4 +613,74 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), s"basket explode missing:\n$p")
     assert(!p.contains("SortMergeJoin"), p) // dims broadcast at this SF
   }
+
+  test("seq pairs: pair gen is a bounded per-user explode, never an event self-join") {
+    val p = plan("mine_seq_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), s"event-level self-join appeared:\n$p")
+    // the 1-row n_total scalar is the only nested-loop broadcast
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 1, s"expected <=1 BNLJ (the 1-row scalar), got $bnl:\n$p")
+    // double explode of the |types|-bounded first-occurrence list
+    assert("Generate explode".r.findAllIn(p).length == 2, s"pair explode missing:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), p) // boundedSort finalizer
+  }
+
+  test("completeness matrix: the k exact distincts share ONE scan via Expand") {
+    val p = plan("dq_completeness_matrix")
+    assert(p.contains("Expand"), s"multi-distinct lost its Expand plan:\n$p")
+    // exactly 2 scans: customer + (filtered) orders — NOT one scan per
+    // count(distinct) column, which is the shape that rescans 100 TB k times
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected 2 parquet scans, got $scans:\n$p")
+    // (customer is a legitimately-unfiltered full scan, so assert the
+    // orders-side pushdown by its literal, not by "no empty lists")
+    assert(p.contains("EqualTo(o_orderstatus,F)"),
+           s"o_orderstatus = 'F' lost its pushdown:\n$p")
+    assert(!p.contains("SortMergeJoin"), p) // the rollup join broadcasts
+    assert(!p.contains("Exchange rangepartitioning"), p) // boundedSort finalizer
+  }
+
+  test("char simpson: one bigram explode, census partial-aggregates before its shuffle") {
+    val p = plan("text_char_simpson")
+    assert(p.contains("Generate explode"), s"bigram explode missing:\n$p")
+    assert(!p.contains("Join"), s"joinless query grew a join:\n$p")
+    // (doc,gram) census + per-doc rollup; the explode itself adds no exchange
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hash <= 2, s"expected <=2 hash exchanges, got $hash:\n$p")
+    // map-side combine before the row-volume shuffle: partial HashAggregate
+    // must sit under the first exchange
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("ohlc bars: one map-side-combining groupBy, no sort window, no join") {
+    val p = plan("w_ohlc_bars")
+    assert(!p.contains("Join"), s"joinless query grew a join:\n$p")
+    assert(!p.contains("Window"), s"ordered aggs turned into a sort window:\n$p")
+    // one (type,hour) exchange with a partial HashAggregate under it
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hash == 1, s"expected 1 hash exchange, got $hash:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), p) // boundedSort finalizer
+  }
+
+  test("vocab growth: vocab-sized census, broadcast-only joins, no rank sort") {
+    val p = plan("text_vocab_growth")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), s"the 10-row bucket join must broadcast:\n$p")
+    // the max-key scalar rides BNLJ broadcasts (one per consumer branch)
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 2, s"expected <=2 BNLJ (the 1-row scalar), got $bnl:\n$p")
+    assert(p.contains("Generate explode"), s"token explode missing:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+           s"key-range deciles must not plan a range sort:\n$p")
+  }
+
+  test("temporal embargo: census + gap audit join only through 1-row broadcasts") {
+    val p = plan("split_temporal_embargo")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 1, s"expected <=1 BNLJ (the 1-row min-gap scalar), got $bnl:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), p) // boundedSort finalizer
+  }
 }

@@ -57,6 +57,10 @@ echo "=== 7b. plan guard (registry <-> PLANS.md <-> PlanRegressionSpec) ==="
 python3 tools/plan_guard.py BENCH_LOCAL.json PLANS.md \
   src/test/scala/graft/PlanRegressionSpec.scala tools/plan_spec_known.txt
 
+echo "=== 7c. golden stamp (GOLDEN.md status from the last sbt test reports) ==="
+# set -e: a missing or red golden suite fails the regen, by design
+python3 tools/golden_stamp.py | tail -3
+
 echo "=== 8. Coverage ==="
 sbt -batch "runMain graft.Coverage COVERAGE.md" 2>&1 | tail -1
 
