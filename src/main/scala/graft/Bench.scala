@@ -100,6 +100,11 @@ object Bench {
     controlSec() // untimed: JIT the control's own codegen before sampling
     val controls = scala.collection.mutable.ArrayBuffer(controlSec())
     val passes = if (cold) 1 else 3
+    // mid-pass sample points: host-rate windows are multi-second, so a
+    // median over pass boundaries alone (4 samples) can sit inside one bad
+    // window on a short registry; sampling mid-pass as well gives
+    // 2·passes+1 samples outside every per-query timed region.
+    val mid = registry.size / 2
     for (_ <- 1 to passes) {
       registry.zipWithIndex.foreach { case (q, i) =>
         val t0 = System.nanoTime()
@@ -110,6 +115,7 @@ object Bench {
           spark.catalog.clearCache()
           graft.core.SessionMemo.dropSession(spark)
         }
+        if (i == mid) controls += controlSec()
       }
       controls += controlSec() // one sample per pass boundary
     }

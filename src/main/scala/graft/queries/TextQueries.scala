@@ -679,23 +679,34 @@ object TextQueries {
     // head flags loops. Shannon/Rényi entropies need log(), whose last
     // ulp differs across libms, so the shipped statistic is the exact
     // rational core: Σ n_i² and N as BIGINTs plus the single IEEE
-    // division Σn²/N² (bit-identical across engines). Per-doc map-side:
-    // the bigram explode keys on doc_id, state is bounded by document
-    // length, and the (doc,bigram) census partial-aggregates before the
-    // one row-volume shuffle — the same 100-TB shape as every per-doc
-    // text kernel here.
+    // division Σn²/N² (bit-identical across engines). The statistic is a
+    // function of ONE document, so it is computed per ROW with zero
+    // shuffle: sort the bigram array (any total order — only adjacency of
+    // equal values matters) and fold run-lengths with `aggregate`,
+    // accumulating Σrun² and the distinct count in one pass bounded by
+    // document length. The first formulation here exploded to a
+    // (doc, bigram) census — at sf1 that shuffled ~125M rows for 15.9s;
+    // this plan's only exchange is the output-order finalizer (sf1 ~1s).
+    // The oracle keeps the census formulation: the engines must agree
+    // across two genuinely different plans.
     Q("text_char_simpson", Seq("text", "P13", "A12", "A9"),
       (s, dir) => {
-        val grams = Tables.documents(s, dir)
+        Tables.documents(s, dir)
           .where(length(col("text")) >= 2)
           .select(col("doc_id"),
-                  explode(expr("transform(sequence(1, length(text)-1), i -> substring(text, i, 2))")).as("g"))
-        grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(sum("c").as("n_bigrams"), count(lit(1)).as("d_bigrams"),
-               sum(expr("c * c")).as("sum_sq"))
-          .select(col("doc_id"), col("n_bigrams"), col("d_bigrams"), col("sum_sq"),
-                  (col("sum_sq").cast("double") /
+                  expr("array_sort(transform(sequence(1, length(text)-1), i -> substring(text, i, 2)))").as("gs"))
+          .select(col("doc_id"),
+                  size(col("gs")).cast("long").as("n_bigrams"),
+                  expr("""aggregate(gs,
+                            struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS d, 0L AS ss),
+                            (a, x) -> IF(a.prev IS NULL OR x != a.prev,
+                                         struct(x AS prev, 1L AS run, a.d + 1L AS d,
+                                                a.ss + a.run * a.run AS ss),
+                                         struct(x AS prev, a.run + 1L AS run, a.d AS d, a.ss AS ss)),
+                            a -> struct(a.d AS d, a.ss + a.run * a.run AS ss))""").as("f"))
+          .select(col("doc_id"), col("n_bigrams"),
+                  col("f.d").as("d_bigrams"), col("f.ss").as("sum_sq"),
+                  (col("f.ss").cast("double") /
                     (col("n_bigrams").cast("double") * col("n_bigrams"))).as("simpson"))
           .orderBy("doc_id")
       },
@@ -709,7 +720,7 @@ object TextQueries {
              |  CAST(sum(c * c) AS DOUBLE) /
              |    (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS BIGINT)) AS simpson
              |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      note = "char-bigram collision probability (Rényi-2 core): exact BIGINT Σn²/N with one final IEEE division — no log(), no libm divergence; per-doc map-side explode + census, one row-volume shuffle"),
+      note = "char-bigram collision probability (Rényi-2 core): exact BIGINT Σn²/N with one final IEEE division — no log(), no libm divergence; per-ROW sorted-array run-length fold, ZERO row-volume shuffle (the census formulation it replaced shuffled ~125M (doc,gram) rows at sf1 — the oracle still computes that census, so the hash check spans two different plans)"),
 
     // Vocabulary-growth (Heaps' law) curve — the corpus diagnostic that
     // says whether more data still buys new types: cumulative distinct

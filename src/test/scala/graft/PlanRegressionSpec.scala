@@ -641,16 +641,15 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), p) // boundedSort finalizer
   }
 
-  test("char simpson: one bigram explode, census partial-aggregates before its shuffle") {
+  test("char simpson: per-row fold — no explode, no aggregation, zero hash exchange") {
     val p = plan("text_char_simpson")
-    assert(p.contains("Generate explode"), s"bigram explode missing:\n$p")
     assert(!p.contains("Join"), s"joinless query grew a join:\n$p")
-    // (doc,gram) census + per-doc rollup; the explode itself adds no exchange
+    // the statistic is per-document: any Generate/HashAggregate means the
+    // (doc,gram) census formulation crept back (125M-row shuffle at sf1)
+    assert(!p.contains("Generate"), s"bigram explode crept back:\n$p")
+    assert(!p.contains("HashAggregate"), s"census aggregation crept back:\n$p")
     val hash = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(hash <= 2, s"expected <=2 hash exchanges, got $hash:\n$p")
-    // map-side combine before the row-volume shuffle: partial HashAggregate
-    // must sit under the first exchange
-    assert(p.contains("HashAggregate"), p)
+    assert(hash == 0, s"expected 0 hash exchanges, got $hash:\n$p")
   }
 
   test("ohlc bars: one map-side-combining groupBy, no sort window, no join") {
