@@ -23,6 +23,12 @@ object Bench {
     // registry at sf0.1; sf1 shuffle volume is well under the tmpfs bound).
     val localDir = new java.io.File("/dev/shm/graft_spark_local")
     localDir.mkdirs()
+    def shmUsedMb(): Long = {
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+      du(localDir) / (1024 * 1024)
+    }
     var builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -113,7 +119,12 @@ object Bench {
         if (dt < sampleTimes(i)) sampleTimes(i) = dt
         if (cold) {
           spark.catalog.clearCache()
-          graft.core.SessionMemo.dropSession(spark)
+          val evicted = graft.core.SessionMemo.dropSession(spark)
+          // stderr only (driver parses stdout's final line): per-query cold
+          // trace — elapsed, memo entries this query had rebuilt, and /dev/shm
+          // usage, so a pathological cold census is attributable in-flight.
+          System.err.println(
+            f"[cold] ${q.name}%-36s ${dt}%8.3fs evicted=$evicted shm_mb=${shmUsedMb()}")
         }
         if (i == mid) controls += controlSec()
       }

@@ -33,8 +33,13 @@ final class SessionMemo[K, V](val sticky: Boolean = false) {
       t
     }
 
-  /** Drop one session's entries (cold-cache bench mode). */
-  def drop(s: SparkSession): Unit = m.synchronized { m.remove(s); () }
+  /** Drop one session's entries (cold-cache bench mode); returns how many
+    * memoized entries were evicted so the cold harness can attribute what
+    * each query's rebuild actually paid for. */
+  def drop(s: SparkSession): Int = m.synchronized {
+    val t = m.remove(s)
+    if (t == null) 0 else t.size
+  }
 }
 
 /** JVM-wide registry of every SessionMemo, so cold-cache bench mode can
@@ -49,7 +54,12 @@ object SessionMemo {
     new java.util.concurrent.CopyOnWriteArrayList[SessionMemo[_, _]]()
   private def register(memo: SessionMemo[_, _]): Unit = { all.add(memo); () }
 
-  /** Drop one session's entries across every non-sticky memo in the JVM. */
-  def dropSession(s: SparkSession): Unit =
-    all.forEach(memo => if (!memo.sticky) memo.drop(s))
+  /** Drop one session's entries across every non-sticky memo in the JVM.
+    * Returns the total entry count evicted (0 = the session had nothing
+    * memoized — a cold pass that logs 0 here recomputed nothing). */
+  def dropSession(s: SparkSession): Int = {
+    var n = 0
+    all.forEach(memo => if (!memo.sticky) n += memo.drop(s))
+    n
+  }
 }

@@ -548,7 +548,10 @@ object SessionQueries {
     // GUARANTEED on the replicating scale-up (copies keep ts verbatim), so
     // the bar's event order is pinned as a zero-padded (ts_us, event_id)
     // string — fixed-width decimal, so lexicographic = numeric and both
-    // engines pick the same event deterministically. Values in exact cents.
+    // engines pick the same event deterministically. CONTRACT: both key
+    // parts must be non-negative (a '-' sign breaks the lexicographic =
+    // numeric equivalence); Round11OpsSpec pins this against the fixture.
+    // Values in exact cents.
     Q("w_ohlc_bars", Seq("session", "A1", "A12", "P3", "W1"),
       (s, dir) => {
         Tables.events(s, dir)

@@ -552,47 +552,72 @@ object WindowQueries {
     // per flag partition, aggregate piggybacks on the same sort order.
     Q("w_ntile_deciles", Seq("W4", "W9", "A9", "A13"),
       (s, dir) => {
-        // Two-phase distributed ranking: rf has 3 values, so a window
-        // PARTITION BY rf alone would funnel a third of the table through
-        // ONE task's sort (the low-cardinality-partition scale killer the
-        // moving-median rewrite documents). Instead rows are banded by a
-        // $100 price bucket, per-(rf, band) counts build prefix offsets on
-        // a bounded summary (#rf × #bands rows), and the only data-sized
-        // window runs inside the high-cardinality (rf, band) partition.
-        // The global rank rn = offset + in-band row_number is exact
-        // because the ordering key (price, okey, lineno) sorts bands
-        // contiguously; ntile and cume_dist are then closed-form functions
-        // of (rn, n) — the order key is unique, so cume_dist peers are
-        // singletons and cd = rn/n. Result is hash-identical to the
-        // oracle's single global window.
+        // Decile PROFILE, not per-row ranks: the output is 3 rf × 10
+        // deciles, so no row ever needs an individually materialized rank
+        // except where a decile cut lands INSIDE a $100 price band. Phase
+        // 1 is one map-side-combining shuffle of (rf, band) summaries
+        // (count + exact decimal sum) — the only row-volume work in the
+        // plan is partial-aggregable. Prefix offsets over that bounded
+        // summary decide each band's first/last decile in closed form
+        // (order key (price, okey, lineno) is unique, so cd = rn/n and
+        // ntile is a pure function of (rn, n)); bands wholly inside one
+        // decile contribute their summary AS the decile piece. Only the
+        // ≤ (#rf × 9 cuts) boundary bands re-read their rows for an
+        // in-band row_number — a bounded slice, broadcast-semi-joined.
+        // vs the r8 two-phase rank shape (band row_number over EVERY
+        // row): measured A/B in PLANS.md r12; hash-identical to the
+        // oracle's single global window either way.
         import org.apache.spark.sql.expressions.Window
         val base = Tables.lineitem(s, dir)
           .select(col("l_returnflag").as("rf"), col("l_extendedprice"),
                   col("l_orderkey"), col("l_linenumber"))
           .withColumn("band", expr("CAST(l_extendedprice * 100 AS BIGINT) div 10000"))
-        val counts = base.groupBy("rf", "band").agg(count(lit(1)).as("bn"))
+        val counts = base.groupBy("rf", "band")
+          .agg(count(lit(1)).as("bn"),
+               expr(s"sum(CAST(l_extendedprice AS $dec))").as("bsum"))
         // unpartitioned-per-rf windows are bounded by construction: they
-        // run over the per-band count summary, never the fact table
+        // run over the per-band summary, never the fact table
         val wPre = Window.partitionBy("rf").orderBy("band")
           .rowsBetween(Window.unboundedPreceding, -1)
-        val offs = counts
-          .withColumn("off", coalesce(sum("bn").over(wPre), lit(0L)))
-          .withColumn("n", sum("bn").over(Window.partitionBy("rf")))
-          .select("rf", "band", "off", "n")
+        def dcOf(rn: String) = // ntile(10) in closed form over a unique order
+          s"""CAST(CASE WHEN $rn <= (ntot % 10) * (ntot div 10 + 1)
+             |       THEN ($rn - 1) div (ntot div 10 + 1) + 1
+             |       ELSE ntot % 10 + ($rn - (ntot % 10) * (ntot div 10 + 1) - 1) div (ntot div 10) + 1
+             |     END AS INT)""".stripMargin
+        // the offsets summary feeds BOTH union branches below — memoize the
+        // bounded frame (#rf × #bands rows) so the fact table is scanned
+        // twice (counts + boundary rows), not three times (offs rebuilt
+        // per branch); FrameMemo is the established shared-builder pattern
+        // and the cold bench drops it like every other memo
+        val offs = FrameMemo(s, s"$dir#ntile_band_offs") {
+          counts
+            .withColumn("off", coalesce(sum("bn").over(wPre), lit(0L)))
+            .withColumn("ntot", sum("bn").over(Window.partitionBy("rf")))
+            .withColumn("dc_first", expr(dcOf("off + 1")))
+            .withColumn("dc_last", expr(dcOf("off + bn")))
+        }
+        // whole bands: every row shares one decile — the band summary IS
+        // the decile piece (its max rank is off + bn)
+        val whole = offs.where(col("dc_first") === col("dc_last"))
+          .select(col("rf"), col("dc_first").as("dc"), col("bn").as("cnt"),
+                  col("bsum").as("psum"), (col("off") + col("bn")).as("rn_max"),
+                  col("ntot"))
+        // boundary bands: a cut lands inside — only these rows rank
+        val bKeys = offs.where(col("dc_first") =!= col("dc_last"))
+          .select("rf", "band", "off", "ntot")
         val wIn = Window.partitionBy("rf", "band")
           .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-        base.join(broadcast(offs), Seq("rf", "band"))
+        val splitPieces = base.join(broadcast(bKeys), Seq("rf", "band"))
           .withColumn("rn", col("off") + row_number().over(wIn))
-          .withColumn("dc", expr(
-            """CAST(CASE WHEN rn <= (n % 10) * (n div 10 + 1)
-              |       THEN (rn - 1) div (n div 10 + 1) + 1
-              |       ELSE n % 10 + (rn - (n % 10) * (n div 10 + 1) - 1) div (n div 10) + 1
-              |     END AS INT)""".stripMargin))
-          .withColumn("cd", expr("CAST(rn AS DOUBLE) / n"))
+          .select(col("rf"), expr(dcOf("rn")).as("dc"), lit(1L).as("cnt"),
+                  // match whole's summed-decimal type so the union is exact
+                  expr(s"CAST(CAST(l_extendedprice AS $dec) AS DECIMAL(28,2))").as("psum"),
+                  col("rn").as("rn_max"), col("ntot"))
+        whole.unionByName(splitPieces)
           .groupBy("rf", "dc")
-          .agg(count(lit(1)).as("n"),
-               expr(s"CAST(sum(CAST(l_extendedprice AS $dec)) AS DOUBLE)").as("sum_price"),
-               max("cd").as("cd_hi"))
+          .agg(sum("cnt").as("n"),
+               expr("CAST(sum(psum) AS DOUBLE)").as("sum_price"),
+               (max("rn_max").cast("double") / max("ntot")).as("cd_hi"))
           .transform(graft.core.Shape.boundedSort(_, "rf", "dc")) // 3 flags x 10 deciles
       },
       Some(s"""WITH w AS (

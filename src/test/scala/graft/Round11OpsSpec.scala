@@ -104,6 +104,13 @@ class Round11OpsSpec extends AnyFunSuite {
             es.length.toLong, es.map(_._4).sum)
     }
     assert(truth.size > 100, "fixture too small for a bar census")
+    // The zero-lpad'ed (ts_us, event_id) ordering key is lexicographic =
+    // numeric ONLY for non-negative values (ADVICE r11): a pre-1970 ts or a
+    // negative event_id would render as "000…-123" and sort wrong. Pin the
+    // contract the key depends on — if the generator ever emits either, this
+    // fails before the silent open/close flip could.
+    assert(ev.forall(e => e._2 >= 0 && e._3 >= 0),
+      "w_ohlc_bars ordering key requires non-negative ts_us and event_id")
     assert(out.keySet == truth.keySet)
     truth.foreach { case (k, v) => assert(out(k) == v, s"bar $k: ${out(k)} vs $v") }
     // open≠close somewhere, or the ordered aggregates aren't being exercised

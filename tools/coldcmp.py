@@ -10,7 +10,16 @@ total for the cold ratio, and the cold−steady delta attributed per query
 family — which quantifies exactly the shared-builder/FrameMemo subsidy the
 steady basis carries.
 
-Usage: python3 tools/coldcmp.py BENCH_LOCAL.json BENCH_COLD.json BENCHCMP.md
+Usage: python3 tools/coldcmp.py BENCH_LOCAL.json BENCH_COLD.json BENCHCMP.md \
+           [BENCH_COLD_run2.json]
+
+Round-12 additions (r11 verdict #1): totals carry the embedded same-window
+host-rate control and its normalized reading, and an optional SECOND cold
+census file adds a reproducibility row — two same-code cold runs must agree
+before the cold number is treated as the subsidy bound (the r11 cold
+census read 699s against r10's 197s and r12's reproduced ~280s pair; the
+outlier was an in-run host/JVM degradation the 3-sample cold control median
+missed, not an eviction-path change — see BASELINE.md round-11/12 notes).
 """
 import json
 import re
@@ -50,8 +59,15 @@ def family(q):
     return "core sql (scans/joins/aggs/windows)"
 
 
+def norm(d):
+    """(control, normalized-factor) from a bench JSON; (None, 1.0) pre-r11."""
+    c = d.get("control")
+    return c, (d.get("control_ref", 0.62) / c) if c else 1.0
+
+
 def main():
     steady_f, cold_f, out_md = sys.argv[1], sys.argv[2], sys.argv[3]
+    cold2_f = sys.argv[4] if len(sys.argv) > 4 else None
     steady, cold = load(steady_f), load(cold_f)
     qs, qc = steady["queries"], cold["queries"]
     common = sorted(set(qs) & set(qc))
@@ -77,11 +93,30 @@ def main():
         "best-of-3 minimum would have absorbed — the cold total is an upper",
         "bound on the subsidy, not a pure cache number.",
         "",
-        "| basis | spark total (s) | vs steady |",
-        "|---|---|---|",
-        f"| steady (best-of-3, warm memos) | {ts:.1f} | — |",
+        "| basis | spark total (s) | control | normalized (s) | vs steady (norm) |",
+        "|---|---|---|---|---|",
+    ]
+    cs, fs = norm(steady)
+    cc, fc = norm(cold)
+    lines += [
+        f"| steady (best-of-3, warm memos) | {ts:.1f} | {cs if cs else '—'} "
+        f"| {ts * fs:.1f} | — |",
         f"| cold (single pass, all caches/memos dropped) | {tc:.1f} | "
-        f"+{tc - ts:.1f}s ({tc / ts:.2f}×) |",
+        f"{cc if cc else '—'} | {tc * fc:.1f} | "
+        f"+{tc * fc - ts * fs:.1f}s ({tc * fc / (ts * fs):.2f}×) |",
+    ]
+    if cold2_f:
+        cold2 = load(cold2_f)
+        qc2 = cold2["queries"]
+        tc2 = sum(qc2[q] for q in common if q in qc2)
+        cc2, fc2 = norm(cold2)
+        agree = tc2 * fc2 / (tc * fc)
+        lines += [
+            f"| cold, second same-code run (reproducibility) | {tc2:.1f} | "
+            f"{cc2 if cc2 else '—'} | {tc2 * fc2:.1f} | "
+            f"normalized agreement ×{agree:.2f} vs run 1 |",
+        ]
+    lines += [
         "",
         "Delta attributed per family (cold − steady, families ≥ 0.5s delta):",
         "",
