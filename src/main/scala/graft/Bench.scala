@@ -54,6 +54,14 @@ object Bench {
     // normalized_total = total * (CONTROL_REF / control_median).
     // CONTROL_REF is the r11 pinned median on the reference host state —
     // rebaseline it only if the control WORKLOAD changes, never per round.
+    // VALIDITY DOMAIN (round 12, see PLANS.md "control validity domain" and
+    // graft.ControlProbe): the control also tracks in-session JIT/profile
+    // maturity — in a quiet session its own samples decay 0.72->0.30s, and
+    // long few-query SPARK_GRAFT_ONLY subset sessions read 0.27-0.43.
+    // Full-registry sessions hold the 0.62-0.88 band the ref was pinned in,
+    // so normalized_total is comparable ONLY between full-registry runs;
+    // for subset runs treat control as window-health info and compare RAW
+    // within one same-config column.
     val ControlRef = 0.62
     def controlSec(): Double = {
       val t0 = System.nanoTime()
