@@ -21,6 +21,10 @@ object Bench {
     // local shuffle storage, and at bench SFs the LZ4 round-trip plus disk
     // write latency is pure fixed overhead (measured −9% on the full
     // registry at sf0.1; sf1 shuffle volume is well under the tmpfs bound).
+    // NOT sized for XL SFs: at sf100 the uncompressed shuffle set reaches
+    // ~90 GB and the kernel OOM-kills the JVM — for those columns override
+    // via SPARK_GRAFT_EXTRA_CONF (disk local.dir + LZ4 + more shuffle
+    // partitions; see SCALING.md "row-bound third decade").
     val localDir = new java.io.File("/dev/shm/graft_spark_local")
     localDir.mkdirs()
     def shmUsedMb(): Long = {
