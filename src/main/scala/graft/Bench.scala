@@ -42,6 +42,19 @@ object Bench {
       .config("spark.local.dir", localDir.getPath)
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
+      // Round 12: Spark's generated-class cache holds 100 entries by
+      // default; a 247-query registry overflows it every pass, so every
+      // whole-stage-codegen unit re-ran Janino compilation on every
+      // invocation — THE session-rate disease PLANS.md's "control validity
+      // domain" measured (full-registry control 0.62-0.88 vs 0.27-0.30 in
+      // few-query sessions). Sized to hold the registry's classes once:
+      // same-window A/B at sf0.1 read raw 135.9 → 101.6s (-25%) with the
+      // control itself settling to the quiet-session plateau (0.656 →
+      // 0.264). Not a local[32] trick: any production driver running
+      // hundreds of distinct query shapes pays the same recompilation tax.
+      // Static conf — must be set before the first session; EXTRA_CONF
+      // below can still override it for A/Bs.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
     // dev A/B lever: SPARK_GRAFT_EXTRA_CONF="k1=v1;k2=v2"
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
@@ -56,8 +69,17 @@ object Bench {
     // host's rate in the exact window the census ran, so cross-round
     // absolute totals stop needing a manual re-bench adjudication:
     // normalized_total = total * (CONTROL_REF / control_median).
-    // CONTROL_REF is the r11 pinned median on the reference host state —
-    // rebaseline it only if the control WORKLOAD changes, never per round.
+    // CONTROL_REF was pinned at 0.62 in r11 on the reference host state —
+    // rebaseline only if the control WORKLOAD or the session's compilation
+    // regime changes, never per round to launder a slow window. Round 12
+    // re-pinned it to 0.26: the codegen-cache fix above moved EVERY
+    // full-registry session to the deep-JIT plateau the control previously
+    // only reached in few-query sessions (measured 0.264/0.294 in the two
+    // post-fix runs vs 0.62-0.88 in every pre-fix full census), so the old
+    // reference now describes a compilation regime that no longer exists.
+    // r12+ normalized totals are comparable to each other; comparison to
+    // the r11 history goes through RAW totals (same host) — the
+    // discontinuity is documented in PLANS.md and BASELINE.md.
     // VALIDITY DOMAIN (round 12, see PLANS.md "control validity domain" and
     // graft.ControlProbe): the control also tracks in-session JIT/profile
     // maturity — in a quiet session its own samples decay 0.72->0.30s, and
@@ -66,7 +88,7 @@ object Bench {
     // so normalized_total is comparable ONLY between full-registry runs;
     // for subset runs treat control as window-health info and compare RAW
     // within one same-config column.
-    val ControlRef = 0.62
+    val ControlRef = 0.26
     def controlSec(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 48000000L, 1L, 32)

@@ -12,6 +12,8 @@ object TimeQ {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // measurement parity with Bench (see Bench.scala codegen-cache note)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
     // dev A/B lever: SPARK_GRAFT_EXTRA_CONF="k1=v1;k2=v2"
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>

@@ -1089,11 +1089,17 @@ object AnnQueries {
         // Scala expression 1 - 0.7 evaluates to 0.30000000000000004.
         // Each step's pick (≤8 rows) is eagerly localCheckpoint'ed so the
         // next step joins a flat leaf, keeping the full plan LINEAR in k.
+        // (Round-12 A/B: checkpointing only every SECOND step re-executes
+        // the uncut pick subtrees inside both references of the next step —
+        // measured ~2.5× SLOWER (3.1-3.9s vs 1.2-1.4s at sf0.1); the
+        // per-step cut stays. coalesce(1) first: selected is ≤ 8·k rows,
+        // so materializing one partition instead of 32+ window partitions
+        // makes each eager job a single trivial task.)
         var selected = pool
           .withColumn("score", lit(lam) * col("rel") - lit(0.3) * lit(0.0))
           .withColumn("srk", row_number().over(wS)).where(col("srk") === 1)
           .select(col("qid"), lit(1).as("step"), col("bid"), col("score"))
-          .localCheckpoint()
+          .coalesce(1).localCheckpoint()
         for (j <- 2 to 5) {
           val picked = selected.select(col("qid"), col("bid"))
           val ms = pool.join(picked, Seq("qid", "bid"), "left_anti")
@@ -1104,7 +1110,7 @@ object AnnQueries {
             .withColumn("score", lit(lam) * col("rel") - lit(0.3) * col("ms"))
             .withColumn("srk", row_number().over(wS)).where(col("srk") === 1)
             .select(col("qid"), lit(j).as("step"), col("bid"), col("score"))
-          selected = selected.unionByName(pick).localCheckpoint()
+          selected = selected.unionByName(pick).coalesce(1).localCheckpoint()
         }
         selected
           .select(col("qid"), col("step"), col("bid"),

@@ -299,9 +299,20 @@ object DedupQueries {
     }
 
   private[graft] def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val docs = Tables.documents(s, dir).select("doc_id")
     val sym = symDupEdges(s, dir)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    // Round-12 rework, the two moves dedup_semantic_components already
+    // carries (this builder predates them; measured on its four consumers):
+    // (1) iterate ONLY over edge endpoints — isolated docs are fixpoints
+    //     from round 0, so at corpus scale (edges sparse, |V_edges| << |V|)
+    //     they re-attach with their own label AFTER convergence instead of
+    //     flowing through every round's join, checkpoint and changed-count;
+    // (2) change detection rides INSIDE the round's checkpoint (a label
+    //     only ever decreases, so "nl < label" IS "label changed") — the
+    //     old shape re-joined next⋈labels on doc_id every round, a second
+    //     |V|-row shuffle + job per round that existed only to count.
+    val touched = sym.select(col("a").as("doc_id")).distinct()
+    var labels = touched.withColumn("label", col("doc_id")).localCheckpoint()
     var changed = 1L
     var rounds = 0
     val maxRounds = 50 // O(graph diameter) rounds; far above any real corpus
@@ -311,11 +322,11 @@ object DedupQueries {
       val next = labels.as("l")
         .join(viaNbr, col("l.doc_id") === viaNbr("b"), "left")
         .select(col("l.doc_id").as("doc_id"),
-                least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"))
+                least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"),
+                (col("nl") < col("l.label")).as("chg"))
         .localCheckpoint() // truncate the iterative lineage
-      changed = next.as("n").join(labels.as("o"), "doc_id")
-        .where(col("n.label") =!= col("o.label")).count()
-      labels = next
+      changed = next.where(col("chg")).count()
+      labels = next.select("doc_id", "label")
       rounds += 1
     }
     // A component with diameter > maxRounds must fail loudly rather than
@@ -323,7 +334,8 @@ object DedupQueries {
     // oracle's recursive-CTE fixpoint.
     require(changed == 0,
       s"min-label propagation did not converge in $maxRounds rounds")
-    labels
+    docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
   }
 
   /** DuckDB CTE chain computing the same fixpoint as [[clusterLabels]] via a
@@ -495,7 +507,17 @@ object DedupQueries {
         val sh = FrameMemo(s, s"$dir#rep_shingles_even") {
           shinglesOf(Tables.documents(s, dir).join(reps, Seq("doc_id"), "left_semi"))
         }
-        val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        // Memoized alongside the shingle dictionary it summarizes: the plan
+        // references this |sampled reps|-row aggregate THREE times (na leg,
+        // nb leg, repN), and each reference otherwise re-runs the full
+        // 130k-row cache scan + partial agg + exchange as its own CONCURRENT
+        // broadcast-materialization job — measured (round 12, JobTrace) as
+        // 4 copies of the same 59k-partial exchange per invocation, ~75% of
+        // the query's task time, and the 32-thread oversubscription those
+        // overlapping futures cause is what made run times swing 3s↔30s.
+        val counts = FrameMemo(s, s"$dir#jac_counts_even") {
+          sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        }
         // the pair join only needs shingle IDENTITY, not the string: map
         // each joinable shingle (df >= 2 — singletons can't pair) to a
         // unique long through the vocabulary-sized dictionary, so the
@@ -892,7 +914,12 @@ object DedupQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir).select("doc_id")
         val sym = symDupEdges(s, dir)
-        var labels = docs.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+        // Same round-12 rework as clusterLabels: iterate over edge
+        // endpoints only (isolated docs re-attach after convergence) and
+        // count changes from a flag computed inside the round's checkpoint
+        // (labels only decrease) instead of a per-round next⋈labels join.
+        val touched = sym.select(col("a").as("doc_id")).distinct()
+        var labels = touched.withColumn("label", col("doc_id")).localCheckpoint()
         var changed = 1L
         var rounds = 0
         val maxRounds = 20 // O(log diameter); 2^20 ≫ any real crawl chain
@@ -902,24 +929,27 @@ object DedupQueries {
           val half = labels.as("l")
             .join(viaNbr, col("l.doc_id") === viaNbr("b"), "left")
             .select(col("l.doc_id").as("doc_id"),
-                    least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"))
+                    least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"),
+                    col("l.label").as("old"))
           // pointer jump: follow one indirection through the label table —
           // label paths halve, so rounds are logarithmic in diameter
           val jumped = half.as("h")
             .join(half.select(col("doc_id").as("label"), col("label").as("ll")),
                   Seq("label"), "left")
             .select(col("doc_id"),
-                    least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+                    least(col("label"), coalesce(col("ll"), col("label"))).as("label"),
+                    (least(col("label"), coalesce(col("ll"), col("label"))) < col("old")).as("chg"))
             .localCheckpoint() // truncate the iterative lineage
-          changed = jumped.as("n").join(labels.as("o"), "doc_id")
-            .where(col("n.label") =!= col("o.label")).count()
-          labels = jumped
+          changed = jumped.where(col("chg")).count()
+          labels = jumped.select("doc_id", "label")
           rounds += 1
         }
         require(changed == 0,
           s"pointer-jump propagation did not converge in $maxRounds rounds")
-        val sizes = labels.groupBy("label").agg(count(lit(1)).as("comp_size"))
-        labels.join(sizes, "label")
+        val all = docs.join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+        val sizes = all.groupBy("label").agg(count(lit(1)).as("comp_size"))
+        all.join(sizes, "label")
           .select(col("doc_id"), col("label").as("component"), col("comp_size"))
           .orderBy("doc_id")
       },

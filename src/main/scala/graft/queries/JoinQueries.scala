@@ -413,17 +413,21 @@ object JoinQueries {
     // per-supplier row.
     Q("j_skyline_pareto", Seq("J1", "W4", "A10", "A13", "F5"),
       (s, dir) => {
-        // localCheckpoint: three consumers (pairs, band summary, map-back)
-        // would otherwise each recompute the scan + 2-exchange exact
+        // cache(): three consumers (pairs, band summary, map-back) would
+        // otherwise each recompute the scan + 2-exchange exact
         // count-distinct — 3 full passes over the fact table at scale.
-        // Checkpointing the per-supplier frame (|suppliers| rows) makes it
-        // one pass shared by all three, same discipline as the iterative
-        // graph builders.
+        // Caching the per-supplier frame (|suppliers| rows) makes it one
+        // pass shared by all three. Round 12: this was an eager
+        // localCheckpoint — a separate ~1.9s driver job on EVERY invocation
+        // (Probe: construct 1.86s of 2.75s) that also erased the frame's
+        // catalyst stats; a lazy .cache() shares the same single
+        // materialization inside the timed action instead, same discipline
+        // as the kcore round caches.
         val sup = Tables.lineitem(s, dir)
           .groupBy("l_suppkey")
           .agg(min("l_extendedprice").as("best_price"),
                countDistinct("l_orderkey").as("reach"))
-          .localCheckpoint()
+          .cache()
         val pairs = sup.select("best_price", "reach").distinct()
           .withColumn("band", expr("CAST(best_price * 100 AS BIGINT) div 100000"))
         val wIn = Window.partitionBy("band")

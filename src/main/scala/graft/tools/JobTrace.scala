@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable
+
+/** Dev diagnostic (round 12): run one registry query N times with a
+  * SparkListener attached and print, per run, every job's wall time and a
+  * stage-level breakdown (task run time, GC time, shuffle fetch wait,
+  * result serialization) plus the DRIVER GAPS between jobs — the part of a
+  * query's wall clock that no stage accounts for (planning, broadcast
+  * builds, checkpoint bookkeeping). Usage:
+  *   runMain graft.tools.JobTrace <query> [sfDir] [n]
+  */
+object JobTrace {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val n = if (args.length > 2) args(2).toInt else 3
+    val localDir = new java.io.File("/dev/shm/graft_spark_local")
+    localDir.mkdirs()
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", localDir.getPath)
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      // measurement parity with Bench (see Bench.scala codegen-cache note)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    case class StageAgg(var run: Long = 0, var gc: Long = 0, var fetch: Long = 0,
+                        var ser: Long = 0, var tasks: Int = 0, var name: String = "",
+                        var maxRun: Long = 0, var inRows: Long = 0, var outRows: Long = 0)
+    val jobs = mutable.LinkedHashMap.empty[Int, (Long, Long)] // id -> (t0, t1)
+    val stages = mutable.LinkedHashMap.empty[Int, StageAgg]
+    val stageOfJob = mutable.LinkedHashMap.empty[Int, Seq[Int]]
+    val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        jobs(e.jobId) = (e.time, 0L)
+        stageOfJob(e.jobId) = e.stageIds
+      }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit =
+        jobs.get(e.jobId).foreach(t => jobs(e.jobId) = (t._1, e.time))
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val a = stages.getOrElseUpdate(e.stageId, StageAgg())
+        val m = e.taskMetrics
+        if (m != null) {
+          a.run += m.executorRunTime; a.gc += m.jvmGCTime
+          a.fetch += m.shuffleReadMetrics.fetchWaitTime
+          a.ser += m.resultSerializationTime; a.tasks += 1
+          a.maxRun = math.max(a.maxRun, m.executorRunTime)
+          a.inRows += m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead
+          a.outRows += m.outputMetrics.recordsWritten + m.shuffleWriteMetrics.recordsWritten
+        }
+      }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        stages.getOrElseUpdate(e.stageInfo.stageId, StageAgg()).name = e.stageInfo.name.take(60)
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    (1 to n).foreach { i =>
+      jobs.clear(); stages.clear(); stageOfJob.clear()
+      val t0 = System.nanoTime()
+      val c = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let listener events drain
+      println(f"%n=== $name run $i: wall=$wall%.3f s rows=$c")
+      var prevEnd = 0L
+      jobs.foreach { case (id, (s0, s1)) =>
+        val gap = if (prevEnd == 0) 0.0 else (s0 - prevEnd) / 1e3
+        prevEnd = s1
+        val dur = (s1 - s0) / 1e3
+        val sids = stageOfJob.getOrElse(id, Nil)
+        println(f"  job $id%3d dur=$dur%7.3f s gap_before=$gap%7.3f s stages=${sids.size}")
+        sids.foreach { sid =>
+          stages.get(sid).filter(_.tasks > 0).foreach { a =>
+            println(f"    stage $sid%3d run=${a.run / 1e3}%8.2f max=${a.maxRun / 1e3}%6.2f gc=${a.gc / 1e3}%5.2f tasks=${a.tasks}%3d inRows=${a.inRows}%9d outRows=${a.outRows}%9d  ${a.name}")
+          }
+        }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -25,6 +25,8 @@ object Probe {
       .config("spark.local.dir", localDir.getPath)
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
+      // measurement parity with Bench (see Bench.scala codegen-cache note)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

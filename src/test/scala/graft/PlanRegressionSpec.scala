@@ -589,9 +589,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p) // band prefix + survivor map-back
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // the checkpointed per-supplier frame is the shared input: the fact
-    // table must not be rescanned per consumer (was 3 scans pre-checkpoint)
-    assert(!p.contains("FileScan parquet"), s"fact table rescanned:\n$p")
+    // the CACHED per-supplier frame is the shared input (round 12: was an
+    // eager localCheckpoint — same sharing, but a separate driver job per
+    // invocation): all three consumers must read the one InMemoryRelation,
+    // so the fact table is materialized once, never rescanned per consumer
+    val ims = "InMemoryTableScan".r.findAllIn(p).length
+    assert(ims >= 3, s"expected >=3 cache consumers of the per-supplier frame, got $ims:\n$p")
+    val rel = "InMemoryRelation".r.findAllIn(p).length
+    assert(rel == ims, s"cache consumers read ${rel} distinct relations:\n$p")
   }
 
   test("benford: predicate pushed to the scan; everything after the census is broadcast") {
