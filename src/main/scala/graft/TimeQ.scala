@@ -7,11 +7,20 @@ import org.apache.spark.sql.SparkSession
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // full config parity with graft.Bench (tmpfs local dir, uncompressed
+    // shuffle, codegen cache) — a dev A/B in this harness must measure the
+    // same session the census does (round 12: the missing local.dir made
+    // stream queries read 3× their census floor here)
+    val localDir = new java.io.File("/dev/shm/graft_spark_local")
+    localDir.mkdirs()
     var builder = SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", localDir.getPath)
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       // measurement parity with Bench (see Bench.scala codegen-cache note)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")

@@ -608,11 +608,17 @@ object AnnQueries {
         val copyEdges = members.where(col("vec_id") =!= col("rep"))
           .select(col("rep").as("x"), col("vec_id").as("y"))
         val edges = repEdges.union(copyEdges)
-        // pre-partition on the round join key before the checkpoint: the
-        // materialized partitioning satisfies every round's sym⋈labels
-        // join, so only the label frame shuffles per round
-        val sym = edges.union(edges.select(col("y").as("x"), col("x").as("y")))
-          .repartition(col("x")).localCheckpoint()
+        // pre-partition on the round join key, memoized (round 12): this was
+        // a per-invocation localCheckpoint, i.e. every run re-ran the bucket
+        // join + exact-cosine verify + repartition as an eager driver job —
+        // the documents-side twin (symDupEdges) already kept its symmetric
+        // edge list in the session memo; the vector analog now matches.
+        // The cached partitioning satisfies every round's sym⋈labels join,
+        // so only the label frame shuffles per round.
+        val sym = FrameMemo(s, s"$dir#sem_sym_edges") {
+          edges.union(edges.select(col("y").as("x"), col("x").as("y")))
+            .repartition(col("x"))
+        }
         // Iterate ONLY over edge endpoints: at corpus scale near-dup edges
         // are sparse, so |V_edges| << |V| — isolated vectors are fixpoints
         // from round 0 and re-attach with their own label after
