@@ -18,11 +18,14 @@ object JobTrace {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val n = if (args.length > 2) args(2).toInt else 3
+    // core-count lever for the 32-vs-8 inversion A/Bs (round 13); defaults
+    // to the census shape
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val localDir = new java.io.File("/dev/shm/graft_spark_local")
     localDir.mkdirs()
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    var b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -32,7 +35,11 @@ object JobTrace {
       // measurement parity with Bench (see Bench.scala codegen-cache note)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // dev A/B lever: SPARK_GRAFT_EXTRA_CONF="k1=v1;k2=v2"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); b = b.config(k, v)
+    })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     case class StageAgg(var run: Long = 0, var gc: Long = 0, var fetch: Long = 0,
