@@ -43,8 +43,13 @@ object AnalyticQueries {
       half.union(half.select(col("b").as("a"), col("a").as("b")))
         // pre-partition on the iteration join key: the cached partitioning
         // satisfies every round's join requirement, so only the (small)
-        // label/rank frame shuffles per round — the GraphX co-partitioning
-        .repartition(col("a"))
+        // label/rank frame shuffles per round — the GraphX co-partitioning.
+        // Explicit P = cluster parallelism (round 13): every LPA/PageRank
+        // round does real per-row work over this frame, so its cached
+        // partition count IS the rounds' parallelism — the byte-based AQE
+        // coalescer would fold the ~2MB sf0.1 frame to 1-2 partitions and
+        // serialize every round (measured +0.7-0.9s on pagerank/label_prop).
+        .repartition(s.sparkContext.defaultParallelism, col("a"))
     }
 
   /** Co-supply pairs (u < v, shared-customer count) with both directed
@@ -260,7 +265,8 @@ object AnalyticQueries {
         val edgesD = FrameMemo(s, s"$dir#pr_edges_deg") {
           edges.join(deg, edges("a") === deg("node"))
             .select(col("a"), col("b"), col("deg"))
-            .repartition(col("a")) // co-partitioned across the 3 rounds
+            // co-partitioned across the 3 rounds; explicit P — see tradeEdges
+            .repartition(s.sparkContext.defaultParallelism, col("a"))
         }
         val r0 = deg.select(col("node"), lit(1000000L).as("rank"))
         val r3 = (1 to 3).foldLeft(r0) { (prev, _) =>
@@ -401,7 +407,8 @@ object AnalyticQueries {
                    min(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))).cast("long"))
                    .as("w"))
           half.union(half.select(col("b").as("a"), col("a").as("b"), col("w")))
-            .repartition(col("a")) // co-partitioned across the relax rounds
+            // co-partitioned across the relax rounds; explicit P — see tradeEdges
+            .repartition(s.sparkContext.defaultParallelism, col("a"))
         }
         val d0 = edges.sparkSession.range(1).select(lit("s1").as("node"), lit(0L).as("dist"))
         val d3 = (1 to 3).foldLeft(d0.toDF()) { (d, _) =>

@@ -626,7 +626,8 @@ object AnnQueries {
         // and changed-count of every round. (sym is symmetric, so x alone
         // covers all endpoints.)
         val touched = sym.select(col("x").as("vec_id")).distinct()
-        var labels = touched.withColumn("label", col("vec_id")).localCheckpoint()
+        // lazy checkpoints — one action per round (see DedupQueries.clusterLabels)
+        var labels = touched.withColumn("label", col("vec_id")).localCheckpoint(false)
         var changed = 1L
         var rounds = 0
         val maxRounds = 50 // O(component diameter); clusters are shallow
@@ -642,7 +643,7 @@ object AnnQueries {
             .select(col("l.vec_id").as("vec_id"),
                     least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"),
                     (col("nl") < col("l.label")).as("chg"))
-            .localCheckpoint() // truncate the iterative lineage
+            .localCheckpoint(false) // lineage cut; materialized by the count below
           changed = next.where(col("chg")).count()
           labels = next.select("vec_id", "label")
           rounds += 1
@@ -1101,11 +1102,16 @@ object AnnQueries {
         // per-step cut stays. coalesce(1) first: selected is ≤ 8·k rows,
         // so materializing one partition instead of 32+ window partitions
         // makes each eager job a single trivial task.)
+        // LAZY per-step checkpoints (round 13): the Dataset-level plan cut
+        // (what keeps the unrolled plan linear in k — the round-12 A/B) is
+        // unchanged, but eager=false drops the five per-step driver jobs;
+        // each ≤40-row single-partition RDD materializes on first reference
+        // inside the next step's own builds and is persisted from then on.
         var selected = pool
           .withColumn("score", lit(lam) * col("rel") - lit(0.3) * lit(0.0))
           .withColumn("srk", row_number().over(wS)).where(col("srk") === 1)
           .select(col("qid"), lit(1).as("step"), col("bid"), col("score"))
-          .coalesce(1).localCheckpoint()
+          .coalesce(1).localCheckpoint(false)
         for (j <- 2 to 5) {
           val picked = selected.select(col("qid"), col("bid"))
           val ms = pool.join(picked, Seq("qid", "bid"), "left_anti")
@@ -1116,7 +1122,7 @@ object AnnQueries {
             .withColumn("score", lit(lam) * col("rel") - lit(0.3) * col("ms"))
             .withColumn("srk", row_number().over(wS)).where(col("srk") === 1)
             .select(col("qid"), lit(j).as("step"), col("bid"), col("score"))
-          selected = selected.unionByName(pick).coalesce(1).localCheckpoint()
+          selected = selected.unionByName(pick).coalesce(1).localCheckpoint(false)
         }
         selected
           .select(col("qid"), col("step"), col("bid"),

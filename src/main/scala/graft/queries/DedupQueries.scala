@@ -87,6 +87,13 @@ object DedupQueries {
       // where the vocabulary outgrows broadcast this becomes a shuffle
       // join on the shingle key — the rest of the plan is unchanged
       sh.join(broadcast(dict), "shingle")
+        // pre-partition by the group key at cluster parallelism (round 13):
+        // the groupBy reuses this partitioning, and the cached frame's
+        // partition count IS the map-side task count of the PPJoin candidate
+        // self-join — the query's heavy leg, which the advisory-byte
+        // coalescer otherwise folds to 1-2 partitions at bench SFs
+        // (measured ngram_prefix 1.07 -> 4.16s, containment 0.78 -> 2.22s)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("id"), col("df")))).as("ranked"))
         .select(col("doc_id"), col("ranked.id").as("shs"),
@@ -312,7 +319,12 @@ object DedupQueries {
     //     old shape re-joined next⋈labels on doc_id every round, a second
     //     |V|-row shuffle + job per round that existed only to count.
     val touched = sym.select(col("a").as("doc_id")).distinct()
-    var labels = touched.withColumn("label", col("doc_id")).localCheckpoint()
+    // LAZY checkpoints (round 13): the Dataset-level lineage cut happens at
+    // planning either way, but eager=false folds the materialization into
+    // the SAME job as the convergence count — one action per round instead
+    // of a checkpoint job plus a count job (count() computes every
+    // partition, and localCheckpoint persists them as a side effect).
+    var labels = touched.withColumn("label", col("doc_id")).localCheckpoint(false)
     var changed = 1L
     var rounds = 0
     val maxRounds = 50 // O(graph diameter) rounds; far above any real corpus
@@ -324,7 +336,7 @@ object DedupQueries {
         .select(col("l.doc_id").as("doc_id"),
                 least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"),
                 (col("nl") < col("l.label")).as("chg"))
-        .localCheckpoint() // truncate the iterative lineage
+        .localCheckpoint(false) // lineage cut; materialized by the count below
       changed = next.where(col("chg")).count()
       labels = next.select("doc_id", "label")
       rounds += 1
@@ -919,7 +931,8 @@ object DedupQueries {
         // count changes from a flag computed inside the round's checkpoint
         // (labels only decrease) instead of a per-round next⋈labels join.
         val touched = sym.select(col("a").as("doc_id")).distinct()
-        var labels = touched.withColumn("label", col("doc_id")).localCheckpoint()
+        // lazy checkpoints — one action per round (see clusterLabels)
+        var labels = touched.withColumn("label", col("doc_id")).localCheckpoint(false)
         var changed = 1L
         var rounds = 0
         val maxRounds = 20 // O(log diameter); 2^20 ≫ any real crawl chain
@@ -939,7 +952,7 @@ object DedupQueries {
             .select(col("doc_id"),
                     least(col("label"), coalesce(col("ll"), col("label"))).as("label"),
                     (least(col("label"), coalesce(col("ll"), col("label"))) < col("old")).as("chg"))
-            .localCheckpoint() // truncate the iterative lineage
+            .localCheckpoint(false) // lineage cut; materialized by the count below
           changed = jumped.where(col("chg")).count()
           labels = jumped.select("doc_id", "label")
           rounds += 1
