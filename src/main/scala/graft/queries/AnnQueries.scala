@@ -648,6 +648,13 @@ object AnnQueries {
           labels = next.select("vec_id", "label")
           rounds += 1
         }
+        // Round-13 A/Bs at sf1, both REJECTED with numbers (same-regime
+        // JobTrace, steady runs): (1) converge-check every 2nd round only —
+        // 2.67-3.07s vs 2.86-3.30s status quo, ~5% inside the noise band,
+        // not worth the extra no-op round at odd convergence; (2) pointer
+        // jumping (label <- label(label) per round) — 3.13-3.86s, WORSE:
+        // semantic clusters are shallow, so the extra per-round self-join
+        // costs more than the O(log d) round saving recovers.
         require(changed == 0,
           s"semantic min-label propagation did not converge in $maxRounds rounds")
         emb.select("vec_id").join(labels, Seq("vec_id"), "left")
