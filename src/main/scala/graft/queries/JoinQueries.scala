@@ -413,21 +413,24 @@ object JoinQueries {
     // per-supplier row.
     Q("j_skyline_pareto", Seq("J1", "W4", "A10", "A13", "F5"),
       (s, dir) => {
-        // cache(): three consumers (pairs, band summary, map-back) would
-        // otherwise each recompute the scan + 2-exchange exact
-        // count-distinct — 3 full passes over the fact table at scale.
-        // Caching the per-supplier frame (|suppliers| rows) makes it one
-        // pass shared by all three. Round 12: this was an eager
-        // localCheckpoint — a separate ~1.9s driver job on EVERY invocation
-        // (Probe: construct 1.86s of 2.75s) that also erased the frame's
-        // catalyst stats; a lazy .cache() shares the same single
-        // materialization inside the timed action instead, same discipline
-        // as the kcore round caches.
-        val sup = Tables.lineitem(s, dir)
-          .groupBy("l_suppkey")
-          .agg(min("l_extendedprice").as("best_price"),
-               countDistinct("l_orderkey").as("reach"))
-          .cache()
+        // Shared single materialization: three consumers (pairs, band
+        // summary, map-back) would otherwise each recompute the scan +
+        // 2-exchange exact count-distinct — 3 full passes over the fact
+        // table at scale. Round 12 made this a lazy .cache() (an eager
+        // localCheckpoint had been a separate ~1.9s driver job per
+        // invocation that also erased catalyst stats); round 13 moves the
+        // instance into FrameMemo per ADVICE r12 — raw .cache() relies on
+        // CacheManager plan matching for cross-pass reuse, which is exactly
+        // what FrameMemo's doc comment calls unreliable once a second SF's
+        // entry exists (the bench warm pass runs every query at sf0.001 in
+        // the same session). The memo guarantees instance-level reuse and
+        // keeps the SF-keyed lifetime discipline uniform.
+        val sup = FrameMemo(s, s"$dir#skyline_sup") {
+          Tables.lineitem(s, dir)
+            .groupBy("l_suppkey")
+            .agg(min("l_extendedprice").as("best_price"),
+                 countDistinct("l_orderkey").as("reach"))
+        }
         val pairs = sup.select("best_price", "reach").distinct()
           .withColumn("band", expr("CAST(best_price * 100 AS BIGINT) div 100000"))
         val wIn = Window.partitionBy("band")

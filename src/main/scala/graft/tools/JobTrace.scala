@@ -69,14 +69,21 @@ object JobTrace {
     val jobs = mutable.LinkedHashMap.empty[Int, (Long, Long)] // id -> (t0, t1)
     val stages = mutable.LinkedHashMap.empty[Int, StageAgg]
     val stageOfJob = mutable.LinkedHashMap.empty[Int, Seq[Int]]
+    // ADVICE r12: listener callbacks run on the listener-bus thread while
+    // main() reads the maps after the drain sleep — one lock covers every
+    // mutation and the read-out below. gap_before can still print negative
+    // for overlapping jobs (concurrent broadcast futures); that is real
+    // overlap, rendered as-is.
+    val lock = new Object
     val listener = new SparkListener {
-      override def onJobStart(e: SparkListenerJobStart): Unit = {
+      override def onJobStart(e: SparkListenerJobStart): Unit = lock.synchronized {
         jobs(e.jobId) = (e.time, 0L)
         stageOfJob(e.jobId) = e.stageIds
       }
-      override def onJobEnd(e: SparkListenerJobEnd): Unit =
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = lock.synchronized {
         jobs.get(e.jobId).foreach(t => jobs(e.jobId) = (t._1, e.time))
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      }
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = lock.synchronized {
         val a = stages.getOrElseUpdate(e.stageId, StageAgg())
         val m = e.taskMetrics
         if (m != null) {
@@ -88,18 +95,20 @@ object JobTrace {
           a.outRows += m.outputMetrics.recordsWritten + m.shuffleWriteMetrics.recordsWritten
         }
       }
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = lock.synchronized {
         stages.getOrElseUpdate(e.stageInfo.stageId, StageAgg()).name = e.stageInfo.name.take(60)
+      }
     }
     spark.sparkContext.addSparkListener(listener)
 
     (1 to n).foreach { i =>
-      jobs.clear(); stages.clear(); stageOfJob.clear()
+      lock.synchronized { jobs.clear(); stages.clear(); stageOfJob.clear() }
       val t0 = System.nanoTime()
       val c = graft.SparkEntry.queries(name)(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let listener events drain
       println(f"%n=== $name run $i: wall=$wall%.3f s rows=$c")
+      lock.synchronized {
       var prevEnd = 0L
       jobs.foreach { case (id, (s0, s1)) =>
         val gap = if (prevEnd == 0) 0.0 else (s0 - prevEnd) / 1e3
@@ -112,6 +121,7 @@ object JobTrace {
             println(f"    stage $sid%3d run=${a.run / 1e3}%8.2f max=${a.maxRun / 1e3}%6.2f gc=${a.gc / 1e3}%5.2f tasks=${a.tasks}%3d inRows=${a.inRows}%9d outRows=${a.outRows}%9d  ${a.name}")
           }
         }
+      }
       }
     }
     spark.stop()
